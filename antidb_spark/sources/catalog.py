@@ -1,0 +1,154 @@
+"""Iceberg-style table IO over plain Parquet (SURVEY §7.0).
+
+No Iceberg runtime jar exists in this sandbox, so this module implements
+the subset of Iceberg semantics the engine relies on, behind one seam:
+
+- **snapshot commit**: data files are written first; a ``_manifest.json``
+  is written LAST via atomic rename — the analog of the reference writing
+  the B+tree root node last (idx.py:260-261). A table without a manifest
+  is invisible to readers.
+- **manifest file stats**: per-data-file min/max for declared stats
+  columns (harvested from Parquet footers via pyarrow) — the analog of
+  the reference's internal ``paths`` nodes holding child first-keys
+  (idx.py:225-226). ``read_pruned`` uses them for file-level skipping;
+  Parquet row-group stats then skip within files.
+
+When a real Iceberg catalog is configured (``spark.sql.catalog.*`` +
+runtime jar), ``Catalog`` can be swapped for ``df.writeTo(...)`` /
+``spark.read.table(...)`` without touching callers — the seam is this
+class's five methods.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import uuid
+from typing import Any
+
+import pyarrow.parquet as pq
+from pyspark.sql import DataFrame, SparkSession
+
+
+class Catalog:
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.root = root
+        os.makedirs(root, exist_ok=True)
+
+    # -- paths -----------------------------------------------------------
+
+    def table_dir(self, name: str) -> str:
+        return os.path.join(self.root, name)
+
+    def _manifest_path(self, name: str) -> str:
+        return os.path.join(self.table_dir(name), "_manifest.json")
+
+    def exists(self, name: str) -> bool:
+        return os.path.exists(self._manifest_path(name))
+
+    # -- write / commit ----------------------------------------------------
+
+    def write(
+        self,
+        df: DataFrame,
+        name: str,
+        stats_cols: list[str] | None = None,
+        partition_by: list[str] | None = None,
+        props: dict[str, Any] | None = None,
+        mode: str = "overwrite",
+    ) -> dict:
+        """Write data files, then commit by writing the manifest last."""
+        ddir = os.path.join(self.table_dir(name), "data")
+        w = df.write.mode(mode).option("compression", "zstd")
+        if partition_by:
+            w = w.partitionBy(*partition_by)
+        w.parquet(ddir)
+        return self.commit(name, stats_cols=stats_cols, props=props)
+
+    def commit(
+        self,
+        name: str,
+        stats_cols: list[str] | None = None,
+        props: dict[str, Any] | None = None,
+    ) -> dict:
+        """Harvest footer stats for existing data files and atomically
+        publish the manifest (the snapshot commit point)."""
+        ddir = os.path.join(self.table_dir(name), "data")
+        files = []
+        for dirpath, _dirs, fnames in os.walk(ddir):
+            for fn in sorted(fnames):
+                if not fn.endswith(".parquet"):
+                    continue
+                path = os.path.join(dirpath, fn)
+                entry: dict[str, Any] = {
+                    "path": os.path.relpath(path, self.table_dir(name)),
+                }
+                meta = pq.ParquetFile(path).metadata
+                entry["rows"] = meta.num_rows
+                if stats_cols:
+                    names = [meta.schema.column(i).name
+                             for i in range(meta.num_columns)]
+                    for col in stats_cols:
+                        ci = names.index(col)
+                        lo, hi = None, None
+                        for rg in range(meta.num_row_groups):
+                            st = meta.row_group(rg).column(ci).statistics
+                            if st is None or not st.has_min_max:
+                                continue
+                            lo = st.min if lo is None else min(lo, st.min)
+                            hi = st.max if hi is None else max(hi, st.max)
+                        entry[f"min_{col}"] = lo
+                        entry[f"max_{col}"] = hi
+                files.append(entry)
+        manifest = {
+            "snapshot_id": uuid.uuid4().hex,
+            "committed_at": time.time(),
+            "format": "parquet-iceberg-style",
+            "stats_cols": stats_cols or [],
+            "props": props or {},
+            "files": files,
+        }
+        tmp = self._manifest_path(name) + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(manifest, f, indent=1, default=str)
+        os.replace(tmp, self._manifest_path(name))  # atomic commit
+        return manifest
+
+    # -- read --------------------------------------------------------------
+
+    def manifest(self, name: str) -> dict:
+        with open(self._manifest_path(name)) as f:
+            return json.load(f)
+
+    def read(self, name: str) -> DataFrame:
+        if not self.exists(name):
+            raise FileNotFoundError(f"table {name!r} has no committed snapshot")
+        return self.spark.read.parquet(os.path.join(self.table_dir(name), "data"))
+
+    def read_pruned(self, name: str, col: str, values: list[Any]) -> DataFrame:
+        """File-level skipping: read only data files whose [min,max] range
+        for ``col`` can contain one of ``values`` (B+tree-descent analog,
+        prs.py:57-77). Falls back to the full table when stats are absent."""
+        man = self.manifest(name)
+        if col not in man["stats_cols"] or not values:
+            return self.read(name)
+        keep = []
+        for entry in man["files"]:
+            lo, hi = entry.get(f"min_{col}"), entry.get(f"max_{col}")
+            if lo is None or hi is None:
+                keep.append(entry)
+            elif any(lo <= v <= hi for v in values):
+                keep.append(entry)
+        if not keep:
+            return self.read(name).limit(0)
+        paths = [
+            os.path.join(self.table_dir(name), e["path"]) for e in keep
+        ]
+        return self.spark.read.parquet(*paths)
+
+    def drop(self, name: str) -> None:
+        import shutil
+
+        shutil.rmtree(self.table_dir(name), ignore_errors=True)
