@@ -169,6 +169,141 @@ def _q_interval_days(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- physical-index path (M2+M5): build in a temp dir, query pinned ----
+
+
+def _q_indexed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full Idx→Prs analog: build the packed posting-block index over
+    documents, then answer the flagship query from the index tables.
+    Must be value-identical to `topk_bm25` (same oracle)."""
+    import tempfile
+
+    from antidb_spark.operators.build import IndexBuilder
+
+    root = tempfile.mkdtemp(prefix="antidb_entry_idx_")
+    b = IndexBuilder(spark, root, id_cols=DOC_ID)
+    b.build(_docs(spark, sf_dir))
+    out = b.query_pinned(FLAGSHIP_QUERY, k=10)
+    out = out.cache()
+    out.count()  # materialize before the temp dir could be cleaned
+    return out
+
+
+# --- training-pipeline operators ----------------------------------------
+
+
+def _q_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from antidb_spark.operators.dedup import fingerprint
+
+    return _docs(spark, sf_dir).select("doc_id", fingerprint("text").alias("fp"))
+
+
+def _q_exact_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from antidb_spark.operators.dedup import exact_dups
+
+    return exact_dups(_docs(spark, sf_dir)).select("fp", "group_size")
+
+
+def _q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from antidb_spark.operators.dedup import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(_docs(spark, sf_dir), threshold=0.7)
+
+
+def _q_minhash_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from antidb_spark.operators.dedup import minhash_near_dups
+
+    return minhash_near_dups(_docs(spark, sf_dir), threshold=0.7)
+
+
+def _q_simhash_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from antidb_spark.operators.dedup import simhash_near_dups
+
+    return simhash_near_dups(_docs(spark, sf_dir), max_distance=3)
+
+
+def _q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from antidb_spark.operators.textstats import lang_id
+
+    return lang_id(_docs(spark, sf_dir))
+
+
+def _q_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from antidb_spark.operators.textstats import quality_scores
+
+    return quality_scores(_docs(spark, sf_dir))
+
+
+def _q_clone_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from antidb_spark.operators.textstats import clone_candidates
+
+    return clone_candidates(_docs(spark, sf_dir), min_shared=2)
+
+
+def _vecs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def _probe_vec(spark: SparkSession, sf_dir: str) -> list[float]:
+    row = _vecs(spark, sf_dir).filter(F.col("vec_id") == 0).first()
+    return [float(v) for v in row["embedding"]]
+
+
+def _q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from antidb_spark.operators.similarity import cosine_topk
+
+    probe = _probe_vec(spark, sf_dir)
+    return cosine_topk(_vecs(spark, sf_dir), probe, k=10)
+
+
+def _q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from antidb_spark.operators.similarity import hyperplane_lsh_topk
+
+    probe = _probe_vec(spark, sf_dir)
+    return hyperplane_lsh_topk(_vecs(spark, sf_dir), probe, k=10)
+
+
+def _q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from antidb_spark.operators.similarity import ivf_topk
+
+    probe = _probe_vec(spark, sf_dir)
+    return ivf_topk(_vecs(spark, sf_dir), probe, k=10)
+
+
+def _q_embedding_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from antidb_spark.operators.similarity import cosine_dup_pairs
+
+    return cosine_dup_pairs(_vecs(spark, sf_dir), threshold=0.95)
+
+
+def _media(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from antidb_spark.operators.multimodal import as_media_table
+
+    return as_media_table(_docs(spark, sf_dir))
+
+
+def _q_media_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    m = _media(spark, sf_dir)
+    return m.select(
+        "media_id",
+        "media_type",
+        F.col("meta.n_bytes").alias("n_bytes"),
+        F.md5(F.col("payload")).alias("payload_md5"),
+    )
+
+
+def _q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from antidb_spark.operators.multimodal import extract_features
+
+    return extract_features(_media(spark, sf_dir))
+
+
+def _q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from antidb_spark.operators.multimodal import sample_frames
+
+    return sample_frames(_media(spark, sf_dir), every_n=4)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "term_counts": _q_term_counts,
@@ -177,11 +312,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_lengths": _q_doc_lengths,
         "corpus_stats": _q_corpus_stats,
         "topk_bm25": _q_topk_bm25,
+        "indexed_topk": _q_indexed_topk,
         "eq_lookup": _q_eq_lookup,
         "rng_lookup": _q_rng_lookup,
         "lookup_dump": _q_lookup_dump,
         "fallback_join": _q_fallback_join,
         "interval_days": _q_interval_days,
+        "fingerprints": _q_fingerprints,
+        "exact_dup_groups": _q_exact_dup_groups,
+        "ngram_jaccard": _q_ngram_jaccard,
+        "minhash_dups": _q_minhash_dups,
+        "simhash_dups": _q_simhash_dups,
+        "lang_id": _q_lang_id,
+        "quality": _q_quality,
+        "clone_candidates": _q_clone_candidates,
+        "ann_cosine_topk": _q_ann_cosine_topk,
+        "ann_lsh_topk": _q_ann_lsh_topk,
+        "ann_ivf_topk": _q_ann_ivf_topk,
+        "embedding_dups": _q_embedding_dups,
+        "media_meta": _q_media_meta,
+        "media_features": _q_media_features,
+        "frame_sample": _q_frame_sample,
     }
 
 
@@ -214,6 +365,30 @@ LIMIT {k}
 
 
 DTOK_CTE = "dtok AS (SELECT DISTINCT term, doc_id FROM tok)"
+
+# toks as a list column (for shingle / per-doc list ops)
+TOKARR_CTE = (
+    "tokarr AS (SELECT doc_id, text, list_filter("
+    f"{sql_tokens('text')}, t -> t <> '') AS toks FROM documents)"
+)
+# word 3-gram shingles, distinct per doc (mirrors dedup.shingles(n=3))
+SHINGLE_CTE = """sh AS (
+  SELECT DISTINCT doc_id, array_to_string(toks[i.i:i.i+2], ' ') AS sh
+  FROM tokarr, unnest(generate_series(1, len(toks)-2)) AS i(i)
+  WHERE len(toks) >= 3
+  UNION
+  SELECT DISTINCT doc_id, array_to_string(toks, ' ') FROM tokarr
+  WHERE len(toks) < 3
+)"""
+# canonical content fingerprint (mirrors dedup.norm_text/fingerprint)
+SQL_FP = r"md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))"
+
+
+def _sql_lang_hits(lang: str) -> str:
+    from antidb_spark.operators.textstats import LANG_STOPWORDS
+
+    words = ", ".join(f"'{w}'" for w in LANG_STOPWORDS[lang])
+    return f"len(list_filter(toks, t -> t IN ({words})))"
 
 
 def _values(rows) -> str:
@@ -291,4 +466,87 @@ FROM orders, unnest(generate_series(
     interval 1 day)) AS g(d)
 GROUP BY d::date
 """,
+        "indexed_topk": _topk_oracle(FLAGSHIP_QUERY, 10),
+        "fingerprints": f"SELECT doc_id, {SQL_FP} AS fp FROM documents",
+        "exact_dup_groups": f"""
+SELECT fp, count(*)::BIGINT AS group_size
+FROM (SELECT {SQL_FP} AS fp FROM documents)
+GROUP BY fp HAVING count(*) > 1
+""",
+        "ngram_jaccard": f"""
+WITH {TOKARR_CTE}, {SHINGLE_CTE},
+sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+shared AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  GROUP BY 1, 2)
+SELECT id_a, id_b, round(c::DOUBLE / (x.n + y.n - c), 6) AS jaccard
+FROM shared JOIN sz x ON id_a = x.doc_id JOIN sz y ON id_b = y.doc_id
+WHERE round(c::DOUBLE / (x.n + y.n - c), 6) >= 0.7
+""",
+        "lang_id": f"""
+WITH {TOKARR_CTE},
+h AS (SELECT doc_id,
+  {_sql_lang_hits('de')} AS h_de, {_sql_lang_hits('en')} AS h_en,
+  {_sql_lang_hits('es')} AS h_es, {_sql_lang_hits('fr')} AS h_fr
+  FROM tokarr),
+g AS (SELECT *, greatest(h_de, h_en, h_es, h_fr) AS best FROM h)
+SELECT doc_id,
+  CASE WHEN best = 0 THEN 'und'
+       WHEN h_de = best THEN 'de' WHEN h_en = best THEN 'en'
+       WHEN h_es = best THEN 'es' ELSE 'fr' END AS pred_lang,
+  best::BIGINT AS hits
+FROM g
+""",
+        "quality": f"""
+WITH {TOKARR_CTE},
+f AS (SELECT doc_id,
+  len(toks) AS n_tok,
+  CASE WHEN len(toks) > 0
+       THEN list_sum(list_transform(toks, t -> length(t)))::DOUBLE / len(toks)
+       ELSE 0.0 END AS mean_len,
+  CASE WHEN length(text) > 0
+       THEN length(regexp_replace(lower(text), '[^a-z]', '', 'g'))::DOUBLE
+            / length(text)
+       ELSE 0.0 END AS alpha_ratio,
+  CASE WHEN len(toks) > 0
+       THEN {_sql_lang_hits('en')}::DOUBLE / len(toks)
+       ELSE 0.0 END AS stop_ratio
+  FROM tokarr)
+SELECT doc_id,
+  n_tok::BIGINT AS n_tokens,
+  round(mean_len, 6) AS mean_tok_len,
+  round(alpha_ratio, 6) AS alpha_ratio,
+  round(stop_ratio, 6) AS stopword_ratio,
+  round(greatest(0.0, least(1.0,
+    0.4 * least(n_tok::DOUBLE / 20.0, 1.0)
+    + 0.3 * alpha_ratio
+    + 0.3 * greatest(1.0 - abs(stop_ratio - 0.4) / 0.4, 0.0))), 6) AS quality
+FROM f
+""",
+        "ann_cosine_topk": """
+WITH p AS (SELECT embedding AS pv FROM embeddings WHERE vec_id = 0),
+d AS (SELECT e.vec_id,
+  list_sum(list_transform(generate_series(1, len(e.embedding)),
+           i -> e.embedding[i]::DOUBLE * p.pv[i]::DOUBLE)) AS dp,
+  sqrt(list_sum(list_transform(e.embedding, x -> x::DOUBLE * x::DOUBLE))) AS na,
+  sqrt(list_sum(list_transform(p.pv, x -> x::DOUBLE * x::DOUBLE))) AS nb
+  FROM embeddings e, p)
+SELECT vec_id, round(dp / (na * nb), 6) AS cos
+FROM d ORDER BY cos DESC, vec_id ASC LIMIT 10
+""",
+        "media_meta": """
+SELECT doc_id::BIGINT AS media_id,
+  CASE doc_id % 3 WHEN 0 THEN 'image/png' WHEN 1 THEN 'audio/wav'
+       ELSE 'video/mp4' END AS media_type,
+  octet_length(text::BLOB)::BIGINT AS n_bytes,
+  md5(text) AS payload_md5
+FROM documents
+""",
+        # Probabilistic / stub-backed ops (minhash_dups, simhash_dups,
+        # clone_candidates, ann_lsh_topk, ann_ivf_topk, embedding_dups,
+        # media_features, frame_sample) intentionally have NO SQL oracle:
+        # the driver applies its rows-only check; their correctness is
+        # pinned by pytest oracles (numpy/pandas reimplementations) and
+        # by recall/subset assertions against the exact operators above.
     }

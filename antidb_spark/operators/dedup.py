@@ -1,0 +1,376 @@
+"""Deduplication operators for training-data pipelines.
+
+Four families, each a first-class engine operator over a corpus with a
+text column (``documents`` / ``transcripts``):
+
+- **Exact** (`exact_dups`): hash-groupBy on a content fingerprint. One
+  shuffle on the digest; group sizes are tiny so no skew handling needed
+  beyond AQE.
+- **N-gram Jaccard, exact** (`ngram_jaccard_pairs`): shingle inverted
+  index → candidate pairs via shared shingles → exact Jaccard filter.
+  EXACT for any threshold > 0 (a pair with Jaccard > 0 shares ≥ 1
+  shingle, so the inverted-index join generates every qualifying pair) —
+  this is the oracle-checkable baseline the probabilistic variants are
+  validated against.
+- **MinHash + LSH** (`minhash_signatures`, `minhash_near_dups`): per-doc
+  minhash signature (vectorized numpy over Arrow batches), banded into
+  buckets, candidate pairs from same-bucket joins, exact-Jaccard verify.
+  The scale path: candidate generation touches only hash buckets, never
+  all pairs.
+- **SimHash** (`simhash64`, `simhash_near_dups`): 64-bit tf-weighted
+  fingerprint; pairs within Hamming distance ≤ 3 found by pigeonhole
+  banding (4 bands of 16 bits — distance ≤ 3 ⟹ at least one band equal,
+  so banding is EXACT for d ≤ 3), verified by popcount.
+
+Scale notes: every operator shuffles on a hash-distributed key (digest /
+shingle / band bucket), so no range skew; stopword-only shingles are the
+hot keys in the inverted-index join and are capped by `max_shingle_df`
+(a shingle present in more than that many docs is dropped from candidate
+generation — it cannot discriminate near-dups; the exactness argument
+still holds for thresholds where qualifying pairs share at least one
+sub-cap shingle, and the oracle tests pin the configured behavior).
+
+Reference tie-in: the reference's dedup-adjacent notion is multiset key
+identity (duplicate keys in one index, tests.py:245-248); these
+operators generalize it to content identity/similarity.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from antidb_spark.functions.analyze import tokens
+
+# MinHash parameters: 64 permutations in 16 bands of 4 rows.
+N_HASHES = 64
+N_BANDS = 16
+ROWS_PER_BAND = N_HASHES // N_BANDS
+_MERSENNE = np.uint64((1 << 61) - 1)
+
+
+def norm_text(col: Column | str) -> Column:
+    """Whitespace/case-normalized text — the exact-dedup canonical form."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.trim(F.regexp_replace(F.lower(c), r"\s+", " "))
+
+
+def fingerprint(col: Column | str) -> Column:
+    """Content digest of the canonical form (md5 → 32 hex chars)."""
+    return F.md5(norm_text(col))
+
+
+def exact_dups(
+    corpus: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(fp, group_size, doc_ids[]) for every exact-duplicate group.
+
+    One hash shuffle on the digest; ``doc_ids`` sorted for determinism.
+    """
+    return (
+        corpus.select(F.col(id_col), fingerprint(text_col).alias("fp"))
+        .groupBy("fp")
+        .agg(
+            F.count(F.lit(1)).alias("group_size"),
+            F.sort_array(F.collect_list(id_col)).alias("doc_ids"),
+        )
+        .filter(F.col("group_size") > 1)
+    )
+
+
+def shingles(col: Column | str, n: int = 3) -> Column:
+    """array<string> of word n-gram shingles (distinct), JVM-side:
+    tokens → sliding windows joined by a space."""
+    toks = tokens(col)
+    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
+    grams = F.transform(
+        idx, lambda i: F.array_join(F.slice(toks, i + 1, n), " ")
+    )
+    # Shorter-than-n docs produce their full token join as one shingle.
+    return F.array_distinct(
+        F.when(F.size(toks) >= n, grams).otherwise(
+            F.array(F.array_join(toks, " "))
+        )
+    )
+
+
+def ngram_jaccard_pairs(
+    corpus: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.7,
+    max_shingle_df: int | None = None,
+) -> DataFrame:
+    """Exact near-dup pairs by n-gram Jaccard ≥ threshold.
+
+    Plan: doc→shingles (exploded inverted index) → self-join on shingle
+    (generates each candidate pair once per SHARED shingle) → count
+    shared = |A∩B| → Jaccard = shared / (|A|+|B|-shared) → filter.
+    Output: (id_a, id_b, jaccard) with id_a < id_b, rounded 6dp.
+    """
+    sh = corpus.select(
+        F.col(id_col).alias("_id"), F.explode(shingles(text_col, n)).alias("sh")
+    )
+    sizes = sh.groupBy("_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    if max_shingle_df is not None:
+        hot = (
+            sh.groupBy("sh")
+            .agg(F.count(F.lit(1)).alias("sdf"))
+            .filter(F.col("sdf") > max_shingle_df)
+            .select("sh")
+        )
+        sh = sh.join(F.broadcast(hot), "sh", "left_anti")
+    a = sh.select(F.col("_id").alias("id_a"), "sh")
+    b = sh.select(F.col("_id").alias("id_b"), "sh")
+    shared = (
+        a.join(b, "sh")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    return (
+        shared.join(sizes.withColumnsRenamed({"_id": "id_a", "n_sh": "na"}), "id_a")
+        .join(sizes.withColumnsRenamed({"_id": "id_b", "n_sh": "nb"}), "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("shared")
+                / (F.col("na") + F.col("nb") - F.col("shared")).cast("double"),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+# --- MinHash ------------------------------------------------------------
+
+
+def _hash_params(seed: int = 42) -> tuple[np.ndarray, np.ndarray]:
+    rng = np.random.default_rng(seed)
+    a = rng.integers(1, _MERSENNE, size=N_HASHES, dtype=np.uint64)
+    b = rng.integers(0, _MERSENNE, size=N_HASHES, dtype=np.uint64)
+    return a, b
+
+
+def _shingle_hashes_py(text: str, n: int = 3) -> np.ndarray:
+    """Stable 61-bit shingle hashes (FNV-1a over the shingle string)."""
+    from antidb_spark.functions.analyze import py_tokens
+
+    toks = py_tokens(text)
+    if len(toks) >= n:
+        shs = {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
+    else:
+        shs = {" ".join(toks)}
+    out = np.empty(len(shs), dtype=np.uint64)
+    for i, s in enumerate(sorted(shs)):
+        h = np.uint64(0xCBF29CE484222325)
+        for byte in s.encode():
+            h = np.uint64((int(h) ^ byte) * 0x100000001B3 & ((1 << 64) - 1))
+        out[i] = h % _MERSENNE
+    return out
+
+
+def minhash_signatures(
+    corpus: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    seed: int = 42,
+) -> DataFrame:
+    """(id, sig: array<long>[N_HASHES]) — vectorized per Arrow batch."""
+    a_p, b_p = _hash_params(seed)
+    id_field = corpus.schema[id_col]
+    out_schema = T.StructType(
+        [
+            T.StructField(id_col, id_field.dataType, True),
+            T.StructField("sig", T.ArrayType(T.LongType()), False),
+        ]
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            sigs = []
+            for text in batch[text_col]:
+                sh = _shingle_hashes_py(text, n)
+                if sh.size == 0:
+                    sigs.append(np.full(N_HASHES, int(_MERSENNE)).tolist())
+                    continue
+                # (N_HASHES, n_shingles) universal hashing, min per row
+                m = (a_p[:, None] * sh[None, :] + b_p[:, None]) % _MERSENNE
+                sigs.append(m.min(axis=1).astype(np.int64).tolist())
+            yield pd.DataFrame({id_col: batch[id_col], "sig": sigs})
+
+    return corpus.select(id_col, text_col).mapInPandas(gen, schema=out_schema)
+
+
+def minhash_near_dups(
+    corpus: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.7,
+    seed: int = 42,
+) -> DataFrame:
+    """LSH-banded candidate pairs, verified by exact n-gram Jaccard.
+
+    Scale path: pairs are generated per LSH bucket (shuffle key =
+    (band_idx, band signature hash)), never all-pairs. Output:
+    (id_a, id_b, jaccard) — a subset of `ngram_jaccard_pairs` with
+    recall governed by the (bands, rows) S-curve (16×4 at t=0.7 ⇒
+    recall ≈ 1 - (1 - 0.7⁴)¹⁶ ≈ 0.986 per qualifying pair).
+    """
+    sig = minhash_signatures(corpus, id_col, text_col, n, seed)
+    bands = sig.select(
+        F.col(id_col).alias("_id"),
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(N_BANDS - 1)),
+                lambda i: F.struct(
+                    i.alias("band"),
+                    F.hash(
+                        F.slice(F.col("sig"), i * ROWS_PER_BAND + 1, ROWS_PER_BAND)
+                    ).alias("bh"),
+                ),
+            )
+        ).alias("b"),
+    ).select("_id", "b.band", "b.bh")
+    cand = (
+        bands.alias("x")
+        .join(
+            bands.alias("y"),
+            (F.col("x.band") == F.col("y.band"))
+            & (F.col("x.bh") == F.col("y.bh"))
+            & (F.col("x._id") < F.col("y._id")),
+        )
+        .select(
+            F.col("x._id").alias("id_a"), F.col("y._id").alias("id_b")
+        )
+        .distinct()
+    )
+    # exact verify: recompute Jaccard only for candidates
+    sh = corpus.select(
+        F.col(id_col).alias("_id"), shingles(text_col, n).alias("shs")
+    )
+    return (
+        cand.join(sh.withColumnsRenamed({"_id": "id_a", "shs": "sa"}), "id_a")
+        .join(sh.withColumnsRenamed({"_id": "id_b", "shs": "sb"}), "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.size(F.array_intersect("sa", "sb"))
+                / F.size(F.array_union("sa", "sb")).cast("double"),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+# --- SimHash ------------------------------------------------------------
+
+SIMHASH_BITS = 64
+SIM_BANDS = 4
+_BITS_PER_BAND = SIMHASH_BITS // SIM_BANDS
+
+
+def simhash64(
+    corpus: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(id, simhash: long) — tf-weighted 64-bit simhash, numpy per batch."""
+    id_field = corpus.schema[id_col]
+    out_schema = T.StructType(
+        [
+            T.StructField(id_col, id_field.dataType, True),
+            T.StructField("simhash", T.LongType(), False),
+        ]
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from antidb_spark.functions.analyze import py_tokens
+
+        for batch in batches:
+            out = []
+            for text in batch[text_col]:
+                toks = py_tokens(text)
+                if not toks:
+                    out.append(0)
+                    continue
+                uniq, counts = np.unique(np.array(toks, dtype=object),
+                                         return_counts=True)
+                hs = np.array(
+                    [_fnv64(t) for t in uniq], dtype=np.uint64
+                )
+                bits = (hs[:, None] >> np.arange(64, dtype=np.uint64)) & np.uint64(1)
+                w = counts.astype(np.float64)[:, None]
+                v = (np.where(bits == 1, w, -w)).sum(axis=0)
+                sh = np.uint64(0)
+                for bit in np.flatnonzero(v > 0):
+                    sh |= np.uint64(1) << np.uint64(bit)
+                out.append(int(sh.astype(np.int64)))
+            yield pd.DataFrame({id_col: batch[id_col], "simhash": out})
+
+    return corpus.select(id_col, text_col).mapInPandas(gen, schema=out_schema)
+
+
+def _fnv64(s: str) -> np.uint64:
+    h = 0xCBF29CE484222325
+    for byte in s.encode():
+        h = (h ^ byte) * 0x100000001B3 & ((1 << 64) - 1)
+    return np.uint64(h)
+
+
+def simhash_near_dups(
+    corpus: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_distance: int = 3,
+) -> DataFrame:
+    """Pairs with simhash Hamming distance ≤ max_distance (≤ 3 for
+    exactness: 4-band pigeonhole guarantees any pair within distance 3
+    shares a band). Output: (id_a, id_b, hamming)."""
+    sig = simhash64(corpus, id_col, text_col).select(
+        F.col(id_col).alias("_id"), "simhash"
+    )
+    band_structs = [
+        F.struct(
+            F.lit(i).alias("band"),
+            F.shiftrightunsigned(
+                F.shiftleft(F.col("simhash"), (SIM_BANDS - 1 - i) * _BITS_PER_BAND),
+                (SIM_BANDS - 1) * _BITS_PER_BAND,
+            ).alias("bh"),
+        )
+        for i in range(SIM_BANDS)
+    ]
+    bands = sig.select(
+        "_id", "simhash", F.explode(F.array(*band_structs)).alias("b")
+    ).select("_id", "simhash", "b.band", "b.bh")
+    pairs = (
+        bands.alias("x")
+        .join(
+            bands.alias("y"),
+            (F.col("x.band") == F.col("y.band"))
+            & (F.col("x.bh") == F.col("y.bh"))
+            & (F.col("x._id") < F.col("y._id")),
+        )
+        .select(
+            F.col("x._id").alias("id_a"),
+            F.col("y._id").alias("id_b"),
+            F.col("x.simhash").alias("ha"),
+            F.col("y.simhash").alias("hb"),
+        )
+        .distinct()
+    )
+    return (
+        pairs.withColumn("hamming", F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))))
+        .filter(F.col("hamming") <= max_distance)
+        .select("id_a", "id_b", "hamming")
+    )

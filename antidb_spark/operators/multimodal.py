@@ -1,0 +1,201 @@
+"""Multimodal column handling: opaque binary payloads + typed metadata.
+
+Design (per the task brief): image/audio/video payloads are opaque
+``binary`` columns accompanied by a typed metadata struct. All Spark
+plumbing — schemas, partition-preserving mapInPandas, Arrow batch
+shapes, UDF signatures — is real and tested; the actual codec calls are
+STUBBED because no image/audio libraries exist in this container:
+
+- ``decode_image`` raises ``NotImplementedError`` unless
+  ``fake=True``, in which case a clearly-marked deterministic fake
+  derives "pixel statistics" from the payload bytes (stable across
+  partitioning, so tests and oracles can pin it).
+
+The media relation itself is synthesized from any text corpus
+(``as_media_table``): payload = utf-8 bytes of the text, media_type
+cycled deterministically. On a real deployment the payload column comes
+from Parquet/Iceberg binary columns and everything downstream is
+unchanged — that seam is the point of the stub.
+
+Scale notes: payloads never pass through the driver; decode /
+feature-extract run as mapInPandas over Arrow record batches
+(``spark.sql.execution.arrow.maxRecordsPerBatch`` bounds batch memory
+for fat rows); frame-sampling emits multiple rows per input via the
+iterator protocol without materializing a whole partition.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_TYPES = ("image/png", "audio/wav", "video/mp4")
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("media_type", T.StringType(), False),
+        T.StructField("payload", T.BinaryType(), False),
+        T.StructField(
+            "meta",
+            T.StructType(
+                [
+                    T.StructField("n_bytes", T.LongType(), False),
+                    T.StructField("sha1", T.StringType(), False),
+                    T.StructField("width", T.IntegerType(), True),
+                    T.StructField("height", T.IntegerType(), True),
+                    T.StructField("duration_ms", T.IntegerType(), True),
+                ]
+            ),
+            False,
+        ),
+    ]
+)
+
+
+def as_media_table(
+    corpus: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Deterministic media relation from a text corpus: payload =
+    utf-8 bytes, media_type = cycle by id, meta filled JVM-side."""
+    payload = F.encode(F.col(text_col), "UTF-8")
+    mt = F.element_at(
+        F.array(*[F.lit(m) for m in MEDIA_TYPES]),
+        (F.col(id_col).cast("long") % len(MEDIA_TYPES) + 1).cast("int"),
+    )
+    return corpus.select(
+        F.col(id_col).cast("long").alias("media_id"),
+        mt.alias("media_type"),
+        payload.alias("payload"),
+        F.struct(
+            F.length(payload).cast("long").alias("n_bytes"),
+            F.sha1(payload).alias("sha1"),
+            F.lit(None).cast("int").alias("width"),
+            F.lit(None).cast("int").alias("height"),
+            F.lit(None).cast("int").alias("duration_ms"),
+        ).alias("meta"),
+    )
+
+
+# --- decode / feature extraction (STUBBED codecs) -----------------------
+
+FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("media_type", T.StringType(), False),
+        T.StructField("n_bytes", T.LongType(), False),
+        T.StructField("mean_px", T.DoubleType(), False),
+        T.StructField("std_px", T.DoubleType(), False),
+        T.StructField("phash", T.LongType(), False),
+    ]
+)
+
+
+def _fake_decode(payload: bytes) -> np.ndarray:
+    """DETERMINISTIC FAKE decoder (this container has no codec libs):
+    derives an 8×8 'pixel' array from sha256 of the payload. Stable
+    across partitioning/parallelism; replace with PIL/libav in prod."""
+    h = hashlib.sha256(payload).digest()
+    raw = np.frombuffer((h * 2)[:64], dtype=np.uint8)
+    return raw.reshape(8, 8).astype(np.float64)
+
+
+def decode_image(payload: bytes, fake: bool = False) -> np.ndarray:
+    if not fake:
+        raise NotImplementedError(
+            "real image decode requires PIL/opencv (not in this container); "
+            "pass fake=True for the deterministic stub"
+        )
+    return _fake_decode(payload)
+
+
+def extract_features(media: DataFrame, fake: bool = True) -> DataFrame:
+    """Per-payload feature extraction via Arrow-batched mapInPandas:
+    (media_id, media_type, n_bytes, mean_px, std_px, phash). The phash
+    is an 8×8 mean-threshold perceptual hash of the (fake-)decoded
+    pixels — the exact UDF shape a real decoder would use."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            rows = []
+            for mid, mtype, payload in zip(
+                batch["media_id"], batch["media_type"], batch["payload"]
+            ):
+                px = decode_image(bytes(payload), fake=fake)
+                bits = (px > px.mean()).flatten()
+                phash = 0
+                for i, b in enumerate(bits):
+                    if b:
+                        phash |= 1 << i
+                rows.append(
+                    (
+                        int(mid),
+                        mtype,
+                        len(bytes(payload)),
+                        float(px.mean()),
+                        float(px.std()),
+                        int(np.int64(np.uint64(phash))),
+                    )
+                )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in FEATURES_SCHEMA.fields]
+            )
+
+    return media.select("media_id", "media_type", "payload").mapInPandas(
+        gen, schema=FEATURES_SCHEMA
+    )
+
+
+FRAMES_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("frame_idx", T.IntegerType(), False),
+        T.StructField("frame_sha1", T.StringType(), False),
+    ]
+)
+
+
+def sample_frames(media: DataFrame, every_n: int = 4, fake: bool = True) -> DataFrame:
+    """Frame sampling for video payloads: 1-to-many mapInPandas (each
+    payload yields ceil(n_chunks / every_n) frames; the fake 'frame' is
+    a byte slice — a real decoder would emit decoded frame tensors)."""
+    if not fake:
+        raise NotImplementedError("real frame extraction needs libav")
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            rows = []
+            for mid, payload in zip(batch["media_id"], batch["payload"]):
+                data = bytes(payload)
+                n_chunks = max(1, len(data) // 16)
+                for fi, start in enumerate(range(0, n_chunks, every_n)):
+                    chunk = data[start * 16 : (start + 1) * 16]
+                    rows.append(
+                        (int(mid), fi, hashlib.sha1(chunk).hexdigest())
+                    )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in FRAMES_SCHEMA.fields]
+            )
+
+    return (
+        media.filter(F.col("media_type") == "video/mp4")
+        .select("media_id", "payload")
+        .mapInPandas(gen, schema=FRAMES_SCHEMA)
+    )
+
+
+def media_meta(media: DataFrame) -> DataFrame:
+    """Typed-metadata projection (JVM-side only — no decode): the
+    oracle-checkable face of the media relation."""
+    return media.select(
+        "media_id",
+        "media_type",
+        F.col("meta.n_bytes").alias("n_bytes"),
+        F.col("meta.sha1").alias("sha1"),
+    )

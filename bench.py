@@ -1,0 +1,125 @@
+"""Per-round benchmark harness (driver contract).
+
+Runs the engine's headline workloads at ``$SPARK_GRAFT_SF_DIR`` (default
+``/root/testdata/sf0.1``) on ``local[$SPARK_GRAFT_CPUS]`` and prints ONE
+JSON line::
+
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Headline workloads (BASELINE.json metric = index-build throughput +
+top-k BM25 query latency):
+
+- ``index_build``  — synth transcripts → postings/stats/blocks physical
+  index written Iceberg-style (the reference's Idx.idx() analog at
+  idx.py:85-92, distributed); also reports turns/sec.
+- ``bm25_batch``   — 50-query seeded batch of top-k BM25 over the built
+  index (block-max pruned path); also reports q/s.
+- ``topk_docs``    — flagship single query over sf documents.parquet.
+- ``eq_lookup`` / ``rng_lookup`` — antidb-parity point/range lookups
+  (Prs.eq/rng analog, prs.py:86-131).
+- ``dedup_minhash`` / ``text_quality`` — training-pipeline operators over
+  documents.
+
+Scaling evidence (local[8] vs local[32]) is produced separately by
+``scripts/scaling_bench.py`` → ``BENCH/BASELINE.md``.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = os.environ.get("SPARK_GRAFT_CPUS", str(os.cpu_count() or 8))
+# Bench corpus: ~40k turns at default; override for scaling runs.
+N_CONVS = int(os.environ.get("SPARK_GRAFT_BENCH_CONVS", "5000"))
+N_QUERIES = int(os.environ.get("SPARK_GRAFT_BENCH_QUERIES", "50"))
+
+
+def main() -> None:
+    from antidb_spark.operators.build import IndexBuilder
+    from antidb_spark.operators.lookup import KeyedIndex
+    from antidb_spark.operators.topk import bm25_topk_pinned
+    from antidb_spark.operators.dedup import minhash_near_dups
+    from antidb_spark.operators.textstats import quality_scores
+    from antidb_spark.functions.analyze import distinct_tokens
+    from antidb_spark.session import get_spark
+    from antidb_spark.synth import query_set, synth_transcripts
+
+    spark = get_spark(master=f"local[{CPUS}]")
+    sf = float(os.path.basename(SF_DIR.rstrip("/")).replace("sf", "") or 0.1)
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    docs.count()  # warm the scan / JVM
+
+    timings: dict[str, float] = {}
+    extras: dict[str, float] = {}
+    work_root = tempfile.mkdtemp(prefix="antidb_bench_")
+
+    def timed(name: str, fn):
+        t0 = time.perf_counter()
+        out = fn()
+        timings[name] = round(time.perf_counter() - t0, 3)
+        return out
+
+    # --- index build over synthetic transcripts (north-rule flagship) ---
+    transcripts = synth_transcripts(spark, n_convs=N_CONVS).cache()
+    n_turns = transcripts.count()  # materialize cache outside the timer
+
+    builder = IndexBuilder(spark, os.path.join(work_root, "idx"))
+    timed("index_build", lambda: builder.build(transcripts))
+    extras["turns_per_sec"] = round(n_turns / timings["index_build"], 1)
+    extras["n_turns"] = n_turns
+
+    # --- BM25 query batch over the built index --------------------------
+    queries = query_set(N_QUERIES)
+
+    def run_batch():
+        out = builder.query_batch(queries, k=10)
+        return out.count()
+
+    timed("bm25_batch", run_batch)
+    extras["queries_per_sec"] = round(N_QUERIES / timings["bm25_batch"], 2)
+
+    # --- flagship documents query ---------------------------------------
+    timed(
+        "topk_docs",
+        lambda: bm25_topk_pinned(
+            docs, "spark query join performance", k=10, id_cols=("doc_id",)
+        ).collect(),
+    )
+
+    # --- antidb-parity lookups ------------------------------------------
+    idx = KeyedIndex(docs, distinct_tokens("text"), id_cols=["doc_id"], multi=True)
+    timed("eq_lookup", lambda: idx.eq("spark", "zzzmiss", "data").count())
+    timed("rng_lookup", lambda: idx.rng("query", "sort").count())
+
+    # --- training-pipeline operators ------------------------------------
+    timed("dedup_minhash", lambda: minhash_near_dups(docs, id_col="doc_id").count())
+    timed("text_quality", lambda: quality_scores(docs).count())
+
+    shutil.rmtree(work_root, ignore_errors=True)
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline-suite wall time (index build + BM25 batch "
+                "+ lookups + pipeline ops)",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+                **extras,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
