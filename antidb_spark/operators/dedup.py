@@ -160,8 +160,18 @@ def _hash_params(seed: int = 42) -> tuple[np.ndarray, np.ndarray]:
     return a, b
 
 
+def _stable_hash64(s: str) -> int:
+    """Stable 64-bit string hash, C-speed (blake2b — a per-character
+    pure-Python rolling hash here costs ~50× more wall time)."""
+    import hashlib
+
+    return int.from_bytes(
+        hashlib.blake2b(s.encode(), digest_size=8).digest(), "little"
+    )
+
+
 def _shingle_hashes_py(text: str, n: int = 3) -> np.ndarray:
-    """Stable 61-bit shingle hashes (FNV-1a over the shingle string)."""
+    """Stable 61-bit shingle hashes."""
     from antidb_spark.functions.analyze import py_tokens
 
     toks = py_tokens(text)
@@ -171,10 +181,7 @@ def _shingle_hashes_py(text: str, n: int = 3) -> np.ndarray:
         shs = {" ".join(toks)}
     out = np.empty(len(shs), dtype=np.uint64)
     for i, s in enumerate(sorted(shs)):
-        h = np.uint64(0xCBF29CE484222325)
-        for byte in s.encode():
-            h = np.uint64((int(h) ^ byte) * 0x100000001B3 & ((1 << 64) - 1))
-        out[i] = h % _MERSENNE
+        out[i] = _stable_hash64(s) % _MERSENNE
     return out
 
 
@@ -307,7 +314,7 @@ def simhash64(
                 uniq, counts = np.unique(np.array(toks, dtype=object),
                                          return_counts=True)
                 hs = np.array(
-                    [_fnv64(t) for t in uniq], dtype=np.uint64
+                    [_stable_hash64(t) for t in uniq], dtype=np.uint64
                 )
                 bits = (hs[:, None] >> np.arange(64, dtype=np.uint64)) & np.uint64(1)
                 w = counts.astype(np.float64)[:, None]
@@ -321,11 +328,6 @@ def simhash64(
     return corpus.select(id_col, text_col).mapInPandas(gen, schema=out_schema)
 
 
-def _fnv64(s: str) -> np.uint64:
-    h = 0xCBF29CE484222325
-    for byte in s.encode():
-        h = (h ^ byte) * 0x100000001B3 & ((1 << 64) - 1)
-    return np.uint64(h)
 
 
 def simhash_near_dups(

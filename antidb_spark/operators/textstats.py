@@ -116,15 +116,14 @@ def quality_scores(
 
 WINNOW_K = 5   # k-gram length (in tokens)
 WINNOW_W = 4   # window of consecutive k-gram hashes; min per window kept
-_FNV_OFF = 0xCBF29CE484222325
-_FNV_PRIME = 0x100000001B3
-_M64 = (1 << 64) - 1
 
 
 def _py_winnow(text: str, k: int = WINNOW_K, w: int = WINNOW_W) -> list[int]:
-    """Winnowing (Schleimer et al. 2003): FNV hash per token k-gram,
+    """Winnowing (Schleimer et al. 2003): stable hash per token k-gram,
     keep the min hash of each sliding window (rightmost on ties),
     deduplicated, sorted. Pure-python oracle = the one implementation."""
+    import hashlib
+
     from antidb_spark.functions.analyze import py_tokens
 
     toks = py_tokens(text)
@@ -135,12 +134,12 @@ def _py_winnow(text: str, k: int = WINNOW_K, w: int = WINNOW_W) -> list[int]:
         if len(toks) >= k
         else [" ".join(toks)]
     )
-    hs = []
-    for g in grams:
-        h = _FNV_OFF
-        for byte in g.encode():
-            h = (h ^ byte) * _FNV_PRIME & _M64
-        hs.append(h >> 1)  # fit int64
+    hs = [
+        int.from_bytes(
+            hashlib.blake2b(g.encode(), digest_size=8).digest(), "little"
+        ) >> 1  # fit int64
+        for g in grams
+    ]
     picks = set()
     for s in range(max(1, len(hs) - w + 1)):
         window = hs[s : s + w]

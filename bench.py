@@ -37,8 +37,8 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = os.environ.get("SPARK_GRAFT_CPUS", str(os.cpu_count() or 8))
-# Bench corpus: ~40k turns at default; override for scaling runs.
-N_CONVS = int(os.environ.get("SPARK_GRAFT_BENCH_CONVS", "5000"))
+# Bench corpus: ~170k turns at default; override for scaling runs.
+N_CONVS = int(os.environ.get("SPARK_GRAFT_BENCH_CONVS", "20000"))
 N_QUERIES = int(os.environ.get("SPARK_GRAFT_BENCH_QUERIES", "50"))
 
 
@@ -72,9 +72,12 @@ def main() -> None:
     n_turns = transcripts.count()  # materialize cache outside the timer
 
     builder = IndexBuilder(spark, os.path.join(work_root, "idx"))
-    timed("index_build", lambda: builder.build(transcripts))
+    metrics = timed("index_build", lambda: builder.build(transcripts))
     extras["turns_per_sec"] = round(n_turns / timings["index_build"], 1)
     extras["n_turns"] = n_turns
+    extras["build_phases"] = {
+        p["phase"]: round(p["seconds"], 2) for p in metrics["phases"]
+    }
 
     # --- BM25 query batch over the built index --------------------------
     queries = query_set(N_QUERIES)

@@ -49,9 +49,9 @@ def test_build_tables_committed(built):
         assert b.catalog.exists(tbl), tbl
         assert b.ckpt.is_done(tbl)
     phases = [p["phase"] for p in metrics["phases"]]
-    assert phases == ["postings", "docmap", "stats", "terms", "blocks"]
+    assert phases == ["postings", "docmap", "terms", "blocks"]
     assert all(p["ok"] for p in metrics["phases"])
-    assert len(metrics["lineage"]) == 5
+    assert len(metrics["lineage"]) == 5  # stats committed within docmap phase
 
 
 def test_doc_ords_dense_and_ordered(spark, corpus, built):
