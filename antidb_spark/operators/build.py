@@ -63,7 +63,12 @@ from pyspark.sql import types as T
 
 from antidb_spark.functions.analyze import tokens
 from antidb_spark.functions.bm25 import contribution
-from antidb_spark.functions.packing import pack_postings, unpack_postings
+from antidb_spark.functions.packing import (
+    pack_postings,
+    unpack_postings,
+    varint_decode,
+    varint_encode,
+)
 from antidb_spark.operators.stats import build_postings
 from antidb_spark.schema import DOC_ID_COLS
 from antidb_spark.sources.catalog import Catalog
@@ -119,6 +124,10 @@ def assign_doc_ords(
     return out
 
 
+# Blocks are SELF-CONTAINED: per-posting doc length travels in a third
+# varint column (~1 byte/posting), so query-time scoring never joins the
+# docmap — the classic impact-style posting design; the only docmap join
+# left anywhere is resolving the final k ids.
 _BLOCKS_OUT = T.StructType(
     [
         T.StructField("term", T.StringType(), False),
@@ -129,6 +138,7 @@ _BLOCKS_OUT = T.StructType(
         T.StructField("max_score", T.DoubleType(), False),
         T.StructField("docs_packed", T.BinaryType(), False),
         T.StructField("tfs_packed", T.BinaryType(), False),
+        T.StructField("dls_packed", T.BinaryType(), False),
     ]
 )
 
@@ -137,6 +147,7 @@ _POSTINGS_OUT = T.StructType(
         T.StructField("term", T.StringType(), False),
         T.StructField("doc_ord", T.LongType(), False),
         T.StructField("tf", T.LongType(), False),
+        T.StructField("dl", T.LongType(), False),
     ]
 )
 
@@ -165,9 +176,11 @@ def _pack_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
                     break
                 ords = chunk["doc_ord"].to_numpy(dtype=np.int64)
                 tfs = chunk["tf"].to_numpy(dtype=np.int64)
+                dls = chunk["dl"].to_numpy(dtype=np.int64)
                 docs_b, tfs_b = pack_postings(
                     ords.astype(np.uint64), tfs.astype(np.uint64)
                 )
+                dls_b = varint_encode(dls.astype(np.uint64))
                 yield (
                     term,
                     (pid << 32) | seq,
@@ -177,6 +190,7 @@ def _pack_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
                     float(chunk["contrib"].max()),
                     docs_b,
                     tfs_b,
+                    dls_b,
                 )
                 seq += 1
 
@@ -201,23 +215,26 @@ def _pack_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
 
 
 def _decode_blocks(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    """blocks → (term, doc_ord, tf) posting rows, vectorized."""
+    """blocks → (term, doc_ord, tf, dl) posting rows, vectorized."""
     for batch in batches:
         if len(batch) == 0:
             continue
-        terms, ords, tfs = [], [], []
-        for term, docs_b, tfs_b in zip(
-            batch["term"], batch["docs_packed"], batch["tfs_packed"]
+        terms, ords, tfs, dls = [], [], [], []
+        for term, docs_b, tfs_b, dls_b in zip(
+            batch["term"], batch["docs_packed"], batch["tfs_packed"],
+            batch["dls_packed"],
         ):
             d, t = unpack_postings(bytes(docs_b), bytes(tfs_b))
             terms.append(np.full(d.size, term, dtype=object))
             ords.append(d.astype(np.int64))
             tfs.append(t.astype(np.int64))
+            dls.append(varint_decode(bytes(dls_b)).astype(np.int64))
         yield pd.DataFrame(
             {
                 "term": np.concatenate(terms),
                 "doc_ord": np.concatenate(ords),
                 "tf": np.concatenate(tfs),
+                "dl": np.concatenate(dls),
             }
         )
 
@@ -242,17 +259,25 @@ class IndexBuilder:
 
     # -- build ------------------------------------------------------------
 
-    def build(self, corpus: DataFrame, n_partitions: int | None = None) -> dict:
+    def build(
+        self, corpus: DataFrame | None, n_partitions: int | None = None
+    ) -> dict:
         """Resumable 5-stage build; returns build metrics.
 
         Stage 0 tokenizes the corpus exactly ONCE into a ``postings``
         table (the dominant cost — the reference's 41-min presrt_idxs,
         README.md:185-191); every later stage derives from that table,
         so a resume after the tokenize stage never re-reads the corpus.
+        ``corpus=None`` is allowed when stage 0 is already committed
+        (e.g. the streaming compactor hands in pre-built postings).
         """
         n_part = n_partitions or self.spark.sparkContext.defaultParallelism
 
         if not self.ckpt.is_done("postings"):
+            if corpus is None:
+                raise ValueError(
+                    "corpus is required unless the postings stage is committed"
+                )
             with self.timer.phase("postings"):
                 postings = build_postings(
                     corpus, id_cols=self.id_cols, text_col=self.text_col
@@ -317,7 +342,7 @@ class IndexBuilder:
                             F.col("avgdl"), F.col("n_docs"),
                         ),
                     )
-                    .select("term", "doc_ord", "tf", "contrib")
+                    .select("term", "doc_ord", "tf", "dl", "contrib")
                 )
                 packed = (
                     enriched.repartitionByRange(n_part, "term", "doc_ord")
@@ -342,18 +367,20 @@ class IndexBuilder:
 
     def _decoded_postings(self, blocks: DataFrame) -> DataFrame:
         return blocks.select(
-            "term", "docs_packed", "tfs_packed"
+            "term", "docs_packed", "tfs_packed", "dls_packed"
         ).mapInPandas(_decode_blocks, schema=_POSTINGS_OUT)
 
     def _scored(self, post: DataFrame, qt: DataFrame) -> DataFrame:
-        """(query_id, doc_ord, score) exact BM25 from decoded postings."""
+        """(query_id, doc_ord, score) exact BM25 from decoded postings.
+
+        No docmap join: decoded blocks carry dl per posting (the
+        self-contained block design), so scoring is joins against tiny
+        broadcast relations plus one aggregation."""
         dfs = self.catalog.read("terms")
-        docmap = self.catalog.read("docmap")
         stats = self.catalog.read("stats")
         return (
             post.join(F.broadcast(qt), "term")
             .join(F.broadcast(dfs.join(qt.select("term").distinct(), "term")), "term")
-            .join(docmap.select("doc_ord", "dl"), "doc_ord")
             .crossJoin(F.broadcast(stats))
             .withColumn(
                 "contrib",
@@ -391,7 +418,11 @@ class IndexBuilder:
             F.col("term").isin(q_terms)
         )
         if prune == "auto":
-            prune = blocks.count() >= self.PRUNE_MIN_BLOCKS
+            # manifest-based estimate: zero Spark jobs for the cost gate
+            prune = (
+                self.catalog.pruned_row_estimate("blocks", "term", q_terms)
+                >= self.PRUNE_MIN_BLOCKS
+            )
         if prune:
             blocks = self._pruned_blocks(blocks, qt, k)
         scored = self._scored(self._decoded_postings(blocks), qt)
@@ -402,8 +433,10 @@ class IndexBuilder:
             .drop("_rn")
         )
         docmap = self.catalog.read("docmap")
+        # top is k×|queries| rows — broadcast IT, never the docmap
         return (
-            top.join(docmap.select("doc_ord", *self.id_cols), "doc_ord")
+            docmap.select("doc_ord", *self.id_cols)
+            .join(F.broadcast(top), "doc_ord")
             .select("query_id", *self.id_cols, "score", "doc_ord")
             .orderBy("query_id", F.desc("score"), "doc_ord")
             .drop("doc_ord")
@@ -491,7 +524,6 @@ class IndexBuilder:
         stats = self.catalog.read("stats")
         per_term = (
             post.join(F.broadcast(dfs), "term")
-            .join(docmap.select("doc_ord", "dl"), "doc_ord")
             .crossJoin(F.broadcast(stats))
             .withColumn(
                 "contrib",
@@ -507,13 +539,21 @@ class IndexBuilder:
             F.coalesce(F.col(f"c{i}"), F.lit(0.0)) for i in range(len(q_terms))
         ]
         score = F.round(reduce(_op.add, parts), 4)
-        return (
+        # take the top-k BEFORE resolving ids: doc_ord IS the (*id_cols)
+        # tiebreak order, so TakeOrdered runs on the narrow relation and
+        # only k rows meet the docmap (broadcast the k side)
+        top = (
             per_term.groupBy("doc_ord")
             .agg(*aggs)
             .withColumn("score", score)
-            .join(docmap.select("doc_ord", *self.id_cols), "doc_ord")
-            .select(*self.id_cols, "score", "doc_ord")
+            .select("doc_ord", "score")
             .orderBy(F.desc("score"), F.asc("doc_ord"))
             .limit(k)
+        )
+        return (
+            docmap.select("doc_ord", *self.id_cols)
+            .join(F.broadcast(top), "doc_ord")
+            .select(*self.id_cols, "score", "doc_ord")
+            .orderBy(F.desc("score"), F.asc("doc_ord"))
             .drop("doc_ord")
         )

@@ -76,32 +76,43 @@ class Catalog:
         """Harvest footer stats for existing data files and atomically
         publish the manifest (the snapshot commit point)."""
         ddir = os.path.join(self.table_dir(name), "data")
-        files = []
+        paths = []
         for dirpath, _dirs, fnames in os.walk(ddir):
             for fn in sorted(fnames):
-                if not fn.endswith(".parquet"):
-                    continue
-                path = os.path.join(dirpath, fn)
-                entry: dict[str, Any] = {
-                    "path": os.path.relpath(path, self.table_dir(name)),
-                }
-                meta = pq.ParquetFile(path).metadata
-                entry["rows"] = meta.num_rows
-                if stats_cols:
-                    names = [meta.schema.column(i).name
-                             for i in range(meta.num_columns)]
-                    for col in stats_cols:
-                        ci = names.index(col)
-                        lo, hi = None, None
-                        for rg in range(meta.num_row_groups):
-                            st = meta.row_group(rg).column(ci).statistics
-                            if st is None or not st.has_min_max:
-                                continue
-                            lo = st.min if lo is None else min(lo, st.min)
-                            hi = st.max if hi is None else max(hi, st.max)
-                        entry[f"min_{col}"] = lo
-                        entry[f"max_{col}"] = hi
-                files.append(entry)
+                if fn.endswith(".parquet"):
+                    paths.append(os.path.join(dirpath, fn))
+
+        def harvest(path: str) -> dict[str, Any]:
+            entry: dict[str, Any] = {
+                "path": os.path.relpath(path, self.table_dir(name)),
+            }
+            meta = pq.ParquetFile(path).metadata
+            entry["rows"] = meta.num_rows
+            if stats_cols:
+                names = [meta.schema.column(i).name
+                         for i in range(meta.num_columns)]
+                for col in stats_cols:
+                    ci = names.index(col)
+                    lo, hi = None, None
+                    for rg in range(meta.num_row_groups):
+                        st = meta.row_group(rg).column(ci).statistics
+                        if st is None or not st.has_min_max:
+                            continue
+                        lo = st.min if lo is None else min(lo, st.min)
+                        hi = st.max if hi is None else max(hi, st.max)
+                    entry[f"min_{col}"] = lo
+                    entry[f"max_{col}"] = hi
+            return entry
+
+        # footer reads are independent → thread pool (a serial loop here
+        # is driver-side fixed cost that would cap scaling efficiency)
+        from concurrent.futures import ThreadPoolExecutor
+
+        if len(paths) > 4:
+            with ThreadPoolExecutor(max_workers=16) as ex:
+                files = list(ex.map(harvest, paths))
+        else:
+            files = [harvest(p) for p in paths]
         manifest = {
             "snapshot_id": uuid.uuid4().hex,
             "committed_at": time.time(),
@@ -126,6 +137,19 @@ class Catalog:
         if not self.exists(name):
             raise FileNotFoundError(f"table {name!r} has no committed snapshot")
         return self.spark.read.parquet(os.path.join(self.table_dir(name), "data"))
+
+    def pruned_row_estimate(self, name: str, col: str, values: list[Any]) -> int:
+        """Upper-bound row count of a pruned read, from manifest stats
+        alone — zero Spark jobs (cost-gate input, e.g. prune='auto')."""
+        man = self.manifest(name)
+        if col not in man["stats_cols"] or not values:
+            return sum(e["rows"] for e in man["files"])
+        total = 0
+        for entry in man["files"]:
+            lo, hi = entry.get(f"min_{col}"), entry.get(f"max_{col}")
+            if lo is None or hi is None or any(lo <= v <= hi for v in values):
+                total += entry["rows"]
+        return total
 
     def read_pruned(self, name: str, col: str, values: list[Any]) -> DataFrame:
         """File-level skipping: read only data files whose [min,max] range

@@ -1,0 +1,142 @@
+"""Structured-Streaming incremental index: exactly-once delta ingestion,
+compaction equivalence with the batch build, watermarked windows."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from antidb_spark.schema import TRANSCRIPTS_SCHEMA
+from antidb_spark.operators.stats import build_postings
+from antidb_spark.streaming.incremental import (
+    PostingsDeltaSink,
+    compact,
+    run_ingestion,
+    stream_postings,
+    turn_rates,
+)
+from antidb_spark.synth import synth_transcripts
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    df = synth_transcripts(spark, n_convs=20, seed=42).cache()
+    df.count()
+    yield df
+    df.unpersist()
+
+
+@pytest.fixture(scope="module")
+def source_dir(spark, corpus, tmp_path_factory):
+    """Transcripts written as three file 'arrivals' for the file source."""
+    d = str(tmp_path_factory.mktemp("stream_src"))
+    from pyspark.sql import functions as F
+
+    for i in range(3):
+        chunk = corpus.filter(F.crc32(F.col("conv_id")) % 3 == i)
+        chunk.coalesce(1).write.mode("append").parquet(d)
+    return d
+
+
+def _read_stream(spark, source_dir):
+    return (
+        spark.readStream.schema(TRANSCRIPTS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(source_dir)
+    )
+
+
+def test_incremental_matches_batch(spark, corpus, source_dir, tmp_path):
+    root = str(tmp_path / "stream_idx")
+    sink = PostingsDeltaSink(root)
+    q = run_ingestion(_read_stream(spark, source_dir), sink,
+                      os.path.join(root, "ckpt"))
+    q.awaitTermination(120)
+    assert len(sink.committed_batches()) >= 2  # maxFilesPerTrigger=1 → ≥3
+
+    merged = sink.deltas(spark)
+    batch = build_postings(corpus)
+    from pyspark.sql import functions as F
+
+    merged_tf = merged.groupBy("term", "conv_id", "turn_idx").agg(
+        F.sum("tf").alias("tf")
+    )
+    diff = merged_tf.exceptAll(batch).union(batch.exceptAll(merged_tf))
+    assert diff.count() == 0
+
+
+def test_ingestion_idempotent_on_restart(spark, source_dir, tmp_path):
+    """Re-running the same bounded stream with the same checkpoint must
+    not duplicate postings (re-delivered batches skipped)."""
+    root = str(tmp_path / "stream_idx2")
+    sink = PostingsDeltaSink(root)
+    ck = os.path.join(root, "ckpt")
+    q = run_ingestion(_read_stream(spark, source_dir), sink, ck)
+    q.awaitTermination(120)
+    n1 = sink.deltas(spark).count()
+    batches1 = sink.committed_batches()
+    # restart: same checkpoint → source replays nothing new; same ledger
+    q2 = run_ingestion(_read_stream(spark, source_dir), sink, ck)
+    q2.awaitTermination(120)
+    assert sink.committed_batches() == batches1
+    assert sink.deltas(spark).count() == n1
+
+
+def test_compact_answers_equal_batch_index(spark, corpus, source_dir, tmp_path):
+    root = str(tmp_path / "stream_idx3")
+    sink = PostingsDeltaSink(root)
+    q = run_ingestion(_read_stream(spark, source_dir), sink,
+                      os.path.join(root, "ckpt"))
+    q.awaitTermination(120)
+    b = compact(spark, sink, str(tmp_path / "compacted"))
+
+    from antidb_spark.operators.build import IndexBuilder
+
+    b2 = IndexBuilder(spark, str(tmp_path / "batch_idx"))
+    b2.build(corpus)
+    queries = ["the kemuba0", "data bacoca0 of"]
+    a = b.query_batch(queries, k=5, prune=False).toPandas()
+    c = b2.query_batch(queries, k=5, prune=False).toPandas()
+    assert a.values.tolist() == c.values.tolist()
+
+
+def test_stream_postings_plan_is_streaming(spark, source_dir):
+    sp = stream_postings(_read_stream(spark, source_dir))
+    assert sp.isStreaming
+
+
+def test_turn_rates_watermark(spark, corpus, source_dir, tmp_path):
+    """Windowed counts over the bounded stream == batch windowed counts
+    (no late data in the fixture, so the watermark drops nothing)."""
+    out = str(tmp_path / "rates_out")
+    q = (
+        # complete mode: append would hold back trailing windows the
+        # final watermark never passes in a bounded run
+        turn_rates(_read_stream(spark, source_dir), watermark="1 hour",
+                   window="1 hour")
+        .writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("rates")
+        .option("checkpointLocation", str(tmp_path / "rates_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["window_start"], r["role"]): r["n_turns"]
+        for r in spark.sql("SELECT * FROM rates").collect()
+    }
+    from pyspark.sql import functions as F
+
+    want = {
+        (r["ws"], r["role"]): r["n"]
+        for r in corpus.groupBy(
+            F.window("ts", "1 hour").alias("w"), "role"
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("ws"), "role", "n")
+        .collect()
+    }
+    assert got == want
+    assert out  # silence unused
