@@ -104,19 +104,28 @@ def test_pruning_identical_topk(spark, built):
     assert (abs(pruned["score"] - full["score"]) < 1e-9).all()
 
 
-def test_pruning_skips_blocks(spark, built):
-    """The prune pass must actually reduce decoded blocks for a skewed
-    query (stopword + rare term) — otherwise M5 is a no-op."""
+def test_pruning_skips_blocks(spark, corpus, tmp_path):
+    """The prune pass must actually skip blocks — otherwise M5 is a
+    no-op. Deterministic setup: single-partition build (block layout is
+    otherwise randomized by repartitionByRange sampling), single-term
+    query, k=1 → θ = the best block's best exact score, so every block
+    whose max_score falls below θ is provably skippable."""
     from pyspark.sql import functions as F
 
-    b, _ = built
     from antidb_spark.operators.topk import query_terms_df
 
-    qt = query_terms_df(spark, ["the kemuba0"])
-    blocks = b.catalog.read("blocks").filter(F.col("term").isin(["the", "kemuba0"]))
+    b = IndexBuilder(spark, str(tmp_path / "prune_idx"))
+    b.build(corpus, n_partitions=1)
+    qt = query_terms_df(spark, ["the"])
+    blocks = b.catalog.read("blocks").filter(F.col("term") == "the")
     total = blocks.count()
-    survivors = b._pruned_blocks(blocks, qt, k=5).count()
+    assert total >= 3  # the stopword spans several blocks by design
+    survivors = b._pruned_blocks(blocks, qt, k=1).count()
     assert survivors < total
+    # and pruning still returns the identical answer
+    a = b.query_batch(["the"], k=1, prune=True).toPandas()
+    c = b.query_batch(["the"], k=1, prune=False).toPandas()
+    assert a.values.tolist() == c.values.tolist()
 
 
 def test_miss_is_empty(spark, built):
