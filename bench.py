@@ -112,13 +112,24 @@ def main() -> None:
         )
 
     # --- antidb-parity lookups ------------------------------------------
-    if phase_on("eq_lookup") or phase_on("rng_lookup"):
+    if phase_on("eq_lookup") or phase_on("rng_lookup") or phase_on("eq_batch"):
         idx = KeyedIndex(docs, distinct_tokens("text"), id_cols=["doc_id"],
                          multi=True)
         if phase_on("eq_lookup"):
             timed("eq_lookup", lambda: idx.eq("spark", "zzzmiss", "data").count())
         if phase_on("rng_lookup"):
             timed("rng_lookup", lambda: idx.rng("query", "sort").count())
+        if phase_on("eq_batch"):
+            # the reference's annotation workload shape: a large batch of
+            # point lookups (README.md:180,209 — 2,842 probes, 114 q/s);
+            # one Spark job amortizes scheduling over the whole batch
+            from antidb_spark.synth import vocabulary
+
+            probes = vocabulary(1000)
+            timed("eq_batch_1000", lambda: idx.eq(*probes).count())
+            extras["point_lookups_per_sec"] = round(
+                1000 / timings["eq_batch_1000"], 1
+            )
 
     # --- training-pipeline operators ------------------------------------
     if phase_on("dedup_minhash"):
