@@ -496,6 +496,64 @@ class IndexBuilder:
         """Single-query top-k: (*id_cols, score)."""
         return self.query_batch([query], k=k, prune=prune).drop("query_id")
 
+    # -- antidb-parity point/range reads over the PHYSICAL index ---------
+    # (Prs.eq/rng against the .adb archive, prs.py:86-131: file-level
+    # manifest pruning is the tree descent, block decode is the leaf
+    # read, the docmap join is the seek+readline row fetch.)
+
+    def eq_terms(self, *terms: str) -> DataFrame:
+        """Batch point lookup from packed blocks: (query_ord, *id_cols,
+        tf), per-query groups in argument order, ties in (*id_cols)
+        order, miss → empty (multiset semantics, SURVEY §2.4)."""
+        uniq = list(dict.fromkeys(terms))
+        blocks = self.catalog.read_pruned("blocks", "term", uniq).filter(
+            F.col("term").isin(uniq)
+        )
+        post = self._decoded_postings(blocks)
+        qdf = self.spark.createDataFrame(
+            [(i, t) for i, t in enumerate(terms)], "query_ord int, term string"
+        )
+        docmap = self.catalog.read("docmap")
+        return (
+            post.join(F.broadcast(qdf), "term")
+            .join(docmap.select("doc_ord", *self.id_cols), "doc_ord")
+            .select("query_ord", *self.id_cols, "tf")
+            .orderBy("query_ord", "doc_ord")
+        )
+
+    def rng_terms(self, start: str, end: str) -> DataFrame:
+        """Inclusive term-range scan from packed blocks: (term, *id_cols,
+        tf) ordered by (term, *id_cols); start > end raises (prs.py:50-52)."""
+        from antidb_spark.err import QueryStartGtEndError
+
+        if start > end:
+            raise QueryStartGtEndError(start, end)
+        man = self.catalog.manifest("blocks")
+        keep = [
+            e for e in man["files"]
+            if e.get("min_term") is None
+            or not (e["max_term"] < start or e["min_term"] > end)
+        ]
+        if keep:
+            paths = [
+                os.path.join(self.catalog.table_dir("blocks"), e["path"])
+                for e in keep
+            ]
+            blocks = self.spark.read.parquet(*paths)
+        else:  # nothing overlaps → empty relation with the right schema
+            blocks = self.catalog.read("blocks").limit(0)
+        blocks = blocks.filter(
+            (F.col("term") >= start) & (F.col("term") <= end)
+        )
+        post = self._decoded_postings(blocks)
+        docmap = self.catalog.read("docmap")
+        return (
+            post.join(docmap.select("doc_ord", *self.id_cols), "doc_ord")
+            .select("term", *self.id_cols, "tf", "doc_ord")
+            .orderBy("term", "doc_ord")
+            .drop("doc_ord")
+        )
+
     def query_pinned(self, query: str, k: int = 10) -> DataFrame:
         """Cross-engine-deterministic top-k over the physical index:
         per-term contributions summed in sorted-term fixed order, score
