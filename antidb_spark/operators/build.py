@@ -110,8 +110,10 @@ def assign_doc_ords(
     def number(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         pos = None
         for batch in batches:
+            if len(batch) == 0:
+                continue  # never init pos from an empty batch (no _pid)
             if pos is None:
-                pos = offsets[int(batch["_pid"].iloc[0])] if len(batch) else 0
+                pos = offsets[int(batch["_pid"].iloc[0])]
             batch = batch.drop(columns=["_pid"])
             batch["doc_ord"] = np.arange(pos, pos + len(batch), dtype=np.int64)
             pos += len(batch)
@@ -391,6 +393,20 @@ class IndexBuilder:
             .agg(F.sum("contrib").alias("score"))
         )
 
+    def _query_block_estimate(self, q_terms: Sequence[str]) -> int:
+        """Candidate posting-block count for a query-term set: per-term
+        ceil(df/BLOCK_SIZE) summed, read driver-side from the committed
+        terms table (manifest-pruned pyarrow, no Spark job). Slight
+        undercount vs physical blocks (a term spanning p partitions adds
+        up to p-1 partial blocks) — fine for a cost gate."""
+        if not q_terms:
+            return 0
+        tbl = self.catalog.read_pruned_arrow(
+            "terms", "term", list(q_terms), columns=["df"]
+        )
+        dfs = tbl.column("df").to_numpy()
+        return int(np.sum((dfs + BLOCK_SIZE - 1) // BLOCK_SIZE))
+
     # Below this many candidate blocks the pass-1 pruning jobs cost more
     # than decoding everything (measured locally: at ~8.5k blocks decode-
     # all is still 2.5× faster); block-max pruning pays off once stopword
@@ -418,11 +434,13 @@ class IndexBuilder:
             F.col("term").isin(q_terms)
         )
         if prune == "auto":
-            # manifest-based estimate: zero Spark jobs for the cost gate
-            prune = (
-                self.catalog.pruned_row_estimate("blocks", "term", q_terms)
-                >= self.PRUNE_MIN_BLOCKS
-            )
+            # Per-term candidate-block estimate, zero Spark jobs: sum
+            # ceil(df / BLOCK_SIZE) for the query terms from the committed
+            # terms table (driver-side pruned pyarrow read). A whole-file
+            # row count here would count every co-resident term's blocks
+            # and flip pruning ON for rare-term queries — exactly the
+            # regime where decode-all is measured faster.
+            prune = self._query_block_estimate(q_terms) >= self.PRUNE_MIN_BLOCKS
         if prune:
             blocks = self._pruned_blocks(blocks, qt, k)
         scored = self._scored(self._decoded_postings(blocks), qt)

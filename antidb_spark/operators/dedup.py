@@ -25,10 +25,10 @@ text column (``documents`` / ``transcripts``):
 Scale notes: every operator shuffles on a hash-distributed key (digest /
 shingle / band bucket), so no range skew; stopword-only shingles are the
 hot keys in the inverted-index join and are capped by `max_shingle_df`
-(a shingle present in more than that many docs is dropped from candidate
-generation — it cannot discriminate near-dups; the exactness argument
-still holds for thresholds where qualifying pairs share at least one
-sub-cap shingle, and the oracle tests pin the configured behavior).
+(default 1000): a shingle present in more docs is dropped from CANDIDATE
+GENERATION only — every candidate is then verified with true full-set
+Jaccard, so results are exact whenever each qualifying pair shares at
+least one sub-cap shingle (see `ngram_jaccard_pairs` for the boundary).
 
 Reference tie-in: the reference's dedup-adjacent notion is multiset key
 identity (duplicate keys in one index, tests.py:245-248); these
@@ -105,43 +105,53 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
     n: int = 3,
     threshold: float = 0.7,
-    max_shingle_df: int | None = None,
+    max_shingle_df: int | None = 1000,
 ) -> DataFrame:
-    """Exact near-dup pairs by n-gram Jaccard ≥ threshold.
+    """Near-dup pairs by n-gram Jaccard ≥ threshold.
 
-    Plan: doc→shingles (exploded inverted index) → self-join on shingle
-    (generates each candidate pair once per SHARED shingle) → count
-    shared = |A∩B| → Jaccard = shared / (|A|+|B|-shared) → filter.
-    Output: (id_a, id_b, jaccard) with id_a < id_b, rounded 6dp.
+    Plan: doc→shingles (exploded inverted index, shingles with document
+    frequency > ``max_shingle_df`` dropped from CANDIDATE GENERATION
+    only) → distinct candidate pairs via shared shingles → exact
+    full-set Jaccard verify (``array_intersect``/``array_union`` over
+    the uncapped shingle arrays) → filter. Output: (id_a, id_b,
+    jaccard) with id_a < id_b, rounded 6dp.
+
+    Exactness boundary: the verify step always computes TRUE Jaccard, so
+    the result is exact whenever every qualifying pair shares at least
+    one shingle with df ≤ ``max_shingle_df``; a pair whose ONLY shared
+    shingles are corpus-frequency hot keys is missed. The cap is what
+    keeps the inverted-index self-join from going quadratic on hot
+    shingles (df² candidate rows per shingle) — ``max_shingle_df=None``
+    is the explicit opt-in to fully-exact (and scale-unsafe) candidate
+    generation.
     """
-    sh = corpus.select(
-        F.col(id_col).alias("_id"), F.explode(shingles(text_col, n)).alias("sh")
+    sh_arr = corpus.select(
+        F.col(id_col).alias("_id"), shingles(text_col, n).alias("shs")
     )
-    sizes = sh.groupBy("_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    ex = sh_arr.select("_id", F.explode("shs").alias("sh"))
     if max_shingle_df is not None:
         hot = (
-            sh.groupBy("sh")
+            ex.groupBy("sh")
             .agg(F.count(F.lit(1)).alias("sdf"))
             .filter(F.col("sdf") > max_shingle_df)
             .select("sh")
         )
-        sh = sh.join(F.broadcast(hot), "sh", "left_anti")
-    a = sh.select(F.col("_id").alias("id_a"), "sh")
-    b = sh.select(F.col("_id").alias("id_b"), "sh")
-    shared = (
-        a.join(b, "sh")
+        ex = ex.join(F.broadcast(hot), "sh", "left_anti")
+    cand = (
+        ex.select(F.col("_id").alias("id_a"), "sh")
+        .join(ex.select(F.col("_id").alias("id_b"), "sh"), "sh")
         .filter(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("shared"))
+        .select("id_a", "id_b")
+        .distinct()
     )
     return (
-        shared.join(sizes.withColumnsRenamed({"_id": "id_a", "n_sh": "na"}), "id_a")
-        .join(sizes.withColumnsRenamed({"_id": "id_b", "n_sh": "nb"}), "id_b")
+        cand.join(sh_arr.withColumnsRenamed({"_id": "id_a", "shs": "sa"}), "id_a")
+        .join(sh_arr.withColumnsRenamed({"_id": "id_b", "shs": "sb"}), "id_b")
         .withColumn(
             "jaccard",
             F.round(
-                F.col("shared")
-                / (F.col("na") + F.col("nb") - F.col("shared")).cast("double"),
+                F.size(F.array_intersect("sa", "sb"))
+                / F.size(F.array_union("sa", "sb")).cast("double"),
                 6,
             ),
         )

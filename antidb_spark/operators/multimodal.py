@@ -140,7 +140,10 @@ def extract_features(media: DataFrame, fake: bool = True) -> DataFrame:
                         len(bytes(payload)),
                         float(px.mean()),
                         float(px.std()),
-                        int(np.int64(np.uint64(phash))),
+                        # two's-complement reinterpretation in pure int
+                        # math (np.uint64→int64 casts with bit 63 set
+                        # raise OverflowError under NumPy >= 2.0)
+                        phash - (1 << 64) if phash >= (1 << 63) else phash,
                     )
                 )
             yield pd.DataFrame(

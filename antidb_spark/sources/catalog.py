@@ -138,39 +138,92 @@ class Catalog:
             raise FileNotFoundError(f"table {name!r} has no committed snapshot")
         return self.spark.read.parquet(os.path.join(self.table_dir(name), "data"))
 
-    def pruned_row_estimate(self, name: str, col: str, values: list[Any]) -> int:
-        """Upper-bound row count of a pruned read, from manifest stats
-        alone — zero Spark jobs (cost-gate input, e.g. prune='auto')."""
+    def pruned_file_paths(
+        self,
+        name: str,
+        col: str,
+        values: list[Any] | None = None,
+        lo: Any = None,
+        hi: Any = None,
+    ) -> list[str] | None:
+        """Manifest-pruned data-file list for a point (``values``) or an
+        inclusive-range (``lo``/``hi``) predicate on ``col``. Returns None
+        when stats are absent (caller must fall back to a full read);
+        returns [] when nothing can match."""
         man = self.manifest(name)
-        if col not in man["stats_cols"] or not values:
-            return sum(e["rows"] for e in man["files"])
-        total = 0
-        for entry in man["files"]:
-            lo, hi = entry.get(f"min_{col}"), entry.get(f"max_{col}")
-            if lo is None or hi is None or any(lo <= v <= hi for v in values):
-                total += entry["rows"]
-        return total
-
-    def read_pruned(self, name: str, col: str, values: list[Any]) -> DataFrame:
-        """File-level skipping: read only data files whose [min,max] range
-        for ``col`` can contain one of ``values`` (B+tree-descent analog,
-        prs.py:57-77). Falls back to the full table when stats are absent."""
-        man = self.manifest(name)
-        if col not in man["stats_cols"] or not values:
-            return self.read(name)
+        if col not in man["stats_cols"] or (not values and lo is None and hi is None):
+            return None
         keep = []
         for entry in man["files"]:
-            lo, hi = entry.get(f"min_{col}"), entry.get(f"max_{col}")
-            if lo is None or hi is None:
+            flo, fhi = entry.get(f"min_{col}"), entry.get(f"max_{col}")
+            if flo is None or fhi is None:
                 keep.append(entry)
-            elif any(lo <= v <= hi for v in values):
+            elif values is not None and any(flo <= v <= fhi for v in values):
                 keep.append(entry)
-        if not keep:
+            elif values is None and not (
+                (hi is not None and flo > hi) or (lo is not None and fhi < lo)
+            ):
+                keep.append(entry)
+        return [os.path.join(self.table_dir(name), e["path"]) for e in keep]
+
+    def read_pruned(
+        self,
+        name: str,
+        col: str,
+        values: list[Any] | None = None,
+        lo: Any = None,
+        hi: Any = None,
+    ) -> DataFrame:
+        """File-level skipping: read only data files whose [min,max] range
+        for ``col`` can contain one of ``values`` / overlap [lo, hi]
+        (B+tree-descent analog, prs.py:57-77). Falls back to the full
+        table when stats are absent."""
+        paths = self.pruned_file_paths(name, col, values, lo, hi)
+        if paths is None:
+            return self.read(name)
+        if not paths:
             return self.read(name).limit(0)
-        paths = [
-            os.path.join(self.table_dir(name), e["path"]) for e in keep
-        ]
         return self.spark.read.parquet(*paths)
+
+    def read_pruned_arrow(
+        self,
+        name: str,
+        col: str,
+        values: list[Any] | None = None,
+        lo: Any = None,
+        hi: Any = None,
+        columns: list[str] | None = None,
+    ):
+        """Driver-side pruned read → pyarrow Table, ZERO Spark jobs.
+
+        The warm query path: manifest file pruning + parquet row-group
+        predicate pushdown, for metadata relations (terms, block meta)
+        and interactive point lookups where job-scheduling latency would
+        dominate (the reference's 0.015 s warm ``eq``, README.md:43)."""
+        import pyarrow.dataset as ds
+
+        all_paths = [
+            os.path.join(self.table_dir(name), e["path"])
+            for e in self.manifest(name)["files"]
+        ]
+        paths = self.pruned_file_paths(name, col, values, lo, hi)
+        if paths is None:
+            paths = all_paths
+        if not paths:  # provably empty: schema-only slice of any file
+            empty = ds.dataset(all_paths[:1], format="parquet")
+            tbl = empty.to_table(columns=columns, filter=ds.field(col).is_null())
+            return tbl.slice(0, 0)
+        dataset = ds.dataset(paths, format="parquet")
+        filt = None
+        if values is not None:
+            filt = ds.field(col).isin(values)
+        else:
+            if lo is not None:
+                filt = ds.field(col) >= lo
+            if hi is not None:
+                f2 = ds.field(col) <= hi
+                filt = f2 if filt is None else (filt & f2)
+        return dataset.to_table(columns=columns, filter=filt)
 
     def drop(self, name: str) -> None:
         import shutil

@@ -73,6 +73,38 @@ def test_ngram_jaccard_matches_bruteforce(docs_df):
     assert (0, 2) in got and got[(0, 2)] == 1.0
 
 
+def test_ngram_jaccard_hot_shingle_cap(spark):
+    """Planted corpus-frequency shingle: the df cap drops it from
+    candidate generation (keeping the self-join linear), but every
+    surviving candidate still gets TRUE full-set Jaccard — so a
+    qualifying pair sharing any sub-cap shingle is reported with its
+    exact (not capped-underestimate) similarity."""
+    hot = "common boiler plate"  # one shingle shared by EVERY doc
+    docs = [(i, f"{hot} unique{i} filler{i} tail{i}") for i in range(30)]
+    # one genuine near-dup pair sharing rare shingles beyond the hot one
+    docs += [
+        (100, f"{hot} alpha beta gamma delta epsilon"),
+        (101, f"{hot} alpha beta gamma delta zeta"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+
+    capped = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(df, threshold=0.2, max_shingle_df=5).collect()
+    }
+    want = _py_jaccard_pairs(docs, threshold=0.2)
+    # (100, 101) qualifies via sub-cap shingles → found, with TRUE Jaccard
+    assert capped[(100, 101)] == want[(100, 101)]
+    # pairs whose ONLY shared shingle is the hot one are the documented
+    # exactness boundary: absent under the cap, present without it
+    assert all(p == (100, 101) for p in capped)
+    uncapped = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(df, threshold=0.2, max_shingle_df=None).collect()
+    }
+    assert uncapped == want
+
+
 def test_minhash_subset_of_exact(docs_df):
     exact = set(_py_jaccard_pairs(DOCS, threshold=0.5))
     mh = {
