@@ -216,27 +216,40 @@ def _pack_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             yield pd.DataFrame(rows, columns=[f.name for f in _BLOCKS_OUT.fields])
 
 
+def _decode_batch(batch: pd.DataFrame) -> tuple[np.ndarray, ...]:
+    """Vectorized whole-batch block decode → (term_rep, ords, tfs, dls).
+
+    One varint pass over the CONCATENATED buffers of all blocks in the
+    Arrow batch (instead of a per-block Python loop), then segment-wise
+    delta reconstruction: with cs = global cumsum of deltas and
+    excl = cs - deltas (exclusive prefix), the absolute ordinal at
+    position i of a block starting at s is cs[i] - excl[s] — because the
+    first delta of every block is its absolute first ordinal.
+    """
+    counts = batch["n_docs"].to_numpy(dtype=np.int64)
+    deltas = varint_decode(b"".join(batch["docs_packed"])).astype(np.int64)
+    tfs = varint_decode(b"".join(batch["tfs_packed"]))
+    dls = varint_decode(b"".join(batch["dls_packed"]))
+    starts = np.concatenate(([0], np.cumsum(counts)[:-1]))
+    cs = np.cumsum(deltas)
+    base = np.repeat(cs[starts] - deltas[starts], counts)
+    ords = cs - base
+    term_rep = np.repeat(batch["term"].to_numpy(), counts)
+    return term_rep, ords, tfs, dls
+
+
 def _decode_blocks(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     """blocks → (term, doc_ord, tf, dl) posting rows, vectorized."""
     for batch in batches:
         if len(batch) == 0:
             continue
-        terms, ords, tfs, dls = [], [], [], []
-        for term, docs_b, tfs_b, dls_b in zip(
-            batch["term"], batch["docs_packed"], batch["tfs_packed"],
-            batch["dls_packed"],
-        ):
-            d, t = unpack_postings(bytes(docs_b), bytes(tfs_b))
-            terms.append(np.full(d.size, term, dtype=object))
-            ords.append(d.astype(np.int64))
-            tfs.append(t.astype(np.int64))
-            dls.append(varint_decode(bytes(dls_b)).astype(np.int64))
+        term_rep, ords, tfs, dls = _decode_batch(batch)
         yield pd.DataFrame(
             {
-                "term": np.concatenate(terms),
-                "doc_ord": np.concatenate(ords),
-                "tf": np.concatenate(tfs),
-                "dl": np.concatenate(dls),
+                "term": term_rep,
+                "doc_ord": ords,
+                "tf": tfs.astype(np.int64),
+                "dl": dls.astype(np.int64),
             }
         )
 
@@ -258,6 +271,12 @@ class IndexBuilder:
         self.catalog = Catalog(spark, root)
         self.ckpt = BuildCheckpoint(root)
         self.timer = PhaseTimer()
+        self._stats_cache: tuple[int, float] | None = None
+        self._dm_schema_cache: T.StructType | None = None
+        # lazy-relation cache keyed by the pruned file list: re-planning
+        # spark.read.parquet(...) per batch costs driver-side footer
+        # reads that are identical across batches hitting the same files
+        self._scan_cache: dict[tuple[str, ...], DataFrame] = {}
 
     # -- build ------------------------------------------------------------
 
@@ -369,7 +388,7 @@ class IndexBuilder:
 
     def _decoded_postings(self, blocks: DataFrame) -> DataFrame:
         return blocks.select(
-            "term", "docs_packed", "tfs_packed", "dls_packed"
+            "term", "n_docs", "docs_packed", "tfs_packed", "dls_packed"
         ).mapInPandas(_decode_blocks, schema=_POSTINGS_OUT)
 
     def _scored(self, post: DataFrame, qt: DataFrame) -> DataFrame:
@@ -393,25 +412,180 @@ class IndexBuilder:
             .agg(F.sum("contrib").alias("score"))
         )
 
-    def _query_block_estimate(self, q_terms: Sequence[str]) -> int:
-        """Candidate posting-block count for a query-term set: per-term
-        ceil(df/BLOCK_SIZE) summed, read driver-side from the committed
-        terms table (manifest-pruned pyarrow, no Spark job). Slight
-        undercount vs physical blocks (a term spanning p partitions adds
-        up to p-1 partial blocks) — fine for a cost gate."""
-        if not q_terms:
-            return 0
-        tbl = self.catalog.read_pruned_arrow(
-            "terms", "term", list(q_terms), columns=["df"]
-        )
-        dfs = tbl.column("df").to_numpy()
-        return int(np.sum((dfs + BLOCK_SIZE - 1) // BLOCK_SIZE))
+    # Below this many candidate blocks, θ-pruning saves less than its
+    # metadata read costs under prune="auto" (decode-all of a few
+    # thousand 128-doc blocks is a sub-second map stage).
+    AUTO_PRUNE_MIN_BLOCKS = 5_000
+    # Above this many candidate blocks, per-block (term, max_score)
+    # metadata no longer belongs on the driver; block-max pruning then
+    # runs as the distributed two-pass plan (_pruned_blocks).
+    META_MAX_BLOCKS = 2_000_000
 
-    # Below this many candidate blocks the pass-1 pruning jobs cost more
-    # than decoding everything (measured locally: at ~8.5k blocks decode-
-    # all is still 2.5× faster); block-max pruning pays off once stopword
-    # posting lists dominate the decode (10^5+ candidate blocks).
-    PRUNE_MIN_BLOCKS = 50_000
+    def _blocks_scan(self, q_terms: Sequence[str]) -> DataFrame:
+        """Manifest-pruned blocks relation, cached by resolved file list
+        (repeat batches over the same files skip re-planning the scan)."""
+        paths = self.catalog.pruned_file_paths("blocks", "term", list(q_terms))
+        if paths is None:
+            return self.catalog.read("blocks")
+        if not paths:
+            return self.catalog.read("blocks").limit(0)
+        key = tuple(sorted(paths))
+        if key not in self._scan_cache:
+            self._scan_cache[key] = self.spark.read.parquet(*paths)
+        return self._scan_cache[key]
+
+    def _corpus_stats(self) -> tuple[int, float]:
+        """(n_docs, avgdl) from the committed stats table — driver-side
+        single-row pyarrow read, cached per builder (no Spark job)."""
+        if self._stats_cache is None:
+            t = self.catalog.read_arrow("stats")
+            self._stats_cache = (
+                int(t.column("n_docs")[0].as_py()),
+                float(t.column("avgdl")[0].as_py()),
+            )
+        return self._stats_cache
+
+    def _plan_queries(self, queries: Sequence[str]) -> dict | None:
+        """Driver-side query planning, ZERO Spark jobs (this is what
+        kills the per-batch serial floor: the old path spent jobs on
+        query tokenization, df lookup, and stats reads before any real
+        work). Tokenizes with the shared analyzer, resolves per-term df
+        (manifest-pruned pyarrow read of the terms table) and corpus
+        stats, and precomputes idf per term + the term → query fan-out
+        map shipped into the scoring stage's closure."""
+        import math
+
+        from antidb_spark.functions.analyze import py_tokens
+
+        per_query = [sorted(set(py_tokens(q))) for q in queries]
+        q_terms = sorted({t for ts in per_query for t in ts})
+        if not q_terms:
+            return None
+        tbl = self.catalog.read_pruned_arrow(
+            "terms", "term", q_terms, columns=["term", "df"]
+        )
+        dfs = dict(zip(tbl.column("term").to_pylist(), tbl.column("df").to_pylist()))
+        if not dfs:
+            return None
+        n_docs, avgdl = self._corpus_stats()
+        # same association order as functions.bm25.idf (rank identity)
+        idf = {
+            t: math.log(1.0 + (n_docs - d + 0.5) / (d + 0.5))
+            for t, d in dfs.items()
+        }
+        qmap: dict[str, list[int]] = {}
+        for qid, ts in enumerate(per_query):
+            for t in ts:
+                if t in dfs:
+                    qmap.setdefault(t, []).append(qid)
+        return {
+            "per_query": per_query,
+            "terms": sorted(qmap),
+            "dfs": dfs,
+            "idf": idf,
+            "qmap": {t: np.asarray(v, dtype=np.int64) for t, v in qmap.items()},
+            "n_docs": n_docs,
+            "avgdl": avgdl,
+            # per-term ceil(df/BLOCK_SIZE): candidate-block estimate for
+            # the prune cost gate (undercounts partition-boundary partial
+            # blocks — fine for a gate)
+            "est_blocks": int(
+                sum((d + BLOCK_SIZE - 1) // BLOCK_SIZE for d in dfs.values())
+            ),
+        }
+
+    def _meta_thresholds(self, plan: dict, k: int) -> dict[str, float]:
+        """Metadata-only block-max pruning thresholds, driver-side.
+
+        θ_q lower bound WITHOUT decoding any block: the j-th largest
+        block max_score of a single term t is achieved by j DISTINCT
+        docs (a term's blocks partition its postings), each with total
+        score ≥ its block's max contribution — so the k-th largest block
+        max of t lower-bounds the true k-th best score of any query
+        containing t; θ_q = max over q's terms. A block b of term t is
+        then skippable for q when max_score(b) + Σ_{t'≠t} M_{t'} < θ_q
+        (module-docstring invariant, with this weaker-but-free θ), i.e.
+        when max_score(b) < θ_q - (m_sum_q - M_t). The per-TERM keep
+        threshold is the min over queries containing the term (a block
+        any query needs survives), nudged one ulp down so float
+        rearrangement can never drop a boundary block.
+        """
+        meta = self.catalog.read_pruned_arrow(
+            "blocks", "term", plan["terms"], columns=["term", "max_score"]
+        ).to_pandas()
+        by_term = {
+            t: g.to_numpy() for t, g in meta.groupby("term")["max_score"]
+        }
+        neg_inf = float("-inf")
+        big_m = {t: float(a.max()) for t, a in by_term.items()}
+        kth = {
+            t: (float(np.partition(a, a.size - k)[a.size - k]) if a.size >= k
+                else None)
+            for t, a in by_term.items()
+        }
+        thr: dict[str, float] = {}
+        for ts in plan["per_query"]:
+            pts = [t for t in ts if t in by_term]
+            if not pts:
+                continue
+            thetas = [kth[t] for t in pts if kth[t] is not None]
+            if not thetas:
+                # < k guaranteed docs from metadata alone → no pruning
+                # for ANY of this query's terms
+                for t in pts:
+                    thr[t] = neg_inf
+                continue
+            theta = max(thetas)
+            m_sum = sum(big_m[t] for t in pts)
+            for t in pts:
+                cand = np.nextafter(theta - (m_sum - big_m[t]), neg_inf)
+                thr[t] = min(thr.get(t, float("inf")), float(cand))
+        return thr
+
+    def _posting_contribs(self, blocks: DataFrame, plan: dict) -> DataFrame:
+        """blocks → (doc_ord, term_id, contrib) in ONE Arrow stage:
+        whole-batch varint decode + numpy BM25 contributions
+        (bit-identical expression order to functions.bm25.contribution).
+        term_id indexes plan["terms"] — per-POSTING rows, not yet fanned
+        out to queries, so the shuffle that follows is as narrow as the
+        physical postings themselves."""
+        from antidb_spark.functions.bm25 import B, K1
+
+        idf, avgdl = plan["idf"], plan["avgdl"]
+        term_ids = {t: i for i, t in enumerate(plan["terms"])}
+        out_schema = T.StructType(
+            [
+                T.StructField("doc_ord", T.LongType(), False),
+                T.StructField("term_id", T.IntegerType(), False),
+                T.StructField("contrib", T.DoubleType(), False),
+            ]
+        )
+
+        def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for batch in batches:
+                if len(batch) == 0:
+                    continue
+                _term_rep, ords, tfs, dls = _decode_batch(batch)
+                tf = tfs.astype(np.float64)
+                dl = dls.astype(np.float64)
+                uniq, inv = np.unique(
+                    batch["term"].to_numpy(), return_inverse=True
+                )
+                idf_u = np.array([idf[t] for t in uniq], dtype=np.float64)
+                tid_u = np.array([term_ids[t] for t in uniq], dtype=np.int32)
+                per_post = np.repeat(inv, batch["n_docs"].to_numpy(dtype=np.int64))
+                tfw = (tf * (K1 + 1.0)) / (tf + K1 * (1.0 - B + (B * dl) / avgdl))
+                yield pd.DataFrame(
+                    {
+                        "doc_ord": ords,
+                        "term_id": tid_u[per_post],
+                        "contrib": idf_u[per_post] * tfw,
+                    }
+                )
+
+        return blocks.select(
+            "term", "n_docs", "docs_packed", "tfs_packed", "dls_packed"
+        ).mapInPandas(gen, schema=out_schema)
 
     def query_batch(
         self, queries: Sequence[str], k: int = 10,
@@ -421,43 +595,128 @@ class IndexBuilder:
 
         Returns (query_id, *id_cols, score) with per-query rank order;
         deterministic tiebreak on doc_ord (= (*id_cols) order).
-        ``prune="auto"`` enables block-max pruning only when the
-        term-pruned candidate block count makes it worthwhile (a
-        cost-based decision from manifest metadata — identical results
-        either way, proven by tests).
-        """
-        from antidb_spark.operators.topk import query_terms_df
 
-        qt = query_terms_df(self.spark, queries)
-        q_terms = [r["term"] for r in qt.select("term").distinct().collect()]
-        blocks = self.catalog.read_pruned("blocks", "term", q_terms).filter(
-            F.col("term").isin(q_terms)
+        One-job architecture (the whole batch is planned driver-side
+        from committed metadata, then runs as a single Spark action plus
+        a tiny driver merge — no per-batch metadata jobs):
+
+        1. ``_plan_queries``: tokenize + df/idf/stats, pyarrow only.
+        2. manifest file pruning on term + (``prune``) metadata-only
+           block-max θ thresholds pushed into the scan filter
+           (``_meta_thresholds`` — provably lossless, results identical
+           with pruning on or off). Above ``META_MAX_BLOCKS`` candidates
+           the distributed two-pass pruning plan is used instead.
+        3. ``_fanout_scored``: decode + score + query fan-out in one
+           Arrow stage → groupBy(query_id, doc_ord) sum (the ONE
+           shuffle, with JVM map-side partial aggregation).
+        4. tree top-k: per-partition top-k (numpy) → driver merge of
+           ≤ k·|queries|·n_partitions rows → id resolution against the
+           docmap via manifest-pruned pyarrow (no docmap scan job).
+        """
+        plan = self._plan_queries(queries)
+        if self._dm_schema_cache is None:
+            self._dm_schema_cache = self.catalog.read("docmap").schema
+        dm_schema = self._dm_schema_cache
+        out_schema = T.StructType(
+            [T.StructField("query_id", T.IntegerType(), False)]
+            + [dm_schema[c] for c in self.id_cols]
+            + [T.StructField("score", T.DoubleType(), True)]
         )
+        if plan is None:
+            return self.spark.createDataFrame([], out_schema)
+        terms = plan["terms"]
+        blocks = self._blocks_scan(terms).filter(F.col("term").isin(terms))
         if prune == "auto":
-            # Per-term candidate-block estimate, zero Spark jobs: sum
-            # ceil(df / BLOCK_SIZE) for the query terms from the committed
-            # terms table (driver-side pruned pyarrow read). A whole-file
-            # row count here would count every co-resident term's blocks
-            # and flip pruning ON for rare-term queries — exactly the
-            # regime where decode-all is measured faster.
-            prune = self._query_block_estimate(q_terms) >= self.PRUNE_MIN_BLOCKS
-        if prune:
+            prune = plan["est_blocks"] >= self.AUTO_PRUNE_MIN_BLOCKS
+        if prune and plan["est_blocks"] <= self.META_MAX_BLOCKS:
+            thr = {
+                t: v for t, v in self._meta_thresholds(plan, k).items()
+                if v != float("-inf")
+            }
+            if thr:
+                pairs: list = []
+                for t, v in thr.items():
+                    pairs += [F.lit(t), F.lit(v)]
+                blocks = blocks.filter(
+                    F.col("max_score")
+                    >= F.coalesce(
+                        F.element_at(F.create_map(*pairs), F.col("term")),
+                        F.lit(float("-inf")),
+                    )
+                )
+        elif prune:
+            from antidb_spark.operators.topk import query_terms_df
+
+            qt = query_terms_df(self.spark, queries)
             blocks = self._pruned_blocks(blocks, qt, k)
-        scored = self._scored(self._decoded_postings(blocks), qt)
-        w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_ord"))
-        top = (
-            scored.withColumn("_rn", F.row_number().over(w))
-            .filter(F.col("_rn") <= k)
-            .drop("_rn")
+        contribs = self._posting_contribs(blocks, plan)
+        qmap_by_tid = [plan["qmap"][t] for t in plan["terms"]]
+        topk_schema = T.StructType(
+            [
+                T.StructField("query_id", T.IntegerType(), False),
+                T.StructField("doc_ord", T.LongType(), False),
+                T.StructField("score", T.DoubleType(), True),
+            ]
         )
-        docmap = self.catalog.read("docmap")
-        # top is k×|queries| rows — broadcast IT, never the docmap
-        return (
-            docmap.select("doc_ord", *self.id_cols)
-            .join(F.broadcast(top), "doc_ord")
-            .select("query_id", *self.id_cols, "score", "doc_ord")
-            .orderBy("query_id", F.desc("score"), "doc_ord")
-            .drop("doc_ord")
+
+        def reduce_topk(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            # hash(doc_ord) partitioning co-locates ALL of a doc's term
+            # contributions, so per-(query, doc) sums are complete here
+            # and the partition-local top-k is exact for its docs.
+            parts = [b for b in batches if len(b)]
+            if not parts:
+                return
+            pdf = pd.concat(parts, ignore_index=True)
+            tid = pdf["term_id"].to_numpy()
+            nq = np.array([q.size for q in qmap_by_tid], dtype=np.int64)
+            flat = np.concatenate(qmap_by_tid)
+            starts = np.cumsum(nq) - nq
+            reps = nq[tid]
+            # row i fans out to flat[starts[tid[i]] : +reps[i]] — same
+            # repeat-offset construction as the block delta decode
+            cum = np.cumsum(reps)
+            pos = np.arange(int(cum[-1]) if reps.size else 0) - np.repeat(
+                cum - reps, reps
+            )
+            qid = flat[np.repeat(starts[tid], reps) + pos]
+            fan = pd.DataFrame(
+                {
+                    "query_id": qid.astype(np.int32),
+                    "doc_ord": np.repeat(pdf["doc_ord"].to_numpy(), reps),
+                    "contrib": np.repeat(pdf["contrib"].to_numpy(), reps),
+                }
+            )
+            agg = (
+                fan.groupby(["query_id", "doc_ord"], sort=False, as_index=False)
+                .agg(score=("contrib", "sum"))
+            )
+            agg = agg.sort_values(
+                ["query_id", "score", "doc_ord"], ascending=[True, False, True]
+            )
+            yield agg.groupby("query_id", sort=False).head(k)
+
+        n_part = self.spark.sparkContext.defaultParallelism
+        top_pdf = (
+            contribs.repartition(n_part, "doc_ord")
+            .mapInPandas(reduce_topk, schema=topk_schema)
+            .toPandas()
+        )
+        if len(top_pdf) == 0:
+            return self.spark.createDataFrame([], out_schema)
+        top_pdf = top_pdf.sort_values(
+            ["query_id", "score", "doc_ord"], ascending=[True, False, True]
+        ).groupby("query_id", sort=False).head(k)
+        dm = self.catalog.read_pruned_arrow(
+            "docmap",
+            "doc_ord",
+            values=[int(o) for o in sorted(set(top_pdf["doc_ord"]))],
+            columns=["doc_ord", *self.id_cols],
+        ).to_pandas()
+        merged = top_pdf.merge(dm, on="doc_ord").sort_values(
+            ["query_id", "score", "doc_ord"], ascending=[True, False, True]
+        )
+        return self.spark.createDataFrame(
+            merged[["query_id", *self.id_cols, "score"]], schema=out_schema
         )
 
     def _pruned_blocks(self, blocks: DataFrame, qt: DataFrame, k: int) -> DataFrame:

@@ -185,6 +185,17 @@ class Catalog:
             return self.read(name).limit(0)
         return self.spark.read.parquet(*paths)
 
+    def read_arrow(self, name: str, columns: list[str] | None = None):
+        """Unfiltered driver-side read → pyarrow Table (tiny relations:
+        stats, per-query metadata). Zero Spark jobs."""
+        import pyarrow.dataset as ds
+
+        paths = [
+            os.path.join(self.table_dir(name), e["path"])
+            for e in self.manifest(name)["files"]
+        ]
+        return ds.dataset(paths, format="parquet").to_table(columns=columns)
+
     def read_pruned_arrow(
         self,
         name: str,
