@@ -176,17 +176,58 @@ def _q_indexed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full Idx→Prs analog: build the packed posting-block index over
     documents, then answer the flagship query from the index tables.
     Must be value-identical to `topk_bm25` (same oracle)."""
+    import shutil
     import tempfile
 
     from antidb_spark.operators.build import IndexBuilder
 
     root = tempfile.mkdtemp(prefix="antidb_entry_idx_")
-    b = IndexBuilder(spark, root, id_cols=DOC_ID)
-    b.build(_docs(spark, sf_dir))
-    out = b.query_pinned(FLAGSHIP_QUERY, k=10)
-    out = out.cache()
-    out.count()  # materialize before the temp dir could be cleaned
-    return out
+    try:
+        b = IndexBuilder(spark, root, id_cols=DOC_ID)
+        b.build(_docs(spark, sf_dir))
+        out = b.query_pinned(FLAGSHIP_QUERY, k=10)
+        out = out.cache()
+        out.count()  # materialize before the temp dir is removed
+        return out
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+def _q_keyed_persisted(spark: SparkSession, sf_dir: str, op: str) -> DataFrame:
+    """Persisted covering index over document tokens (KeyedIndexStore
+    build → reopen → query; the Idx→Prs .adb round-trip, idx.py:41-92 ↔
+    prs.py:27-38). Must answer identically to the in-memory KeyedIndex
+    path (same oracles as eq_lookup / rng_lookup)."""
+    import shutil
+    import tempfile
+
+    from antidb_spark.operators.keyed import KeyedIndexStore
+
+    root = tempfile.mkdtemp(prefix="antidb_entry_keyed_")
+    try:
+        store = KeyedIndexStore(spark, root)
+        store.build(
+            "doc_tokens", _docs(spark, sf_dir), distinct_tokens("text"),
+            id_cols=["doc_id"], multi=True,
+        )
+        idx = KeyedIndexStore(spark, root).open("doc_tokens")  # reopen
+        if op == "eq":
+            out = idx.eq(*EQ_PROBES)
+        else:
+            out = idx.rng(RNG_LO, RNG_HI)
+        out = out.cache()
+        out.count()  # materialize before the temp dir is removed
+        return out
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+def _q_keyed_eq_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _q_keyed_persisted(spark, sf_dir, "eq")
+
+
+def _q_keyed_rng_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _q_keyed_persisted(spark, sf_dir, "rng")
 
 
 # --- training-pipeline operators ----------------------------------------
@@ -315,6 +356,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "indexed_topk": _q_indexed_topk,
         "eq_lookup": _q_eq_lookup,
         "rng_lookup": _q_rng_lookup,
+        "keyed_eq_persisted": _q_keyed_eq_persisted,
+        "keyed_rng_persisted": _q_keyed_rng_persisted,
         "lookup_dump": _q_lookup_dump,
         "fallback_join": _q_fallback_join,
         "interval_days": _q_interval_days,
@@ -403,7 +446,7 @@ def _values(rows) -> str:
 
 
 def oracle_sql() -> dict[str, str]:
-    return {
+    out = {
         "term_counts": (
             f"WITH {TOK_CTE} SELECT term, count(*)::BIGINT AS n FROM tok "
             "GROUP BY term"
@@ -550,3 +593,8 @@ FROM documents
         # pinned by pytest oracles (numpy/pandas reimplementations) and
         # by recall/subset assertions against the exact operators above.
     }
+    # the persisted-index paths must answer exactly like the in-memory
+    # KeyedIndex paths → same oracles
+    out["keyed_eq_persisted"] = out["eq_lookup"]
+    out["keyed_rng_persisted"] = out["rng_lookup"]
+    return out

@@ -1,0 +1,88 @@
+"""Memcomparable key encoding — persist ANY key shape with orderable,
+stats-prunable bytes.
+
+The reference persists a ``.adb`` for any key type — composite coords,
+``natur``-normalized rsIDs, phantom ints (idx.py:41-92) — and relies on
+Python tuple/list comparison at query time (prs.py:46-77). Parquet
+min/max statistics (the engine's B+tree-descent analog) only exist for
+flat scalar columns, so complex normalized keys (the SortRule encodings,
+struct composite keys) are serialized into an ORDER-PRESERVING byte
+string: bytewise comparison of encodings == Python comparison of the
+normalized keys. Stored as lowercase hex (2 chars per byte, so hex
+string order == byte order), which survives JSON manifests and Spark
+string comparisons unchanged.
+
+Scheme (each element self-delimiting and prefix-free, so concatenated
+sequences compare like Python lists — shorter prefix first):
+
+- tag byte orders types (never compared across types in practice: every
+  key POSITION has a fixed type — column schemas are typed, and the
+  SortRule py keys are positionally typed);
+- bool → ``01`` + 1 byte; int → ``02`` + 8-byte big-endian biased by
+  2^63 (exact for the full int64 range, unlike a float64 round-trip);
+  date → ``02`` + biased ordinal (dates ARE ints here); float → ``03``
+  + IEEE-754 bits with the sign trick (negative → all bits flipped,
+  positive → sign bit set; -0.0 normalized to 0.0 so Python ``==`` and
+  byte equality agree); str → ``04`` + UTF-8 with ``00`` escaped as
+  ``00 ff``, terminated by ``00``; sequence/tuple/dict-values → ``05``
+  + elements + ``00`` terminator.
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+import struct as _struct
+from typing import Any
+
+_SIGN = 0x8000000000000000
+_ALL = 0xFFFFFFFFFFFFFFFF
+_BIAS = 1 << 63
+
+
+def _enc_float(x: float) -> bytes:
+    if x == 0.0:
+        x = 0.0  # collapse -0.0 (Python compares them equal)
+    (u,) = _struct.unpack(">Q", _struct.pack(">d", float(x)))
+    u = (u ^ _ALL) if (u & _SIGN) else (u | _SIGN)
+    return u.to_bytes(8, "big")
+
+
+def _enc_int(i: int) -> bytes:
+    return (int(i) + _BIAS).to_bytes(8, "big")
+
+
+def _enc_str(s: str) -> bytes:
+    return s.encode("utf-8").replace(b"\x00", b"\x00\xff") + b"\x00"
+
+
+def encode_value(v: Any) -> bytes:
+    if isinstance(v, bool):  # before int (bool is an int subclass)
+        return b"\x01" + (b"\x01" if v else b"\x00")
+    if isinstance(v, int):
+        return b"\x02" + _enc_int(v)
+    if isinstance(v, _dt.date) and not isinstance(v, _dt.datetime):
+        return b"\x02" + _enc_int(v.toordinal())
+    if isinstance(v, float):
+        return b"\x03" + _enc_float(v)
+    if isinstance(v, str):
+        return b"\x04" + _enc_str(v)
+    if isinstance(v, dict):  # Arrow struct → dict, field order preserved
+        return b"\x05" + b"".join(encode_value(e) for e in v.values()) + b"\x00"
+    if isinstance(v, (list, tuple)):
+        return b"\x05" + b"".join(encode_value(e) for e in v) + b"\x00"
+    raise TypeError(f"unencodable key element: {type(v).__name__}")
+
+
+def encode_key(key: Any) -> bytes:
+    """Top-level key → bytes. A top-level sequence is encoded WITHOUT
+    the sequence tag/terminator: full-key comparisons make the outer
+    frame redundant, and dropping it keeps point-lookup keys short."""
+    if isinstance(key, dict):
+        return b"".join(encode_value(e) for e in key.values())
+    if isinstance(key, (list, tuple)):
+        return b"".join(encode_value(e) for e in key)
+    return encode_value(key)
+
+
+def hex_key(key: Any) -> str:
+    return encode_key(key).hex()

@@ -1,0 +1,251 @@
+"""Persisted, named, coexisting secondary indexes over arbitrary keys.
+
+The reference builds one ``.adb`` archive per (db file, key function)
+and ``Prs`` reopens it to answer ``eq``/``rng`` WITHOUT rescanning the
+source (idx.py:41-92, prs.py:27-38); multiple differently-keyed indexes
+coexist by name (idx.py:56-61). ``KeyedIndexStore`` is that surface on
+the Catalog:
+
+- ``build``: extract + normalize keys (any Column expression, optional
+  SortRule, tuple fan-out via ``multi``), range-partition and sort by
+  key, and commit a COVERING index table — ``_key`` plus the full base
+  row, the analog of the reference storing whole source lines in its
+  leaves — with manifest min/max stats on ``_key``.
+- ``open``: reopen by name from the committed manifest (the rule name,
+  id columns, and key representation travel in table props); no base
+  DataFrame needed, exactly like ``Prs(adb_path)``.
+- ``eq``/``rng``: manifest-pruned reads (tree-descent analog) + row-group
+  predicate pushdown; never a base-table scan.
+- ``eq_local``/``rng_local``: the WARM interactive path — driver-side
+  pyarrow reads of the pruned files, no Spark job at all, matching the
+  reference's 0.015 s warm point-query class (README.md:43). Returns
+  pandas; row-identical to the Spark path (pinned by tests).
+
+Key representation: orderable scalar key types are stored natively
+(parquet/manifest stats and Catalyst pushdown work as-is); complex keys
+— SortRule encodings, struct composites — are stored as the
+memcomparable hex string of the normalized key (functions/keycodec.py),
+whose string order equals the normalized-key order. Queries apply the
+SAME normalization + encoding driver-side (the idx.py:143-148 ↔
+prs.py:46-49 parity invariant).
+
+Scale shape: the index is range-partitioned on ``_key`` so point/range
+queries prune to a handful of files out of arbitrarily many; the query
+side is always tiny and broadcast. Writes are one repartitionByRange
+shuffle of the covering rows — the same cost class as the reference's
+spill-sort, distributed.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator, Sequence
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from antidb_spark.err import QueryStartGtEndError
+from antidb_spark.functions.keycodec import hex_key
+from antidb_spark.functions.sortkeys import LETTS_NUMS, NATUR, SortRule
+
+RULES: dict[str, SortRule] = {"natur": NATUR, "letts_nums": LETTS_NUMS}
+
+# key dataTypes storable natively with working parquet/manifest stats
+_NATIVE_TYPES = (
+    T.StringType,
+    T.LongType,
+    T.IntegerType,
+    T.ShortType,
+    T.ByteType,
+    T.DoubleType,
+    T.FloatType,
+    T.BooleanType,
+)
+
+
+def _hex_encoder(rule: SortRule | None):
+    """Vectorized raw-key → memcomparable-hex pandas_udf (normalize with
+    the rule's py_fn — identical to the query side — then encode)."""
+    norm = rule.py_fn if rule else (lambda v: v)
+
+    # (annotated Series-iterator for pandas_udf's hint check; struct
+    # inputs actually arrive as sub-DataFrames at runtime)
+    def enc(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        for s in it:
+            if isinstance(s, pd.DataFrame):
+                # struct keys arrive as a sub-DataFrame (one column per
+                # field, field order preserved) → row dicts
+                yield pd.Series(
+                    [hex_key(norm(rec)) for rec in s.to_dict("records")],
+                    index=s.index,
+                )
+            else:
+                yield s.map(lambda v: None if v is None else hex_key(norm(v)))
+
+    return F.pandas_udf(enc, T.StringType())
+
+
+class PersistedKeyedIndex:
+    """Query handle over one committed index table (the ``Prs`` analog)."""
+
+    def __init__(self, spark: SparkSession, catalog, name: str):
+        self.spark = spark
+        self.catalog = catalog
+        self.name = name
+        props = catalog.manifest(name)["props"]
+        self.id_cols: list[str] = props["id_cols"]
+        self.base_cols: list[str] = props["base_cols"]
+        self.rule = RULES[props["rule"]] if props["rule"] else None
+        self.kind: str = props["key_kind"]  # "native" | "hex"
+        self.key_type: str = props["key_type"]  # simpleString
+
+    # -- query-side normalization (prs.py:46-49 parity) ------------------
+
+    def _norm_q(self, value):
+        n = self.rule.py_fn(value) if self.rule else value
+        return hex_key(n) if self.kind == "hex" else n
+
+    def _py_gt(self, a, b) -> bool:
+        try:
+            return a > b
+        except TypeError:
+            return list(a) > list(b)
+
+    # -- Spark path -------------------------------------------------------
+
+    def eq(self, *queries) -> DataFrame:
+        """Batch point lookup: (query_ord, *base_cols), per-query groups
+        in argument order, ties in (*id_cols) order; miss → empty."""
+        qk = [self._norm_q(q) for q in queries]
+        ents = self.catalog.read_pruned(self.name, "_key", values=list(set(qk)))
+        qdf = self.spark.createDataFrame(
+            [(i, v) for i, v in enumerate(qk)],
+            T.StructType(
+                [
+                    T.StructField("query_ord", T.IntegerType(), False),
+                    T.StructField(
+                        "_qkey",
+                        ents.schema["_key"].dataType,
+                        True,
+                    ),
+                ]
+            ),
+        )
+        return (
+            ents.join(F.broadcast(qdf), F.col("_key") == F.col("_qkey"))
+            .select("query_ord", *self.base_cols)
+            .orderBy("query_ord", *self.id_cols)
+        )
+
+    def rng(self, start, end) -> DataFrame:
+        """Inclusive range scan: (*base_cols) ordered (key, *id_cols);
+        start > end raises (prs.py:50-52)."""
+        lo, hi = self._norm_q(start), self._norm_q(end)
+        if self._py_gt(lo, hi):
+            raise QueryStartGtEndError(start, end)
+        ents = self.catalog.read_pruned(self.name, "_key", lo=lo, hi=hi)
+        return (
+            ents.filter((F.col("_key") >= F.lit(lo)) & (F.col("_key") <= F.lit(hi)))
+            .orderBy("_key", *self.id_cols)
+            .select(*self.base_cols)
+        )
+
+    # -- warm driver-side path (no Spark job) ----------------------------
+
+    def eq_local(self, *queries) -> pd.DataFrame:
+        """Warm point lookup: manifest pruning + pyarrow row-group reads,
+        zero Spark jobs. Same rows/order as ``eq`` (pinned by tests)."""
+        qk = [self._norm_q(q) for q in queries]
+        tbl = self.catalog.read_pruned_arrow(
+            self.name, "_key", values=list(set(qk))
+        ).to_pandas()
+        frames = []
+        for i, k in enumerate(qk):
+            hit = tbl[tbl["_key"] == k]
+            if len(hit):
+                hit = hit.sort_values(self.id_cols).assign(query_ord=i)
+                frames.append(hit)
+        if not frames:
+            return pd.DataFrame(columns=["query_ord", *self.base_cols])
+        out = pd.concat(frames, ignore_index=True)
+        return out[["query_ord", *self.base_cols]]
+
+    def rng_local(self, start, end) -> pd.DataFrame:
+        lo, hi = self._norm_q(start), self._norm_q(end)
+        if self._py_gt(lo, hi):
+            raise QueryStartGtEndError(start, end)
+        tbl = self.catalog.read_pruned_arrow(
+            self.name, "_key", lo=lo, hi=hi
+        ).to_pandas()
+        hit = tbl[(tbl["_key"] >= lo) & (tbl["_key"] <= hi)]
+        hit = hit.sort_values(["_key", *self.id_cols])
+        return hit[self.base_cols].reset_index(drop=True)
+
+
+class KeyedIndexStore:
+    """Named index registry rooted at one Catalog directory (the ``Idx``
+    build surface + multi-index coexistence, idx.py:41-92)."""
+
+    def __init__(self, spark: SparkSession, root: str):
+        from antidb_spark.sources.catalog import Catalog
+
+        self.spark = spark
+        self.catalog = Catalog(spark, root)
+
+    def exists(self, name: str) -> bool:
+        return self.catalog.exists(name)
+
+    def open(self, name: str) -> PersistedKeyedIndex:
+        return PersistedKeyedIndex(self.spark, self.catalog, name)
+
+    def build(
+        self,
+        name: str,
+        base: DataFrame,
+        key,
+        id_cols: Sequence[str],
+        rule: SortRule | None = None,
+        multi: bool = False,
+        n_partitions: int | None = None,
+    ) -> PersistedKeyedIndex:
+        """Build + commit the covering index table, then reopen it.
+
+        ``key``: any Column expression over ``base`` (db_line_prs analog);
+        with ``multi=True`` it must be an array — one entry per element.
+        Null keys drop the row (the reference's phantom filter).
+        """
+        if rule is not None and rule.name not in RULES:
+            raise ValueError(f"unregistered sort rule: {rule.name}")
+        assert "_key" not in base.columns, "base may not contain _key"
+        raw = F.explode(key) if multi else key
+        sel = base.select(*base.columns, raw.alias("_raw")).filter(
+            F.col("_raw").isNotNull()
+        )
+        raw_type = sel.schema["_raw"].dataType
+        native = rule is None and isinstance(raw_type, _NATIVE_TYPES)
+        if native:
+            keyed = sel.withColumn("_key", F.col("_raw"))
+        else:
+            keyed = sel.withColumn("_key", _hex_encoder(rule)(F.col("_raw")))
+        keyed = keyed.drop("_raw")
+        n_part = n_partitions or self.spark.sparkContext.defaultParallelism
+        sorted_df = keyed.repartitionByRange(
+            n_part, "_key", *id_cols
+        ).sortWithinPartitions("_key", *id_cols)
+        self.catalog.write(
+            sorted_df,
+            name,
+            stats_cols=["_key"],
+            props={
+                "id_cols": list(id_cols),
+                "base_cols": list(base.columns),
+                "rule": rule.name if rule else None,
+                "key_kind": "native" if native else "hex",
+                "key_type": (
+                    raw_type.simpleString() if native else "string"
+                ),
+                "multi": bool(multi),
+            },
+        )
+        return self.open(name)

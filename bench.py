@@ -57,7 +57,7 @@ def main() -> None:
     from antidb_spark.operators.textstats import quality_scores
     from antidb_spark.functions.analyze import distinct_tokens
     from antidb_spark.session import get_spark
-    from antidb_spark.synth import query_set, synth_transcripts
+    from antidb_spark.synth import query_set, synth_transcripts, vocabulary
 
     spark = get_spark(master=f"local[{CPUS}]")
     sf = float(os.path.basename(SF_DIR.rstrip("/")).replace("sf", "") or 0.1)
@@ -136,6 +136,39 @@ def main() -> None:
             extras["point_lookups_per_sec"] = round(
                 1000 / timings["eq_batch_1000"], 1
             )
+
+    # --- persisted keyed index: build + warm interactive lookups --------
+    if phase_on("keyed_build") or phase_on("eq_warm"):
+        from antidb_spark.operators.keyed import KeyedIndexStore
+
+        store = KeyedIndexStore(spark, os.path.join(work_root, "keyed"))
+
+        def build_keyed():
+            return store.build(
+                "doc_tokens", docs, distinct_tokens("text"),
+                id_cols=["doc_id"], multi=True,
+            )
+
+        if phase_on("keyed_build"):
+            timed("keyed_build", build_keyed)
+        else:
+            build_keyed()
+        if phase_on("eq_warm"):
+            # the reference's warm point-query class (README.md:43,
+            # 0.015 s): driver-side pyarrow reads of manifest-pruned
+            # files — no Spark job. Median over mixed-frequency probes.
+            import statistics
+
+            idx = store.open("doc_tokens")
+            idx.eq_local("spark")  # warm manifest + dataset metadata
+            probes = (vocabulary(1000)[-8:] + ["data", "query"]) * 2
+            lat = []
+            for p in probes:
+                t0 = time.perf_counter()
+                idx.eq_local(p)
+                lat.append(time.perf_counter() - t0)
+            timings["eq_warm"] = round(statistics.median(lat), 4)
+            extras["eq_warm_ms"] = round(1000 * statistics.median(lat), 2)
 
     # --- training-pipeline operators ------------------------------------
     if phase_on("dedup_minhash"):

@@ -1,0 +1,69 @@
+"""Memcomparable codec: bytewise/hex order must equal Python key order.
+
+This is the invariant the persisted-index manifest pruning and parquet
+row-group stats rely on (keys only prune correctly if encoded order ==
+semantic order). Property-based over the key shapes the engine persists:
+natur-normalized strings, letts_nums pairs, composite scalar tuples.
+"""
+
+from __future__ import annotations
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from antidb_spark.functions.keycodec import encode_key, hex_key
+from antidb_spark.functions.sortkeys import py_letts_nums, py_natur
+
+# no Spark needed here
+pytest_plugins: list[str] = []
+
+
+def _ordered_like_python(keys):
+    enc = [(hex_key(k), i) for i, k in enumerate(keys)]
+    by_py = sorted(range(len(keys)), key=lambda i: keys[i])
+    by_hex = sorted(range(len(keys)), key=lambda i: enc[i][0])
+    assert by_py == by_hex
+
+
+natur_text = st.text(
+    alphabet=st.sampled_from("abcrs0123456789.-"), min_size=0, max_size=12
+)
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.lists(natur_text, min_size=2, max_size=8))
+def test_natur_hex_order(vals):
+    _ordered_like_python([py_natur(v) for v in vals])
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.text(alphabet="abcz", min_size=0, max_size=4),
+            st.integers(min_value=-(2**62), max_value=2**62),
+            st.floats(allow_nan=False, width=64),
+        ),
+        min_size=2,
+        max_size=8,
+    )
+)
+def test_composite_tuple_hex_order(vals):
+    _ordered_like_python(vals)
+
+
+def test_letts_nums_hex_order():
+    vals = ["rs1", "rs10", "rs2", "ab999", "ab1000", "zz0", "rs00012"]
+    _ordered_like_python([py_letts_nums(v) for v in vals])
+
+
+def test_equal_keys_equal_encodings():
+    assert encode_key((-0.0,)) == encode_key((0.0,))
+    # natural sort: leading zeros in the numeric subcell compare equal
+    # (float("007") == 7.0), so the encodings must collide too
+    assert encode_key(py_natur("rs007")) == encode_key(py_natur("rs7"))
+    # prefix list sorts first, like Python
+    assert hex_key(("a",)) < hex_key(("a", 0))
+    # embedded NULs in strings stay ordered
+    assert hex_key(("a\x00b",)) < hex_key(("ab",))
+    assert hex_key(("a",)) < hex_key(("a\x00",))
