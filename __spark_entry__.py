@@ -239,10 +239,22 @@ def _q_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _docs(spark, sf_dir).select("doc_id", fingerprint("text").alias("fp"))
 
 
+def _docs_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus ∪ derived exact copies (every doc_id % 50 == 0 re-issued at
+    doc_id + 1_000_000). The raw sf corpora contain no duplicate
+    fingerprints, which made the dedup checks vacuous (0 rows on both
+    engines); the SQL oracle mirrors this derivation exactly."""
+    d = _docs(spark, sf_dir)
+    copies = d.filter(F.col("doc_id") % 50 == 0).withColumn(
+        "doc_id", F.col("doc_id") + F.lit(1_000_000)
+    )
+    return d.unionByName(copies)
+
+
 def _q_exact_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     from antidb_spark.operators.dedup import exact_dups
 
-    return exact_dups(_docs(spark, sf_dir)).select("fp", "group_size")
+    return exact_dups(_docs_planted(spark, sf_dir)).select("fp", "group_size")
 
 
 def _q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -311,10 +323,21 @@ def _q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(_vecs(spark, sf_dir), probe, k=10)
 
 
+def _vecs_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vectors ∪ exact copies (vec_id % 100 == 0 at vec_id + 100_000):
+    the sf embeddings have no natural cosine ≥ 0.95 pairs, so without
+    planted duplicates the near-dup check constrained nothing."""
+    v = _vecs(spark, sf_dir)
+    copies = v.filter(F.col("vec_id") % 100 == 0).withColumn(
+        "vec_id", F.col("vec_id") + F.lit(100_000)
+    )
+    return v.unionByName(copies)
+
+
 def _q_embedding_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     from antidb_spark.operators.similarity import cosine_dup_pairs
 
-    return cosine_dup_pairs(_vecs(spark, sf_dir), threshold=0.95)
+    return cosine_dup_pairs(_vecs_planted(spark, sf_dir), threshold=0.95)
 
 
 def _media(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -426,6 +449,113 @@ SHINGLE_CTE = """sh AS (
 # canonical content fingerprint (mirrors dedup.norm_text/fingerprint)
 SQL_FP = r"md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))"
 
+# corpus with planted exact copies (mirrors _docs_planted)
+AUG_DOCS_CTE = (
+    "aug AS (SELECT * FROM documents UNION ALL "
+    "SELECT doc_id + 1000000 AS doc_id, text, lang, source, n_chars "
+    "FROM documents WHERE doc_id % 50 = 0)"
+)
+
+
+def _simhash_dups_oracle(max_distance: int = 3) -> str:
+    """Brute-force simhash Hamming pairs, computed from the SAME
+    md5-hex-digit bit definition as dedup.term_bit — Spark's 4-band
+    pigeonhole query is EXACT for distance ≤ 3, so brute force is the
+    oracle. Tokenless docs get all-zero bits via the left join."""
+    bit = (
+        "((strpos('0123456789abcdef', substr(md5(term), b.b // 4 + 1, 1)) - 1)"
+        " >> (b.b % 4)) & 1"
+    )
+    return f"""
+WITH {TOK_CTE},
+tcnt AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM tok GROUP BY 1, 2),
+bser AS (SELECT unnest(generate_series(0, 63)) AS b),
+vbit AS (
+  SELECT doc_id, b.b AS b,
+         CASE WHEN sum(CASE WHEN {bit} = 1 THEN tf ELSE -tf END) > 0
+              THEN 1 ELSE 0 END AS bit
+  FROM tcnt CROSS JOIN bser b GROUP BY doc_id, b.b),
+bits AS (
+  SELECT d.doc_id, b.b, coalesce(v.bit, 0) AS bit
+  FROM documents d CROSS JOIN bser b
+  LEFT JOIN vbit v ON v.doc_id = d.doc_id AND v.b = b.b)
+SELECT x.doc_id AS id_a, y.doc_id AS id_b,
+       sum(CASE WHEN x.bit <> y.bit THEN 1 ELSE 0 END)::BIGINT AS hamming
+FROM bits x JOIN bits y ON x.b = y.b AND x.doc_id < y.doc_id
+GROUP BY 1, 2
+HAVING sum(CASE WHEN x.bit <> y.bit THEN 1 ELSE 0 END) <= {max_distance}
+"""
+
+
+def _clone_candidates_oracle(min_shared: int = 2, k: int = 5, w: int = 4) -> str:
+    """Winnowing in pure SQL (same k-gram md5-prefix hash and
+    min-per-window semantics as textstats._winnow_flat)."""
+    return f"""
+WITH {TOKARR_CTE},
+grams AS (
+  SELECT doc_id, i.i AS gi, array_to_string(toks[i.i:i.i+{k - 1}], ' ') AS g
+  FROM tokarr, unnest(generate_series(1, len(toks) - {k - 1})) AS i(i)
+  WHERE len(toks) >= {k}
+  UNION ALL
+  SELECT doc_id, 1, array_to_string(toks, ' ') FROM tokarr
+  WHERE len(toks) BETWEEN 1 AND {k - 1}),
+hs AS (
+  SELECT doc_id, gi, ('0x' || substr(md5(g), 1, 15))::BIGINT AS h,
+         count(*) OVER (PARTITION BY doc_id) AS ng
+  FROM grams),
+wins AS (
+  SELECT doc_id, gi, ng,
+         min(h) OVER (PARTITION BY doc_id ORDER BY gi
+                      ROWS BETWEEN CURRENT ROW AND {w - 1} FOLLOWING) AS fp
+  FROM hs),
+fps AS (
+  SELECT DISTINCT doc_id, fp FROM wins
+  WHERE gi <= greatest(ng - {w - 1}, 1))
+SELECT x.doc_id AS id_a, y.doc_id AS id_b, count(*)::BIGINT AS shared_fps
+FROM fps x JOIN fps y ON x.fp = y.fp AND x.doc_id < y.doc_id
+GROUP BY 1, 2 HAVING count(*) >= {min_shared}
+"""
+
+
+def _embedding_dups_oracle(threshold: float = 0.95, n_planes: int = 8,
+                           dim: int = 64, seed: int = 42) -> str:
+    """LSH-bucketed cosine near-dup pairs with the hyperplanes inlined
+    as double literals (same seeded planes as similarity._hyperplanes,
+    same fold order as the Spark dot/l2norm expressions — the
+    ann_cosine_topk oracle already pins that list_sum ≡ F.aggregate)."""
+    from antidb_spark.operators.similarity import _hyperplanes
+
+    planes = _hyperplanes(dim, n_planes, seed)
+    lits = ["[" + ", ".join(repr(float(x)) for x in p) + "]" for p in planes]
+
+    def dot(plane_lit: str) -> str:
+        return (
+            f"list_sum(list_transform(generate_series(1, {dim}), "
+            f"i -> embedding[i]::DOUBLE * ({plane_lit})[i]))"
+        )
+
+    bucket = " + ".join(
+        f"(CASE WHEN {dot(pl)} >= 0 THEN {1 << i} ELSE 0 END)"
+        for i, pl in enumerate(lits)
+    )
+    return f"""
+WITH aug AS (SELECT * FROM embeddings UNION ALL
+             SELECT vec_id + 100000 AS vec_id, embedding, label
+             FROM embeddings WHERE vec_id % 100 = 0),
+b AS (SELECT vec_id, embedding,
+             sqrt(list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE))) AS nrm,
+             ({bucket}) AS bucket
+      FROM aug)
+SELECT x.vec_id AS id_a, y.vec_id AS id_b,
+       round(list_sum(list_transform(generate_series(1, {dim}),
+             i -> x.embedding[i]::DOUBLE * y.embedding[i]::DOUBLE))
+             / (x.nrm * y.nrm), 6) AS cos
+FROM b x JOIN b y ON x.bucket = y.bucket AND x.vec_id < y.vec_id
+WHERE round(list_sum(list_transform(generate_series(1, {dim}),
+            i -> x.embedding[i]::DOUBLE * y.embedding[i]::DOUBLE))
+            / (x.nrm * y.nrm), 6) >= {threshold}
+"""
+
 
 def _sql_lang_hits(lang: str) -> str:
     from antidb_spark.operators.textstats import LANG_STOPWORDS
@@ -512,8 +642,9 @@ GROUP BY d::date
         "indexed_topk": _topk_oracle(FLAGSHIP_QUERY, 10),
         "fingerprints": f"SELECT doc_id, {SQL_FP} AS fp FROM documents",
         "exact_dup_groups": f"""
+WITH {AUG_DOCS_CTE}
 SELECT fp, count(*)::BIGINT AS group_size
-FROM (SELECT {SQL_FP} AS fp FROM documents)
+FROM (SELECT {SQL_FP} AS fp FROM aug)
 GROUP BY fp HAVING count(*) > 1
 """,
         "ngram_jaccard": f"""
@@ -586,15 +717,18 @@ SELECT doc_id::BIGINT AS media_id,
   md5(text) AS payload_md5
 FROM documents
 """,
-        # Probabilistic / stub-backed ops (minhash_dups, simhash_dups,
-        # clone_candidates, ann_lsh_topk, ann_ivf_topk, embedding_dups,
-        # media_features, frame_sample) intentionally have NO SQL oracle:
-        # the driver applies its rows-only check; their correctness is
-        # pinned by pytest oracles (numpy/pandas reimplementations) and
-        # by recall/subset assertions against the exact operators above.
+        # Remaining no-oracle ops (minhash_dups, ann_lsh_topk,
+        # ann_ivf_topk, media_features, frame_sample) are probabilistic
+        # or stub-backed: the driver applies its rows-only check; their
+        # correctness is pinned by pytest oracles (numpy/pandas
+        # reimplementations) and recall/subset assertions against the
+        # exact operators above.
     }
     # the persisted-index paths must answer exactly like the in-memory
     # KeyedIndex paths → same oracles
     out["keyed_eq_persisted"] = out["eq_lookup"]
     out["keyed_rng_persisted"] = out["rng_lookup"]
+    out["simhash_dups"] = _simhash_dups_oracle(3)
+    out["clone_candidates"] = _clone_candidates_oracle(2)
+    out["embedding_dups"] = _embedding_dups_oracle(0.95)
     return out

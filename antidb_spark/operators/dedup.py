@@ -13,14 +13,15 @@ text column (``documents`` / ``transcripts``):
   this is the oracle-checkable baseline the probabilistic variants are
   validated against.
 - **MinHash + LSH** (`minhash_signatures`, `minhash_near_dups`): per-doc
-  minhash signature (vectorized numpy over Arrow batches), banded into
-  buckets, candidate pairs from same-bucket joins, exact-Jaccard verify.
-  The scale path: candidate generation touches only hash buckets, never
-  all pairs.
+  minhash signature (64 JVM min-of-seeded-xxhash64 aggregates — no
+  Python in the path), banded into buckets, candidate pairs from
+  same-bucket joins, exact-Jaccard verify. The scale path: candidate
+  generation touches only hash buckets, never all pairs.
 - **SimHash** (`simhash64`, `simhash_near_dups`): 64-bit tf-weighted
-  fingerprint; pairs within Hamming distance ≤ 3 found by pigeonhole
-  banding (4 bands of 16 bits — distance ≤ 3 ⟹ at least one band equal,
-  so banding is EXACT for d ≤ 3), verified by popcount.
+  fingerprint from md5-derived per-term bits (JVM relational plan,
+  SQL-oracle-computable); pairs within Hamming distance ≤ 3 found by
+  pigeonhole banding (4 bands of 16 bits — distance ≤ 3 ⟹ at least one
+  band equal, so banding is EXACT for d ≤ 3), verified by popcount.
 
 Scale notes: every operator shuffles on a hash-distributed key (digest /
 shingle / band bucket), so no range skew; stopword-only shingles are the
@@ -37,13 +38,8 @@ operators generalize it to content identity/similarity.
 
 from __future__ import annotations
 
-from collections.abc import Iterator
-
-import numpy as np
-import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql import types as T
 
 from antidb_spark.functions.analyze import tokens
 
@@ -51,7 +47,6 @@ from antidb_spark.functions.analyze import tokens
 N_HASHES = 64
 N_BANDS = 16
 ROWS_PER_BAND = N_HASHES // N_BANDS
-_MERSENNE = np.uint64((1 << 61) - 1)
 
 
 def norm_text(col: Column | str) -> Column:
@@ -163,38 +158,6 @@ def ngram_jaccard_pairs(
 # --- MinHash ------------------------------------------------------------
 
 
-def _hash_params(seed: int = 42) -> tuple[np.ndarray, np.ndarray]:
-    rng = np.random.default_rng(seed)
-    a = rng.integers(1, _MERSENNE, size=N_HASHES, dtype=np.uint64)
-    b = rng.integers(0, _MERSENNE, size=N_HASHES, dtype=np.uint64)
-    return a, b
-
-
-def _stable_hash64(s: str) -> int:
-    """Stable 64-bit string hash, C-speed (blake2b — a per-character
-    pure-Python rolling hash here costs ~50× more wall time)."""
-    import hashlib
-
-    return int.from_bytes(
-        hashlib.blake2b(s.encode(), digest_size=8).digest(), "little"
-    )
-
-
-def _shingle_hashes_py(text: str, n: int = 3) -> np.ndarray:
-    """Stable 61-bit shingle hashes."""
-    from antidb_spark.functions.analyze import py_tokens
-
-    toks = py_tokens(text)
-    if len(toks) >= n:
-        shs = {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
-    else:
-        shs = {" ".join(toks)}
-    out = np.empty(len(shs), dtype=np.uint64)
-    for i, s in enumerate(sorted(shs)):
-        out[i] = _stable_hash64(s) % _MERSENNE
-    return out
-
-
 def minhash_signatures(
     corpus: DataFrame,
     id_col: str = "doc_id",
@@ -202,30 +165,31 @@ def minhash_signatures(
     n: int = 3,
     seed: int = 42,
 ) -> DataFrame:
-    """(id, sig: array<long>[N_HASHES]) — vectorized per Arrow batch."""
-    a_p, b_p = _hash_params(seed)
-    id_field = corpus.schema[id_col]
-    out_schema = T.StructType(
-        [
-            T.StructField(id_col, id_field.dataType, True),
-            T.StructField("sig", T.ArrayType(T.LongType()), False),
-        ]
+    """(id, sig: array<long>[N_HASHES]) — fully JVM-side.
+
+    Each permutation i is the min over the doc's shingles of
+    ``xxhash64(seed, i, shingle)``; explode → 64 min-aggregates (map-side
+    partial agg, one shuffle keyed on the doc id — no skew: the hot
+    shingles are values here, not keys). Replaces a per-document Python
+    hashing loop that was the dedup bench's dominant constant factor;
+    min-of-seeded-hash is the standard minhash family, so the
+    equal-component fraction still estimates Jaccard.
+    """
+    sh = corpus.select(
+        F.col(id_col), F.explode(shingles(text_col, n)).alias("sh")
     )
-
-    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for batch in batches:
-            sigs = []
-            for text in batch[text_col]:
-                sh = _shingle_hashes_py(text, n)
-                if sh.size == 0:
-                    sigs.append(np.full(N_HASHES, int(_MERSENNE)).tolist())
-                    continue
-                # (N_HASHES, n_shingles) universal hashing, min per row
-                m = (a_p[:, None] * sh[None, :] + b_p[:, None]) % _MERSENNE
-                sigs.append(m.min(axis=1).astype(np.int64).tolist())
-            yield pd.DataFrame({id_col: batch[id_col], "sig": sigs})
-
-    return corpus.select(id_col, text_col).mapInPandas(gen, schema=out_schema)
+    aggs = [
+        F.min(F.xxhash64(F.lit(int(seed)), F.lit(i), F.col("sh"))).alias(f"h{i}")
+        for i in range(N_HASHES)
+    ]
+    return (
+        sh.groupBy(id_col)
+        .agg(*aggs)
+        .select(
+            id_col,
+            F.array(*[F.col(f"h{i}") for i in range(N_HASHES)]).alias("sig"),
+        )
+    )
 
 
 def minhash_near_dups(
@@ -299,43 +263,62 @@ SIM_BANDS = 4
 _BITS_PER_BAND = SIMHASH_BITS // SIM_BANDS
 
 
+def term_bit(h_digits: list, b: int):
+    """Bit ``b`` (0..63) of a term's 64-bit hash, defined over the first
+    16 hex digits of md5: bit (b % 4) of hex-digit value at position
+    b // 4. Pure integer ops on single digits — the SAME definition is
+    expressible in ANSI SQL, which is what makes simhash DuckDB-oracled."""
+    return F.shiftright(h_digits[b // 4], b % 4).bitwiseAND(F.lit(1))
+
+
 def simhash64(
     corpus: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
-    """(id, simhash: long) — tf-weighted 64-bit simhash, numpy per batch."""
-    id_field = corpus.schema[id_col]
-    out_schema = T.StructType(
-        [
-            T.StructField(id_col, id_field.dataType, True),
-            T.StructField("simhash", T.LongType(), False),
-        ]
+    """(id, simhash: long) — tf-weighted 64-bit simhash, fully JVM-side.
+
+    Relational plan: tokenize → (id, term, tf) → per-term md5-derived
+    bits (``term_bit``) → 64 signed tf-weighted sums per doc (one
+    groupBy, map-side combined) → sign bits packed into a long (bit 63
+    wraps into the sign, i.e. two's-complement). Tokenless docs get
+    simhash 0. Replaces a per-document Python loop AND pins the hash to
+    an oracle-computable definition.
+    """
+    import operator as _op
+    from functools import reduce
+
+    tok = (
+        corpus.select(
+            F.col(id_col).alias("_id"), F.explode(tokens(text_col)).alias("term")
+        )
+        .groupBy("_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
     )
-
-    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        from antidb_spark.functions.analyze import py_tokens
-
-        for batch in batches:
-            out = []
-            for text in batch[text_col]:
-                toks = py_tokens(text)
-                if not toks:
-                    out.append(0)
-                    continue
-                uniq, counts = np.unique(np.array(toks, dtype=object),
-                                         return_counts=True)
-                hs = np.array(
-                    [_stable_hash64(t) for t in uniq], dtype=np.uint64
-                )
-                bits = (hs[:, None] >> np.arange(64, dtype=np.uint64)) & np.uint64(1)
-                w = counts.astype(np.float64)[:, None]
-                v = (np.where(bits == 1, w, -w)).sum(axis=0)
-                sh = np.uint64(0)
-                for bit in np.flatnonzero(v > 0):
-                    sh |= np.uint64(1) << np.uint64(bit)
-                out.append(int(sh.astype(np.int64)))
-            yield pd.DataFrame({id_col: batch[id_col], "simhash": out})
-
-    return corpus.select(id_col, text_col).mapInPandas(gen, schema=out_schema)
+    h = F.md5(F.col("term"))
+    digits = [
+        F.conv(F.substring(h, i + 1, 1), 16, 10).cast("int") for i in range(16)
+    ]
+    vsums = [
+        F.sum(
+            F.when(term_bit(digits, b) == 1, F.col("tf")).otherwise(-F.col("tf"))
+        ).alias(f"v{b}")
+        for b in range(SIMHASH_BITS)
+    ]
+    per_doc = tok.groupBy("_id").agg(*vsums)
+    packed = reduce(
+        _op.add,
+        [
+            F.when(
+                F.col(f"v{b}") > 0, F.shiftleft(F.lit(1).cast("long"), b)
+            ).otherwise(F.lit(0).cast("long"))
+            for b in range(SIMHASH_BITS)
+        ],
+    )
+    hashed = per_doc.select(F.col("_id").alias(id_col), packed.alias("simhash"))
+    return (
+        corpus.select(id_col)
+        .join(hashed, id_col, "left")
+        .select(id_col, F.coalesce("simhash", F.lit(0).cast("long")).alias("simhash"))
+    )
 
 
 

@@ -1,9 +1,10 @@
 """Text-analysis operators: language ID, quality scoring, token counts,
 document fingerprints (training-pipeline layer).
 
-Everything except winnowing is pure JVM-side column arithmetic
-(whole-stage codegen, no Python in the hot path); each op has a matching
-ANSI-SQL oracle in ``__spark_entry__`` so cross-engine hashes agree.
+Everything — winnowing included — is pure JVM-side column arithmetic /
+window aggregation (whole-stage codegen, no Python in the hot path);
+each op has a matching ANSI-SQL oracle in ``__spark_entry__`` so
+cross-engine hashes agree.
 
 Reference tie-in: these are P1/P4 "computed key" projections
 (idx.py:44,137-138; phantom keys README.md:53) promoted to typed,
@@ -12,13 +13,8 @@ vectorized operators.
 
 from __future__ import annotations
 
-from collections.abc import Iterator
-
-import numpy as np
-import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql import types as T
 
 from antidb_spark.functions.analyze import tokens
 
@@ -120,8 +116,13 @@ WINNOW_W = 4   # window of consecutive k-gram hashes; min per window kept
 
 def _py_winnow(text: str, k: int = WINNOW_K, w: int = WINNOW_W) -> list[int]:
     """Winnowing (Schleimer et al. 2003): stable hash per token k-gram,
-    keep the min hash of each sliding window (rightmost on ties),
-    deduplicated, sorted. Pure-python oracle = the one implementation."""
+    keep the min hash of each sliding window, deduplicated, sorted.
+    (The classic rightmost-on-ties pick selects a POSITION; the kept
+    VALUE is the window min either way, and this operator keeps value
+    sets.) Gram hash = first 15 hex digits of md5 (60 bits, positive
+    int64) — computable identically in Spark (conv) and DuckDB (hex
+    cast), which is what makes clone detection SQL-oracle-checkable.
+    Pure-python oracle for the relational implementation below."""
     import hashlib
 
     from antidb_spark.functions.analyze import py_tokens
@@ -134,47 +135,73 @@ def _py_winnow(text: str, k: int = WINNOW_K, w: int = WINNOW_W) -> list[int]:
         if len(toks) >= k
         else [" ".join(toks)]
     )
-    hs = [
-        int.from_bytes(
-            hashlib.blake2b(g.encode(), digest_size=8).digest(), "little"
-        ) >> 1  # fit int64
-        for g in grams
-    ]
-    picks = set()
-    for s in range(max(1, len(hs) - w + 1)):
-        window = hs[s : s + w]
-        m = min(window)
-        # rightmost min in window
-        picks.add(window[len(window) - 1 - window[::-1].index(m)])
+    hs = [int(hashlib.md5(g.encode()).hexdigest()[:15], 16) for g in grams]
+    picks = {min(hs[s : s + w]) for s in range(max(1, len(hs) - w + 1))}
     return sorted(picks)
+
+
+def gram_hash(col: Column) -> Column:
+    """60-bit positive gram hash: conv(md5[:15], 16, 10) — the Spark
+    twin of the DuckDB ('0x' || substr(md5(g), 1, 15))::BIGINT."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+def _winnow_flat(
+    corpus: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """(id, fp) distinct winnow fingerprints — fully relational: k-gram
+    explode → gram hash → per-doc rolling window min (ROWS BETWEEN
+    CURRENT AND w-1 FOLLOWING, valid window starts only) → distinct.
+    One shuffle keyed on the doc id; no Python in the path."""
+    from pyspark.sql import Window
+
+    toks = tokens(text_col)
+    n_tok = F.size(toks)
+    idx = F.sequence(F.lit(0), n_tok - WINNOW_K)
+    grams = F.when(
+        n_tok >= WINNOW_K,
+        F.transform(idx, lambda i: F.array_join(F.slice(toks, i + 1, WINNOW_K), " ")),
+    ).otherwise(F.array(F.array_join(toks, " ")))
+    g = corpus.select(
+        F.col(id_col).alias("_id"), F.posexplode(grams).alias("gi", "g")
+    ).filter(F.length("g") > 0)  # tokenless docs have no fingerprints
+    w_roll = (
+        Window.partitionBy("_id").orderBy("gi").rowsBetween(0, WINNOW_W - 1)
+    )
+    w_all = Window.partitionBy("_id")
+    rolled = g.select(
+        "_id",
+        "gi",
+        F.min(gram_hash(F.col("g"))).over(w_roll).alias("fp"),
+        F.count(F.lit(1)).over(w_all).alias("_ng"),
+    )
+    return (
+        rolled.filter(
+            F.col("gi") <= F.greatest(F.col("_ng") - WINNOW_W, F.lit(0))
+        )
+        .select("_id", "fp")
+        .distinct()
+    )
 
 
 def winnow_fingerprints(
     corpus: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
-    """(id, fps: array<long>) winnowed fingerprint set per doc
-    (mapInPandas; two docs sharing any fingerprint are clone-suspects)."""
-    id_field = corpus.schema[id_col]
-    out_schema = T.StructType(
-        [
-            T.StructField(id_col, id_field.dataType, True),
-            T.StructField("fps", T.ArrayType(T.LongType()), False),
-        ]
+    """(id, fps: array<long>) winnowed fingerprint set per doc, sorted
+    (two docs sharing any fingerprint are clone-suspects)."""
+    flat = _winnow_flat(corpus, id_col, text_col)
+    fps = flat.groupBy("_id").agg(
+        F.sort_array(F.collect_set("fp")).alias("fps")
     )
-
-    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for batch in batches:
-            yield pd.DataFrame(
-                {
-                    id_col: batch[id_col],
-                    "fps": [
-                        np.array(_py_winnow(t), dtype=np.int64)
-                        for t in batch[text_col]
-                    ],
-                }
-            )
-
-    return corpus.select(id_col, text_col).mapInPandas(gen, schema=out_schema)
+    # keep tokenless docs with an empty fps array (oracle parity)
+    return (
+        corpus.select(F.col(id_col))
+        .join(fps.withColumnRenamed("_id", id_col), id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("fps"), F.array().cast("array<long>")).alias("fps"),
+        )
+    )
 
 
 def clone_candidates(
@@ -183,9 +210,7 @@ def clone_candidates(
 ) -> DataFrame:
     """Pairs sharing ≥ min_shared winnow fingerprints (inverted-index
     join on fingerprint — the scalable clone-detection path)."""
-    fp = winnow_fingerprints(corpus, id_col, text_col).select(
-        F.col(id_col).alias("_id"), F.explode("fps").alias("fp")
-    )
+    fp = _winnow_flat(corpus, id_col, text_col)
     return (
         fp.alias("x")
         .join(

@@ -17,7 +17,6 @@ from antidb_spark.functions.packing import (
     varint_decode,
     varint_encode,
 )
-from antidb_spark.operators.dedup import _shingle_hashes_py, _stable_hash64
 from antidb_spark.operators.textstats import _py_winnow
 
 texts = st.text(
@@ -65,17 +64,20 @@ def test_winnow_deterministic_and_covering(s):
         assert len(fps) >= 1
 
 
+def _md5_gram_hash(s: str) -> int:
+    """Python twin of textstats.gram_hash / the DuckDB hex cast."""
+    import hashlib
+
+    return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+
 @given(texts, texts)
-def test_stable_hash_consistency(a, b):
-    assert _stable_hash64(a) == _stable_hash64(a)
+def test_gram_hash_consistency(a, b):
+    h = _md5_gram_hash(a)
+    assert h == _md5_gram_hash(a)
+    assert 0 <= h < (1 << 60)  # 15 hex digits → positive int64
     if a != b:
-        assert _stable_hash64(a) != _stable_hash64(b)  # 64-bit: no collision expected
-
-
-@given(texts)
-def test_shingle_hashes_deterministic(s):
-    h1, h2 = _shingle_hashes_py(s), _shingle_hashes_py(s)
-    assert (h1 == h2).all()
+        assert h != _md5_gram_hash(b)  # 60-bit: no collision expected
 
 
 @settings(max_examples=25, deadline=None)
