@@ -78,20 +78,52 @@ def exact_dups(
     )
 
 
-def shingles(col: Column | str, n: int = 3) -> Column:
-    """array<string> of word n-gram shingles (distinct), JVM-side:
-    tokens → sliding windows joined by a space."""
-    toks = tokens(col)
-    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
-    grams = F.transform(
-        idx, lambda i: F.array_join(F.slice(toks, i + 1, n), " ")
+def shingles(toks: Column, n: int = 3) -> Column:
+    """array<string> of word n-gram shingles — a MULTISET (consumers
+    either dedupe relationally or are duplicate-insensitive:
+    array_intersect/array_union and min-aggregates ignore duplicates).
+
+    Construction is arrays_zip over n SHIFTED SLICES of the token array
+    — NOT a transform over an index sequence with per-index slicing.
+    The index-lambda form references ``toks`` inside the lambda, and
+    CollapseProject inlines the tokenizer expression there, re-running
+    it once PER INDEX: O(tokens²) per document (measured 10× on this
+    explode at bench scale). The zip form references ``toks`` only n+2
+    times per row regardless of length. Per-row ``array_distinct`` is
+    avoided for the same quadratic reason (O(k²) comparisons per doc).
+    """
+    # slice length = size(toks): "rest of the array" without the
+    # start+length int overflow a 2^31-1 literal length triggers
+    cols = [toks.alias("g0")] + [
+        F.slice(toks, i + 1, F.size(toks)).alias(f"g{i}") for i in range(1, n)
+    ]
+    z = F.arrays_zip(*cols)
+    last = f"g{n - 1}"
+    grams = F.filter(
+        F.transform(
+            z,
+            # .getField, not [..]: item access on a lambda struct var
+            # resolves as element_at and yields silent nulls
+            lambda s: F.when(
+                s.getField(last).isNotNull(),
+                F.concat_ws(" ", *[s.getField(f"g{i}") for i in range(n)]),
+            ),
+        ),
+        lambda g: g.isNotNull(),
     )
     # Shorter-than-n docs produce their full token join as one shingle.
-    return F.array_distinct(
-        F.when(F.size(toks) >= n, grams).otherwise(
-            F.array(F.array_join(toks, " "))
-        )
+    return F.when(F.size(toks) >= n, grams).otherwise(
+        F.array(F.array_join(toks, " "))
     )
+
+
+def shingle_arrays(
+    corpus: DataFrame, id_col: str, text_col: str, n: int
+) -> DataFrame:
+    """(_id, shs: array<string>) shingle multisets, tokens materialized."""
+    return corpus.select(
+        F.col(id_col).alias("_id"), tokens(text_col).alias("_toks")
+    ).select("_id", shingles(F.col("_toks"), n).alias("shs"))
 
 
 def ngram_jaccard_pairs(
@@ -120,10 +152,10 @@ def ngram_jaccard_pairs(
     is the explicit opt-in to fully-exact (and scale-unsafe) candidate
     generation.
     """
-    sh_arr = corpus.select(
-        F.col(id_col).alias("_id"), shingles(text_col, n).alias("shs")
-    )
-    ex = sh_arr.select("_id", F.explode("shs").alias("sh"))
+    sh_arr = shingle_arrays(corpus, id_col, text_col, n)
+    # relation-level dedupe restores SET semantics for df counts and
+    # candidate generation (cheaper than per-row array_distinct)
+    ex = sh_arr.select("_id", F.explode("shs").alias("sh")).distinct()
     if max_shingle_df is not None:
         hot = (
             ex.groupBy("sh")
@@ -167,23 +199,29 @@ def minhash_signatures(
 ) -> DataFrame:
     """(id, sig: array<long>[N_HASHES]) — fully JVM-side.
 
-    Each permutation i is the min over the doc's shingles of
-    ``xxhash64(seed, i, shingle)``; explode → 64 min-aggregates (map-side
-    partial agg, one shuffle keyed on the doc id — no skew: the hot
-    shingles are values here, not keys). Replaces a per-document Python
-    hashing loop that was the dedup bench's dominant constant factor;
-    min-of-seeded-hash is the standard minhash family, so the
-    equal-component fraction still estimates Jaccard.
+    Each doc shingle is hashed ONCE (``xxhash64(seed, shingle)``); the
+    64 permutations re-hash only the resulting 8-byte value
+    (``xxhash64(i, h)`` — far cheaper than 64 string hashes per
+    shingle). Explode → 64 min-aggregates (map-side partial agg, one
+    shuffle keyed on the doc id — no skew: hot shingles are values
+    here, not keys; duplicates are irrelevant under min). Replaces a
+    per-document Python hashing loop that was the dedup bench's
+    dominant constant factor; min-of-seeded-hash is the standard
+    minhash family, so the equal-component fraction still estimates
+    Jaccard.
     """
-    sh = corpus.select(
-        F.col(id_col), F.explode(shingles(text_col, n)).alias("sh")
+    sh = shingle_arrays(corpus, id_col, text_col, n).select(
+        F.col("_id").alias(id_col), F.explode("shs").alias("sh")
+    )
+    hashed = sh.select(
+        id_col, F.xxhash64(F.lit(int(seed)), F.col("sh")).alias("h")
     )
     aggs = [
-        F.min(F.xxhash64(F.lit(int(seed)), F.lit(i), F.col("sh"))).alias(f"h{i}")
+        F.min(F.xxhash64(F.lit(i), F.col("h"))).alias(f"h{i}")
         for i in range(N_HASHES)
     ]
     return (
-        sh.groupBy(id_col)
+        hashed.groupBy(id_col)
         .agg(*aggs)
         .select(
             id_col,
@@ -237,9 +275,8 @@ def minhash_near_dups(
         .distinct()
     )
     # exact verify: recompute Jaccard only for candidates
-    sh = corpus.select(
-        F.col(id_col).alias("_id"), shingles(text_col, n).alias("shs")
-    )
+    # (array_intersect/array_union dedupe, so multiset shingles are fine)
+    sh = shingle_arrays(corpus, id_col, text_col, n)
     return (
         cand.join(sh.withColumnsRenamed({"_id": "id_a", "shs": "sa"}), "id_a")
         .join(sh.withColumnsRenamed({"_id": "id_b", "shs": "sb"}), "id_b")

@@ -155,16 +155,16 @@ def _winnow_flat(
     One shuffle keyed on the doc id; no Python in the path."""
     from pyspark.sql import Window
 
-    toks = tokens(text_col)
-    n_tok = F.size(toks)
-    idx = F.sequence(F.lit(0), n_tok - WINNOW_K)
-    grams = F.when(
-        n_tok >= WINNOW_K,
-        F.transform(idx, lambda i: F.array_join(F.slice(toks, i + 1, WINNOW_K), " ")),
-    ).otherwise(F.array(F.array_join(toks, " ")))
-    g = corpus.select(
-        F.col(id_col).alias("_id"), F.posexplode(grams).alias("gi", "g")
-    ).filter(F.length("g") > 0)  # tokenless docs have no fingerprints
+    # zip-of-shifted-slices k-grams (see dedup.shingles for why the
+    # index-lambda form is O(tokens²) after projection collapse)
+    from antidb_spark.operators.dedup import shingles
+
+    grams = shingles(tokens(text_col), WINNOW_K)
+    g = (
+        corpus.select(F.col(id_col).alias("_id"),
+                      F.posexplode(grams).alias("gi", "g"))
+        .filter(F.length("g") > 0)  # tokenless docs have no fingerprints
+    )
     w_roll = (
         Window.partitionBy("_id").orderBy("gi").rowsBetween(0, WINNOW_W - 1)
     )
