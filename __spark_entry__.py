@@ -309,18 +309,36 @@ def _q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_topk(_vecs(spark, sf_dir), probe, k=10)
 
 
-def _q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from antidb_spark.operators.similarity import hyperplane_lsh_topk
+def _q_ann_persisted(spark: SparkSession, sf_dir: str, kind: str) -> DataFrame:
+    """ANN top-k served from a COMMITTED index table (AnnIndexStore
+    build → open → probe reads manifest-pruned bucket/cell files only),
+    not a per-query full scan."""
+    import shutil
+    import tempfile
+
+    from antidb_spark.operators.ann import AnnIndexStore
 
     probe = _probe_vec(spark, sf_dir)
-    return hyperplane_lsh_topk(_vecs(spark, sf_dir), probe, k=10)
+    root = tempfile.mkdtemp(prefix="antidb_entry_ann_")
+    try:
+        store = AnnIndexStore(spark, root)
+        if kind == "lsh":
+            idx = store.build_lsh("vecs", _vecs(spark, sf_dir))
+        else:
+            idx = store.build_ivf("vecs", _vecs(spark, sf_dir))
+        out = idx.topk(probe, k=10).cache()
+        out.count()  # materialize before the temp dir is removed
+        return out
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+def _q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _q_ann_persisted(spark, sf_dir, "lsh")
 
 
 def _q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from antidb_spark.operators.similarity import ivf_topk
-
-    probe = _probe_vec(spark, sf_dir)
-    return ivf_topk(_vecs(spark, sf_dir), probe, k=10)
+    return _q_ann_persisted(spark, sf_dir, "ivf")
 
 
 def _vecs_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -514,6 +532,82 @@ fps AS (
 SELECT x.doc_id AS id_a, y.doc_id AS id_b, count(*)::BIGINT AS shared_fps
 FROM fps x JOIN fps y ON x.fp = y.fp AND x.doc_id < y.doc_id
 GROUP BY 1, 2 HAVING count(*) >= {min_shared}
+"""
+
+
+def _sql_dot(vec_expr: str, other_expr: str, dim: int) -> str:
+    """Left-fold dot product — the list_sum ≡ F.aggregate ≡ seq_dot
+    association order all float-bearing oracles rely on."""
+    return (
+        f"list_sum(list_transform(generate_series(1, {dim}), "
+        f"i -> ({vec_expr})[i]::DOUBLE * ({other_expr})[i]::DOUBLE))"
+    )
+
+
+def _sql_cos(vec_expr: str, other_expr: str, dim: int) -> str:
+    return (
+        f"({_sql_dot(vec_expr, other_expr, dim)} / "
+        f"(sqrt({_sql_dot(vec_expr, vec_expr, dim)}) * "
+        f"sqrt({_sql_dot(other_expr, other_expr, dim)})))"
+    )
+
+
+def _ann_lsh_oracle(k: int = 10, n_planes: int = 8, n_tables: int = 4,
+                    dim: int = 64, seed: int = 42) -> str:
+    """Persisted-LSH top-k: candidate iff some table's bucket is within
+    Hamming distance 1 of the probe's bucket (≡ multiprobe over the
+    probe bucket + its n_planes neighbors), then exact cosine top-k."""
+    from antidb_spark.operators.similarity import _hyperplanes
+
+    def bucket(vec_expr: str, t: int) -> str:
+        planes = _hyperplanes(dim, n_planes, seed + 1000 * t)
+        return " + ".join(
+            f"(CASE WHEN {_sql_dot(vec_expr, '[' + ', '.join(repr(float(x)) for x in p) + ']', dim)}"
+            f" >= 0 THEN {1 << i} ELSE 0 END)"
+            for i, p in enumerate(planes)
+        )
+
+    cond = " OR ".join(
+        f"bit_count(xor((({bucket('e.embedding', t)}))::BIGINT, "
+        f"(({bucket('p.pv', t)}))::BIGINT)) <= 1"
+        for t in range(n_tables)
+    )
+    return f"""
+WITH p AS (SELECT embedding AS pv FROM embeddings WHERE vec_id = 0),
+cand AS (SELECT e.vec_id, e.embedding FROM embeddings e, p WHERE {cond})
+SELECT c.vec_id, round({_sql_cos('c.embedding', 'p.pv', dim)}, 6) AS cos
+FROM cand c, p ORDER BY cos DESC, vec_id ASC LIMIT {k}
+"""
+
+
+def _ann_ivf_oracle(k: int = 10, n_cells: int = 16, n_probe: int = 4,
+                    dim: int = 64, seed: int = 42) -> str:
+    """Persisted-IVF top-k: centroids = the n_cells lowest-md5(id·seed)
+    vectors within the md5-starts-with-'0' slice (mirrors
+    similarity.sample_centroids), assignment = per-vector argmax cosine
+    (ties → lower cell), probe reads its top n_probe cells."""
+    return f"""
+WITH p AS (SELECT embedding AS pv FROM embeddings WHERE vec_id = 0),
+sl AS (SELECT vec_id, embedding, md5(vec_id::VARCHAR || '{seed}') AS h
+       FROM embeddings),
+cent AS (SELECT row_number() OVER (ORDER BY h, vec_id) - 1 AS cell,
+                embedding AS cv
+         FROM sl WHERE substr(h, 1, 1) = '0' ORDER BY h, vec_id
+         LIMIT {n_cells}),
+pairs AS (SELECT e.vec_id, e.embedding, c.cell,
+                 {_sql_cos('e.embedding', 'c.cv', dim)} AS s
+          FROM embeddings e CROSS JOIN cent c),
+asg AS (SELECT vec_id, embedding, cell FROM (
+          SELECT *, row_number() OVER (PARTITION BY vec_id
+                                       ORDER BY s DESC, cell ASC) AS rn
+          FROM pairs) WHERE rn = 1),
+pcell AS (SELECT c.cell FROM cent c, p
+          ORDER BY {_sql_cos('c.cv', 'p.pv', dim)} DESC, c.cell ASC
+          LIMIT {n_probe}),
+cand AS (SELECT a.vec_id, a.embedding FROM asg a
+         WHERE a.cell IN (SELECT cell FROM pcell))
+SELECT c.vec_id, round({_sql_cos('c.embedding', 'p.pv', dim)}, 6) AS cos
+FROM cand c, p ORDER BY cos DESC, vec_id ASC LIMIT {k}
 """
 
 
@@ -717,12 +811,11 @@ SELECT doc_id::BIGINT AS media_id,
   md5(text) AS payload_md5
 FROM documents
 """,
-        # Remaining no-oracle ops (minhash_dups, ann_lsh_topk,
-        # ann_ivf_topk, media_features, frame_sample) are probabilistic
-        # or stub-backed: the driver applies its rows-only check; their
-        # correctness is pinned by pytest oracles (numpy/pandas
-        # reimplementations) and recall/subset assertions against the
-        # exact operators above.
+        # Remaining no-oracle ops (minhash_dups, media_features,
+        # frame_sample) are probabilistic or stub-backed: the driver
+        # applies its rows-only check; their correctness is pinned by
+        # pytest oracles and subset/recall assertions against the exact
+        # operators above.
     }
     # the persisted-index paths must answer exactly like the in-memory
     # KeyedIndex paths → same oracles
@@ -731,4 +824,6 @@ FROM documents
     out["simhash_dups"] = _simhash_dups_oracle(3)
     out["clone_candidates"] = _clone_candidates_oracle(2)
     out["embedding_dups"] = _embedding_dups_oracle(0.95)
+    out["ann_lsh_topk"] = _ann_lsh_oracle(10)
+    out["ann_ivf_topk"] = _ann_ivf_oracle(10)
     return out

@@ -192,15 +192,28 @@ def sample_centroids(
     vectors: DataFrame, n_cells: int, vec_col: str = "embedding",
     id_col: str = "vec_id", seed: int = 42,
 ) -> np.ndarray:
-    """Deterministic centroid pick: the n_cells vectors with the lowest
-    md5(id) — a seeded uniform sample that is stable across partitioning."""
-    rows = (
-        vectors.select(id_col, vec_col)
-        .orderBy(F.md5(F.concat(F.col(id_col).cast("string"),
-                                F.lit(str(seed)))), F.col(id_col))
+    """Deterministic centroid pick: the n_cells lowest-md5(id·seed)
+    vectors AMONG the ~1/16 slice whose md5 starts with '0' — the hash
+    filter bounds the TakeOrdered input so no corpus-wide ordered scan
+    ever carries full vectors (falls back to the unsliced order only
+    when the corpus is too small to fill the slice). Stable across
+    partitioning, and reproducible in ANSI SQL (md5 of id || seed)."""
+    h = F.md5(F.concat(F.col(id_col).cast("string"), F.lit(str(seed))))
+    sliced = (
+        vectors.filter(F.substring(h, 1, 1) == "0")
+        .select(id_col, vec_col)
+        .orderBy(h, F.col(id_col))
         .limit(n_cells)
         .collect()
     )
+    rows = sliced
+    if len(rows) < n_cells:
+        rows = (
+            vectors.select(id_col, vec_col)
+            .orderBy(h, F.col(id_col))
+            .limit(n_cells)
+            .collect()
+        )
     return np.array([r[vec_col] for r in rows], dtype=np.float64)
 
 
@@ -216,12 +229,17 @@ def ivf_topk(
 ) -> DataFrame:
     """IVF approximate top-k: score only vectors in the ``n_probe``
     cells whose centroids are most cosine-similar to the probe."""
+    from antidb_spark.operators.ann import seq_cos
+
     cents = sample_centroids(vectors, n_cells, vec_col, id_col, seed)
-    pv = np.asarray(probe, dtype=np.float64)
-    sims = (cents @ pv) / (
-        np.linalg.norm(cents, axis=1) * np.linalg.norm(pv) + 1e-12
+    # sequential-fold cosine (not numpy BLAS): same association order as
+    # the Spark aggregate fold / DuckDB list_sum, so all engines pick
+    # the same probe cells; ties → lower cell
+    sims = sorted(
+        ((c, seq_cos(v, probe)) for c, v in enumerate(cents)),
+        key=lambda cv: (-cv[1], cv[0]),
     )
-    probe_cells = [int(c) for c in np.argsort(-sims)[:n_probe]]
+    probe_cells = [c for c, _ in sims[:n_probe]]
     assigned = ivf_assign(vectors, cents, id_col, vec_col)
     cand = assigned.filter(F.col("cell").isin(probe_cells))
     return cosine_topk(cand, probe, k, id_col, vec_col)

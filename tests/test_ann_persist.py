@@ -1,0 +1,89 @@
+"""Persisted ANN indexes (AnnIndexStore): parity with the in-memory
+tiers, reopen-from-manifest, and observable file pruning.
+
+The in-memory LSH/IVF tiers in operators/similarity.py define the
+candidate-set semantics (and are recall-pinned in test_similarity); the
+persisted indexes must return IDENTICAL rows while reading only
+manifest-pruned bucket/cell files.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from antidb_spark.operators.ann import AnnIndexStore, seq_cos, seq_dot
+from antidb_spark.operators.similarity import hyperplane_lsh_topk, ivf_topk
+
+
+@pytest.fixture(scope="module")
+def vecs(spark, sf_dir):
+    df = spark.read.parquet(f"{sf_dir}/embeddings.parquet").cache()
+    df.count()
+    return df
+
+
+@pytest.fixture(scope="module")
+def probe(vecs):
+    row = vecs.filter(vecs.vec_id == 0).first()
+    return [float(v) for v in row["embedding"]]
+
+
+@pytest.fixture(scope="module")
+def store(spark, vecs, tmp_path_factory):
+    st = AnnIndexStore(spark, str(tmp_path_factory.mktemp("ann_store")))
+    st.build_lsh("lsh", vecs, n_partitions=8)
+    st.build_ivf("ivf", vecs, n_partitions=8)
+    return st
+
+
+def test_lsh_persisted_matches_inmemory(spark, store, vecs, probe):
+    idx = AnnIndexStore(spark, store.catalog.root).open_lsh("lsh")  # reopen
+    got = idx.topk(probe, k=10).collect()
+    want = hyperplane_lsh_topk(vecs, probe, k=10).collect()
+    assert [(r["vec_id"], r["cos"]) for r in got] == [
+        (r["vec_id"], r["cos"]) for r in want
+    ]
+
+
+def test_ivf_persisted_matches_inmemory(spark, store, vecs, probe):
+    idx = AnnIndexStore(spark, store.catalog.root).open_ivf("ivf")
+    got = idx.topk(probe, k=10, n_probe=4).collect()
+    want = ivf_topk(vecs, probe, k=10, n_probe=4).collect()
+    assert [(r["vec_id"], r["cos"]) for r in got] == [
+        (r["vec_id"], r["cos"]) for r in want
+    ]
+
+
+def test_lsh_probe_prunes_files(store, probe):
+    idx = store.open_lsh("lsh")
+    man = store.catalog.manifest("lsh")
+    # single-probe keys (4 buckets, one per table) must hit a strict
+    # subset of files; multiprobe scatters ~36 keys and may touch all
+    # files at this tiny scale
+    keys = idx.probe_keys(probe, multiprobe=False)
+    pruned = store.catalog.pruned_file_paths("lsh", "bkey", values=keys)
+    assert pruned is not None
+    assert 0 < len(pruned) < len(man["files"])
+
+
+def test_ivf_probe_prunes_files(store, probe):
+    idx = store.open_ivf("ivf")
+    man = store.catalog.manifest("ivf")
+    cells = idx.probe_cells(probe, n_probe=2)
+    pruned = store.catalog.pruned_file_paths("ivf", "cell", values=cells)
+    assert pruned is not None
+    assert 0 < len(pruned) < len(man["files"])
+
+
+def test_ivf_cells_cover_all_vectors(store, vecs):
+    n = store.catalog.read("ivf").count()
+    assert n == vecs.count()
+    cents = store.open_ivf("ivf").centroids()
+    assert len(cents) == 16
+    assert [c for c, _ in cents] == list(range(16))
+
+
+def test_seq_fold_math():
+    assert seq_dot([1.0, 2.0], [3.0, 4.0]) == 11.0
+    assert abs(seq_cos([1.0, 0.0], [1.0, 0.0]) - 1.0) < 1e-12
+    assert abs(seq_cos([1.0, 0.0], [0.0, 1.0])) < 1e-12
