@@ -8,11 +8,15 @@ resumable build job producing four Iceberg-style tables —
   final rank tiebreak can sort by ordinal alone.
 - ``terms``   (term, df): exact document frequencies.
 - ``stats``   (n_docs, avgdl): single-row corpus stats.
-- ``blocks``  (term, block_id, n_docs, min_ord, max_ord, max_score,
-  docs_packed, tfs_packed): posting lists cut into ~128-doc blocks,
-  docID gaps delta+varint-packed into binary cells (the reference's
-  zstd-pickled columnar leaves, idx.py:160-173, upgraded per the north
-  rule), with per-block max BM25 contribution for block-max pruning.
+- ``blocks``  (term, block_id, n_docs, min_ord, max_ord, tfs_front,
+  dls_front, docs_packed, tfs_packed, dls_packed): posting lists cut
+  into ~128-doc blocks, docID gaps delta+varint-packed into binary
+  cells (the reference's zstd-pickled columnar leaves, idx.py:160-173,
+  upgraded per the north rule). Pruning metadata is the block's
+  STATS-INDEPENDENT (tf, dl) Pareto front; the exact BM25 block max is
+  derived at query time from current df/avgdl/N (tfw is monotone ↑tf
+  ↓dl, so the max is always on the front), which keeps committed
+  blocks valid under incremental appends.
 
 Scale design (10^12 turns, 1000 executors):
 
@@ -40,14 +44,16 @@ Scale design (10^12 turns, 1000 executors):
   top-k document.
 
 Block-max pruning invariant (why skipped blocks cannot hide a winner):
-let M_t = max block max_score of query term t and θ = the k-th best
-*partial* score from pass 1 (a lower bound on the true k-th best score).
-A block b of term t is skipped only when
-``max_score(b) + Σ_{t'≠t} M_{t'} < θ``. Any doc d with a posting in b
-has true score ≤ max_score(b) + Σ_{t'≠t} M_{t'} < θ, so d cannot be in
-the top k — hence every true top-k doc has ALL its blocks decoded and
-its exact score computed; docs partially scored because one of their
-blocks was skipped rank strictly below θ and cannot displace a winner.
+let m(b) = idf · max-over-front tfw — the EXACT max contribution in b
+under current stats — M_t = max m over query term t's blocks, and θ =
+a LOWER bound on the true k-th best score (from pass-1 exact partial
+scores, or from block metadata alone — see _meta_thresholds). A block
+b of term t is skipped only when ``m(b) + Σ_{t'≠t} M_{t'} < θ``. Any
+doc d with a posting in b has true score ≤ m(b) + Σ_{t'≠t} M_{t'} < θ,
+so d cannot be in the top k — hence every true top-k doc has ALL its
+blocks decoded and its exact score computed; docs partially scored
+because one of their blocks was skipped rank strictly below θ and
+cannot displace a winner.
 """
 
 from __future__ import annotations
@@ -78,12 +84,17 @@ BLOCK_SIZE = 128
 
 
 def assign_doc_ords(
-    docs: DataFrame, id_cols: Sequence[str], n_partitions: int | None = None
+    docs: DataFrame,
+    id_cols: Sequence[str],
+    n_partitions: int | None = None,
+    start: int = 0,
 ) -> DataFrame:
     """Dense uint64 ordinals in (*id_cols) order — distributed zipWithIndex.
 
-    Returns the input columns + ``doc_ord`` (long). Deterministic for a
-    given input; no global single-partition sort.
+    Returns the input columns + ``doc_ord`` (long), numbering from
+    ``start`` (incremental appends number new docs after the committed
+    max). Deterministic for a given input; no global single-partition
+    sort.
     """
     spark = docs.sparkSession
     n_part = n_partitions or spark.sparkContext.defaultParallelism
@@ -98,7 +109,7 @@ def assign_doc_ords(
         for r in sorted_df.groupBy("_pid").agg(F.count(F.lit(1)).alias("n")).collect()
     }
     offsets: dict[int, int] = {}
-    acc = 0
+    acc = start
     for pid in sorted(counts):
         offsets[pid] = acc
         acc += counts[pid]
@@ -137,7 +148,8 @@ _BLOCKS_OUT = T.StructType(
         T.StructField("n_docs", T.IntegerType(), False),
         T.StructField("min_ord", T.LongType(), False),
         T.StructField("max_ord", T.LongType(), False),
-        T.StructField("max_score", T.DoubleType(), False),
+        T.StructField("tfs_front", T.ArrayType(T.LongType()), False),
+        T.StructField("dls_front", T.ArrayType(T.LongType()), False),
         T.StructField("docs_packed", T.BinaryType(), False),
         T.StructField("tfs_packed", T.BinaryType(), False),
         T.StructField("dls_packed", T.BinaryType(), False),
@@ -154,13 +166,17 @@ _POSTINGS_OUT = T.StructType(
 )
 
 
-def _pack_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+def _pack_partition(
+    batches: Iterator[pd.DataFrame], run_base: int = 0
+) -> Iterator[pd.DataFrame]:
     """Pack one sorted (term, doc_ord) partition into blocks.
 
     Input batches are Arrow slices of a partition sorted by
     (term, doc_ord); a term's run may span batches, so a per-term
     remainder is carried until the term changes or the partition ends.
-    block_id = pid << 32 | seq keeps ids unique without coordination.
+    block_id = run_base | pid << 32 | seq keeps ids unique without
+    coordination (run_base = compaction run number << 48, so appended
+    runs never collide with committed blocks).
     """
     pending: pd.DataFrame | None = None
     seq = 0
@@ -183,13 +199,25 @@ def _pack_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
                     ords.astype(np.uint64), tfs.astype(np.uint64)
                 )
                 dls_b = varint_encode(dls.astype(np.uint64))
+                # (tf, dl) Pareto front: tfw is monotone ↑tf ↓dl for ANY
+                # avgdl, so the block's exact max contribution is always
+                # achieved at a front point — exact, stats-independent
+                # block-max metadata (front is tiny, typically ≤ 5 pts)
+                order = np.lexsort((dls, -tfs))
+                sdl = dls[order]
+                prev_min = np.concatenate(
+                    ([np.iinfo(np.int64).max],
+                     np.minimum.accumulate(sdl)[:-1])
+                )
+                keep = sdl < prev_min
                 yield (
                     term,
-                    (pid << 32) | seq,
+                    run_base | (pid << 32) | seq,
                     len(chunk),
                     int(ords[0]),
                     int(ords[-1]),
-                    float(chunk["contrib"].max()),
+                    tfs[order][keep].tolist(),
+                    sdl[keep].tolist(),
                     docs_b,
                     tfs_b,
                     dls_b,
@@ -350,20 +378,13 @@ class IndexBuilder:
             with self.timer.phase("blocks"):
                 postings = self.catalog.read("postings")
                 docmap = self.catalog.read("docmap")
-                dfs = self.catalog.read("terms")
-                stats = self.catalog.read("stats")
-                enriched = (
-                    postings.join(docmap, self.id_cols)
-                    .join(dfs, "term")
-                    .crossJoin(F.broadcast(stats))
-                    .withColumn(
-                        "contrib",
-                        contribution(
-                            F.col("tf"), F.col("df"), F.col("dl"),
-                            F.col("avgdl"), F.col("n_docs"),
-                        ),
-                    )
-                    .select("term", "doc_ord", "tf", "dl", "contrib")
+                # blocks carry (max_tf, min_dl), not a precomputed
+                # score, so packing needs NO df/stats join — the BM25
+                # bound is derived at query time from current stats
+                # (see _meta_thresholds); this also keeps appended
+                # blocks valid after df/avgdl/N drift.
+                enriched = postings.join(docmap, self.id_cols).select(
+                    "term", "doc_ord", "tf", "dl"
                 )
                 packed = (
                     enriched.repartitionByRange(n_part, "term", "doc_ord")
@@ -371,7 +392,10 @@ class IndexBuilder:
                     .withColumn("_pid", F.spark_partition_id())
                     .mapInPandas(_pack_partition, schema=_BLOCKS_OUT)
                 )
-                man = self.catalog.write(packed, "blocks", stats_cols=["term"])
+                man = self.catalog.write(
+                    packed, "blocks", stats_cols=["term"],
+                    props={"n_runs": 1},
+                )
             self.ckpt.mark_done(
                 "blocks", rows=sum(e["rows"] for e in man["files"]),
                 snapshot=man["snapshot_id"],
@@ -494,38 +518,68 @@ class IndexBuilder:
             ),
         }
 
+    @staticmethod
+    def _tfw(tf: np.ndarray, dl: np.ndarray, avgdl: float) -> np.ndarray:
+        from antidb_spark.functions.bm25 import B, K1
+
+        return (tf * (K1 + 1.0)) / (tf + K1 * (1.0 - B + (B * dl) / avgdl))
+
     def _meta_thresholds(self, plan: dict, k: int) -> dict[str, float]:
         """Metadata-only block-max pruning thresholds, driver-side.
 
-        θ_q lower bound WITHOUT decoding any block: the j-th largest
-        block max_score of a single term t is achieved by j DISTINCT
-        docs (a term's blocks partition its postings), each with total
-        score ≥ its block's max contribution — so the k-th largest block
-        max of t lower-bounds the true k-th best score of any query
-        containing t; θ_q = max over q's terms. A block b of term t is
-        then skippable for q when max_score(b) + Σ_{t'≠t} M_{t'} < θ_q
-        (module-docstring invariant, with this weaker-but-free θ), i.e.
-        when max_score(b) < θ_q - (m_sum_q - M_t). The per-TERM keep
-        threshold is the min over queries containing the term (a block
-        any query needs survives), nudged one ulp down so float
-        rearrangement can never drop a boundary block.
+        Blocks store the stats-independent (tf, dl) PARETO FRONT of
+        their postings; with CURRENT corpus stats the block's exact max
+        contribution is ``m(b) = idf · max over front of tfw(tf, dl,
+        avgdl)`` (tfw is monotone ↑tf ↓dl, so the max over all postings
+        is achieved on the front) — exact even after incremental
+        appends changed df/avgdl/N since the block was packed.
+
+        θ_q lower bound WITHOUT decoding any block: each m(b) is
+        achieved by a REAL posting whose doc's total score ≥ m(b), and
+        a term's blocks partition its postings into distinct docs — so
+        the k-th largest m over a single term's blocks lower-bounds the
+        true k-th best score of any query containing the term; θ_q =
+        max over q's terms (None if every term has < k blocks). A block
+        b of term t is then skippable for q when m(b) + Σ_{t'≠t} M_{t'}
+        < θ_q (module-docstring invariant). The per-TERM keep threshold
+        (min over queries containing the term) is returned on the tfw
+        SCALE (thr/idf, one ulp down per rearrangement) so the scan
+        filter is a pure expression over the front arrays and the avgdl
+        literal — no joins.
         """
         meta = self.catalog.read_pruned_arrow(
-            "blocks", "term", plan["terms"], columns=["term", "max_score"]
+            "blocks", "term", plan["terms"],
+            columns=["term", "tfs_front", "dls_front"],
         ).to_pandas()
-        by_term = {
-            t: g.to_numpy() for t, g in meta.groupby("term")["max_score"]
-        }
+        avgdl = plan["avgdl"]
+        n_blocks = len(meta)
+        lens = meta["tfs_front"].map(len).to_numpy(dtype=np.int64)
+        ftf = (
+            np.concatenate(meta["tfs_front"].to_numpy())
+            if n_blocks else np.empty(0, dtype=np.int64)
+        ).astype(np.float64)
+        fdl = (
+            np.concatenate(meta["dls_front"].to_numpy())
+            if n_blocks else np.empty(0, dtype=np.int64)
+        ).astype(np.float64)
+        tfw_flat = self._tfw(ftf, fdl, avgdl)
+        max_tfw = np.full(n_blocks, float("-inf"))
+        np.maximum.at(max_tfw, np.repeat(np.arange(n_blocks), lens), tfw_flat)
+        idf_col = np.array([plan["idf"][t] for t in meta["term"]])
+        meta["m"] = idf_col * max_tfw
+        grouped = meta.groupby("term")["m"]
+        big_m = grouped.max().to_dict()
+        kth: dict[str, float | None] = {}
+        for t, g in grouped:
+            a = g.to_numpy()
+            kth[t] = (
+                float(np.partition(a, a.size - k)[a.size - k])
+                if a.size >= k else None
+            )
         neg_inf = float("-inf")
-        big_m = {t: float(a.max()) for t, a in by_term.items()}
-        kth = {
-            t: (float(np.partition(a, a.size - k)[a.size - k]) if a.size >= k
-                else None)
-            for t, a in by_term.items()
-        }
         thr: dict[str, float] = {}
         for ts in plan["per_query"]:
-            pts = [t for t in ts if t in by_term]
+            pts = [t for t in ts if t in big_m]
             if not pts:
                 continue
             thetas = [kth[t] for t in pts if kth[t] is not None]
@@ -540,7 +594,15 @@ class IndexBuilder:
             for t in pts:
                 cand = np.nextafter(theta - (m_sum - big_m[t]), neg_inf)
                 thr[t] = min(thr.get(t, float("inf")), float(cand))
-        return thr
+        # m scale → tfw scale (m = idf·tfw, idf > 0), one more ulp of
+        # slack against the rearrangement
+        out: dict[str, float] = {}
+        for t, v in thr.items():
+            if v == neg_inf:
+                out[t] = neg_inf
+            else:
+                out[t] = float(np.nextafter(v / plan["idf"][t], neg_inf))
+        return out
 
     def _posting_contribs(self, blocks: DataFrame, plan: dict) -> DataFrame:
         """blocks → (doc_ord, term_id, contrib) in ONE Arrow stage:
@@ -634,11 +696,22 @@ class IndexBuilder:
                 if v != float("-inf")
             }
             if thr:
+                from antidb_spark.functions.bm25 import tf_weight
+
                 pairs: list = []
                 for t, v in thr.items():
                     pairs += [F.lit(t), F.lit(v)]
+                # exact per-block max tfw from the (tf, dl) Pareto front
+                # and the current-avgdl literal — pure codegen, no joins
+                block_tfw = F.array_max(
+                    F.zip_with(
+                        F.col("tfs_front"),
+                        F.col("dls_front"),
+                        lambda tf, dl: tf_weight(tf, dl, F.lit(plan["avgdl"])),
+                    )
+                )
                 blocks = blocks.filter(
-                    F.col("max_score")
+                    block_tfw
                     >= F.coalesce(
                         F.element_at(F.create_map(*pairs), F.col("term")),
                         F.lit(float("-inf")),
@@ -724,10 +797,34 @@ class IndexBuilder:
 
         Pass 1: decode only the best block per (query, term), exact-score
         those postings → per-query θ = k-th best partial score. Pass 2:
-        keep blocks with max_score + Σ_{t'≠t} M_{t'} ≥ θ.
+        keep blocks with m(b) + Σ_{t'≠t} M_{t'} ≥ θ, where m(b) =
+        idf(df)·max-over-front tfw — the exact block max under CURRENT
+        stats, derived from the stats-independent (tf, dl) Pareto front.
         """
-        meta = blocks.select("term", "block_id", "max_score").join(
-            F.broadcast(qt), "term"
+        from antidb_spark.functions.bm25 import idf, tf_weight
+
+        dfs = self.catalog.read("terms")
+        stats = self.catalog.read("stats")
+        meta = (
+            blocks.select("term", "block_id", "tfs_front", "dls_front")
+            .join(F.broadcast(qt), "term")
+            .join(
+                F.broadcast(dfs.join(qt.select("term").distinct(), "term")),
+                "term",
+            )
+            .crossJoin(F.broadcast(stats))
+            .withColumn(
+                "max_score",
+                idf(F.col("df"), F.col("n_docs"))
+                * F.array_max(
+                    F.zip_with(
+                        F.col("tfs_front"),
+                        F.col("dls_front"),
+                        lambda tf, dl: tf_weight(tf, dl, F.col("avgdl")),
+                    )
+                ),
+            )
+            .select("query_id", "term", "block_id", "max_score")
         )
         per_term_max = meta.groupBy("query_id", "term").agg(
             F.max("max_score").alias("m_t")

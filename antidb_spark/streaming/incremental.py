@@ -19,8 +19,13 @@ Design (idiomatic Structured Streaming):
 - ``compact``: merges main postings + all deltas, re-aggregates tf
   (a doc's turns may span batches — tf sums associatively), and runs
   the ordinary ``IndexBuilder`` over the merged relation into a fresh
-  index root. At scale this is the classic LSM shape: cheap appends,
-  periodic leveled rebuild; queries read the last compacted snapshot.
+  index root (the full, from-scratch level).
+- ``compact_incremental``: the O(delta) level — appends new-doc
+  postings/docmap/block FILES to the committed index (no existing
+  block file is touched; stats-independent block metadata keeps them
+  valid as corpus stats drift), rewrites only the small terms/stats
+  tables, and retires consumed delta batches in the sink ledger; falls
+  back to the full rebuild when a delta mutates an already-indexed doc.
 - ``turn_rates``: watermarked tumbling-window aggregate (turns/min per
   role) — late data beyond the watermark is dropped, demonstrating the
   engine's event-time handling on the ``ts`` column.
@@ -66,18 +71,36 @@ class PostingsDeltaSink:
         self.ledger = os.path.join(root, "_delta_ledger.json")
         os.makedirs(self.delta_dir, exist_ok=True)
 
-    def committed_batches(self) -> set[int]:
+    def _ledger(self) -> dict:
         if not os.path.exists(self.ledger):
-            return set()
+            return {"batches": [], "compacted": []}
         with open(self.ledger) as f:
-            return set(json.load(f)["batches"])
+            d = json.load(f)
+        d.setdefault("compacted", [])
+        return d
 
-    def _record(self, batch_id: int, rows: int) -> None:
-        done = self.committed_batches()
-        done.add(batch_id)
+    def committed_batches(self) -> set[int]:
+        return set(self._ledger()["batches"])
+
+    def uncompacted_batches(self) -> set[int]:
+        d = self._ledger()
+        return set(d["batches"]) - set(d["compacted"])
+
+    def mark_compacted(self, batch_ids: set[int]) -> None:
+        d = self._ledger()
+        d["compacted"] = sorted(set(d["compacted"]) | set(batch_ids))
         tmp = self.ledger + ".tmp"
         with open(tmp, "w") as f:
-            json.dump({"batches": sorted(done), "last_rows": rows}, f)
+            json.dump(d, f)
+        os.replace(tmp, self.ledger)
+
+    def _record(self, batch_id: int, rows: int) -> None:
+        d = self._ledger()
+        d["batches"] = sorted(set(d["batches"]) | {batch_id})
+        d["last_rows"] = rows
+        tmp = self.ledger + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(d, f)
         os.replace(tmp, self.ledger)  # atomic commit, data written first
 
     def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
@@ -94,11 +117,19 @@ class PostingsDeltaSink:
         post.write.mode("overwrite").option("compression", "zstd").parquet(out)
         self._record(batch_id, -1)
 
-    def deltas(self, spark: SparkSession) -> DataFrame | None:
+    def deltas(
+        self, spark: SparkSession, batch_ids: set[int] | None = None
+    ) -> DataFrame | None:
+        """Committed delta postings; ``batch_ids`` restricts to a subset
+        (incremental compaction reads only not-yet-compacted batches)."""
         dirs = [
             os.path.join(self.delta_dir, d)
             for d in sorted(os.listdir(self.delta_dir))
             if d.startswith("batch_id=")
+            and (
+                batch_ids is None
+                or int(d.split("=", 1)[1]) in batch_ids
+            )
         ]
         if not dirs:
             return None
@@ -152,6 +183,154 @@ def compact(
         )
     b.build(corpus=None)
     return b
+
+
+def compact_incremental(
+    spark: SparkSession,
+    sink: PostingsDeltaSink,
+    builder,
+    n_partitions: int | None = None,
+) -> dict:
+    """Fold NOT-YET-COMPACTED deltas into an already-committed index,
+    O(delta) instead of O(total index).
+
+    Append path (every delta doc is NEW — the streaming norm: new turns
+    / new conversations): appends files to the postings, docmap, and
+    blocks tables (never touching a committed block file — appended
+    blocks get a fresh ``run_base`` so block_ids can't collide, and
+    block metadata is stats-independent so existing blocks stay valid
+    as df/avgdl/N grow), renumbers only the new docs after the
+    committed max ordinal, and rewrites just the small metadata tables
+    (terms, stats). Falls back to a FULL rebuild when a delta touches
+    an EXISTING doc (its dl — packed into every one of its postings —
+    would change) or when the builder has no committed index yet.
+
+    Not crash-atomic across tables (single-writer batch context, same
+    as the reference's build); exactly-once ACROSS compactions comes
+    from the sink's compacted-batch ledger. Returns {"mode":
+    "append"|"full"|"noop", ...}.
+    """
+    from functools import partial
+
+    from antidb_spark.operators.build import (
+        _BLOCKS_OUT,
+        _pack_partition,
+        IndexBuilder,
+        assign_doc_ords,
+    )
+
+    b: IndexBuilder = builder
+    todo = sink.uncompacted_batches()
+    delta = sink.deltas(spark, todo)
+    if delta is None or not todo:
+        return {"mode": "noop"}
+    n_part = n_partitions or spark.sparkContext.defaultParallelism
+    delta_post = delta.groupBy("term", *sink.id_cols).agg(
+        F.sum("tf").alias("tf")
+    )
+
+    if not b.ckpt.is_done("blocks"):
+        # no committed index yet → this IS the initial batch build
+        compact(spark, sink, b.root)
+        sink.mark_compacted(todo)
+        return {"mode": "full", "reason": "no committed index"}
+
+    docmap = b.catalog.read("docmap")
+    delta_ids = delta_post.select(*sink.id_cols).distinct()
+    n_updates = delta_ids.join(docmap, sink.id_cols).count()
+    if n_updates > 0:
+        merged = (
+            b.catalog.read("postings")
+            .unionByName(delta_post)
+            .groupBy("term", *sink.id_cols)
+            .agg(F.sum("tf").alias("tf"))
+        )
+        # full rebuild in place: localCheckpoint pins the merged relation
+        # before its source tables are dropped out from under it
+        merged = merged.localCheckpoint()
+        for tbl in ("postings", "docmap", "stats", "terms", "blocks"):
+            b.catalog.drop(tbl)
+        b.ckpt.reset()
+        man = b.catalog.write(merged, "postings")
+        b.ckpt.mark_done(
+            "postings", rows=sum(e["rows"] for e in man["files"]),
+            snapshot=man["snapshot_id"], seconds=0.0,
+        )
+        b.build(corpus=None, n_partitions=n_part)
+        sink.mark_compacted(todo)
+        return {"mode": "full", "reason": f"{n_updates} existing docs updated"}
+
+    # ---- append path: every delta doc is new -----------------------------
+    old_max = max(
+        e["max_doc_ord"]
+        for e in b.catalog.manifest("docmap")["files"]
+        if e.get("max_doc_ord") is not None
+    )
+    new_dl = delta_post.groupBy(*sink.id_cols).agg(F.sum("tf").alias("dl"))
+    new_docmap = assign_doc_ords(
+        new_dl, sink.id_cols, n_part, start=int(old_max) + 1
+    )
+    b.catalog.write(
+        new_docmap, "docmap", stats_cols=["doc_ord"], mode="append"
+    )
+    src = getattr(new_docmap, "_ord_source", None)
+
+    b.catalog.write(delta_post, "postings", mode="append")
+
+    # terms: merged df written beside, then atomically swapped in
+    old_terms = b.catalog.read("terms")
+    delta_df = delta_post.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    merged_terms = (
+        old_terms.withColumnRenamed("df", "df_old")
+        .join(delta_df.withColumnRenamed("df", "df_new"), "term", "full_outer")
+        .select(
+            "term",
+            (
+                F.coalesce(F.col("df_old"), F.lit(0))
+                + F.coalesce(F.col("df_new"), F.lit(0))
+            ).alias("df"),
+        )
+    )
+    b.catalog.write(merged_terms, "terms__next", stats_cols=["term"])
+    b.catalog.drop("terms")
+    os.rename(b.catalog.table_dir("terms__next"), b.catalog.table_dir("terms"))
+
+    # stats: recomputed the batch way over the appended docmap (exact
+    # equivalence with a from-scratch build)
+    stats = b.catalog.read("docmap").agg(
+        F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")
+    )
+    b.catalog.write(stats, "stats")
+
+    # blocks: pack ONLY the delta postings; append with a fresh run_base
+    n_runs = int(b.catalog.manifest("blocks")["props"].get("n_runs", 1))
+    assert n_part < (1 << 16), "run_base layout assumes < 2^16 partitions"
+    enriched = delta_post.join(new_docmap, sink.id_cols).select(
+        "term", "doc_ord", "tf", "dl"
+    )
+    packed = (
+        enriched.repartitionByRange(n_part, "term", "doc_ord")
+        .sortWithinPartitions("term", "doc_ord")
+        .withColumn("_pid", F.spark_partition_id())
+        .mapInPandas(
+            partial(_pack_partition, run_base=n_runs << 48),
+            schema=_BLOCKS_OUT,
+        )
+    )
+    man = b.catalog.write(
+        packed, "blocks", stats_cols=["term"], mode="append",
+        props={"n_runs": n_runs + 1},
+    )
+    if src is not None:
+        src.unpersist()
+    b._stats_cache = None  # appended corpus → cached (n_docs, avgdl) stale
+    b.ckpt.mark_done(
+        f"compaction_run_{n_runs}",
+        batches=sorted(todo),
+        snapshot=man["snapshot_id"],
+    )
+    sink.mark_compacted(todo)
+    return {"mode": "append", "batches": sorted(todo), "run": n_runs}
 
 
 def turn_rates(

@@ -101,6 +101,90 @@ def test_compact_answers_equal_batch_index(spark, corpus, source_dir, tmp_path):
     assert a.values.tolist() == c.values.tolist()
 
 
+def _file_hashes(root: str) -> dict[str, str]:
+    import hashlib
+
+    out = {}
+    for dirpath, _dirs, fnames in os.walk(root):
+        for fn in fnames:
+            if fn.endswith(".parquet"):
+                p = os.path.join(dirpath, fn)
+                with open(p, "rb") as f:
+                    out[p] = hashlib.sha256(f.read()).hexdigest()
+    return out
+
+
+def test_incremental_compaction_appends_only(spark, corpus, tmp_path):
+    """O(delta) compaction: new-conversation deltas append files; every
+    pre-existing BLOCK file stays byte-identical; answers equal a full
+    batch build of the whole corpus (appended convs sort after the base,
+    so even the doc_ord tiebreak order matches)."""
+    from pyspark.sql import functions as F
+
+    from antidb_spark.operators.build import IndexBuilder
+    from antidb_spark.streaming.incremental import compact_incremental
+
+    base = corpus.filter(F.col("conv_id") < "conv_00000015")
+    tail = corpus.filter(F.col("conv_id") >= "conv_00000015")
+    b = IndexBuilder(spark, str(tmp_path / "inc_idx"))
+    b.build(base, n_partitions=4)
+
+    sink = PostingsDeltaSink(str(tmp_path / "inc_sink"))
+    sink(tail, batch_id=0)
+    before = _file_hashes(os.path.join(b.root, "blocks"))
+
+    m = compact_incremental(spark, sink, b, n_partitions=4)
+    assert m["mode"] == "append"
+    after = _file_hashes(os.path.join(b.root, "blocks"))
+    unchanged = {p: h for p, h in before.items() if p in after}
+    assert unchanged == {p: h for p, h in before.items()}  # none touched
+    assert len(after) > len(before)  # new block files appended
+
+    b2 = IndexBuilder(spark, str(tmp_path / "inc_batch"))
+    b2.build(corpus, n_partitions=4)
+    queries = ["the kemuba0", "data bacoca0 of", "zzzznotaterm"]
+    a = b.query_batch(queries, k=5, prune=False).toPandas()
+    c = b2.query_batch(queries, k=5, prune=False).toPandas()
+    assert a.values.tolist() == c.values.tolist()
+    # pruning stays lossless over the appended index (bounds derived
+    # from current stats, not build-time stats)
+    p = b.query_batch(queries, k=5, prune=True).toPandas()
+    assert p.values.tolist() == c.values.tolist()
+    # a second compaction with nothing new is a no-op
+    assert compact_incremental(spark, sink, b)["mode"] == "noop"
+
+
+def test_incremental_compaction_update_falls_back(spark, corpus, tmp_path):
+    """A delta touching an ALREADY-INDEXED doc (its dl is packed into
+    every posting) must trigger the full-rebuild path and still answer
+    like a batch build over the merged postings."""
+    from pyspark.sql import functions as F
+
+    from antidb_spark.operators.build import IndexBuilder
+    from antidb_spark.operators.stats import build_postings
+    from antidb_spark.streaming.incremental import compact_incremental
+
+    b = IndexBuilder(spark, str(tmp_path / "upd_idx"))
+    b.build(corpus, n_partitions=4)
+    # delta = extra occurrences of existing turns (doc mutation)
+    upd = corpus.filter(F.col("conv_id") == "conv_00000003")
+    sink = PostingsDeltaSink(str(tmp_path / "upd_sink"))
+    sink(upd, batch_id=0)
+    m = compact_incremental(spark, sink, b, n_partitions=4)
+    assert m["mode"] == "full"
+
+    merged = (
+        build_postings(corpus)
+        .unionByName(build_postings(upd))
+        .groupBy("term", "conv_id", "turn_idx")
+        .agg(F.sum("tf").alias("tf"))
+    )
+    got = b.catalog.read("postings")
+    diff = got.exceptAll(merged).union(merged.exceptAll(got))
+    assert diff.count() == 0
+    assert b.query_batch(["the kemuba0"], k=3).count() == 3
+
+
 def test_stream_postings_plan_is_streaming(spark, source_dir):
     sp = stream_postings(_read_stream(spark, source_dir))
     assert sp.isStreaming
