@@ -233,6 +233,43 @@ def _q_keyed_rng_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- training-pipeline operators ----------------------------------------
 
 
+PHRASE_QUERY = "table hash"
+
+
+def _q_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Positional phrase search: docs containing the exact token
+    sequence, with occurrence counts."""
+    from antidb_spark.operators.phrase import phrase_search
+
+    return phrase_search(_docs(spark, sf_dir), PHRASE_QUERY, id_cols=DOC_ID)
+
+
+def _phrase_oracle(phrase: str) -> str:
+    terms = py_tokens(phrase)
+    uniq = ", ".join(f"'{t}'" for t in sorted(set(terms)))
+    inter = "p0.positions"
+    for i in range(1, len(terms)):
+        inter = (
+            f"list_intersect({inter}, "
+            f"list_transform(p{i}.positions, x -> x - {i}))"
+        )
+    joins = " ".join(
+        f"JOIN pp p{i} ON p0.doc_id = p{i}.doc_id AND p{i}.term = '{t}'"
+        for i, t in enumerate(terms)
+        if i > 0
+    )
+    return f"""
+WITH {TOKARR_CTE},
+pos AS (SELECT doc_id, i.i - 1 AS p, toks[i.i] AS term
+        FROM tokarr, unnest(generate_series(1, len(toks))) AS i(i)),
+pp AS (SELECT doc_id, term, list_sort(list(p)) AS positions
+       FROM pos WHERE term IN ({uniq}) GROUP BY 1, 2)
+SELECT p0.doc_id AS doc_id, len({inter})::BIGINT AS phrase_freq
+FROM pp p0 {joins}
+WHERE p0.term = '{terms[0]}' AND len({inter}) > 0
+"""
+
+
 def _q_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     from antidb_spark.operators.dedup import fingerprint
 
@@ -402,6 +439,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lookup_dump": _q_lookup_dump,
         "fallback_join": _q_fallback_join,
         "interval_days": _q_interval_days,
+        "phrase_search": _q_phrase_search,
         "fingerprints": _q_fingerprints,
         "exact_dup_groups": _q_exact_dup_groups,
         "ngram_jaccard": _q_ngram_jaccard,
@@ -819,6 +857,7 @@ FROM documents
     }
     # the persisted-index paths must answer exactly like the in-memory
     # KeyedIndex paths → same oracles
+    out["phrase_search"] = _phrase_oracle(PHRASE_QUERY)
     out["keyed_eq_persisted"] = out["eq_lookup"]
     out["keyed_rng_persisted"] = out["rng_lookup"]
     out["simhash_dups"] = _simhash_dups_oracle(3)

@@ -732,6 +732,12 @@ class IndexBuilder:
             ]
         )
 
+        n_queries = len(plan["per_query"])
+        # cap on the dense (queries × partition-docs) score matrix: above
+        # it (huge doc-per-partition counts at extreme scale) fall back
+        # to hash aggregation
+        DENSE_MAX = 100_000_000
+
         def reduce_topk(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             # hash(doc_ord) partitioning co-locates ALL of a doc's term
             # contributions, so per-(query, doc) sums are complete here
@@ -747,6 +753,62 @@ class IndexBuilder:
             reps = nq[tid]
             # row i fans out to flat[starts[tid[i]] : +reps[i]] — same
             # repeat-offset construction as the block delta decode
+            all_ords = pdf["doc_ord"].to_numpy()
+            u, doc_inv_post = np.unique(all_ords, return_inverse=True)
+            if n_queries * u.size <= DENSE_MAX:
+                # dense accumulation: bincount over the combined
+                # (query, doc) index — large shared-hot-term batches fan
+                # out to 10^8 rows here, where a hash groupby becomes
+                # the whole batch's bottleneck. Fan-out runs in posting
+                # CHUNKS so the expanded index arrays never exceed a few
+                # hundred MB. Scores are never exactly 0.0 (idf, tfw >
+                # 0), so 0 = "no candidate".
+                dense = np.zeros(n_queries * u.size)
+                contrib_post = pdf["contrib"].to_numpy()
+                start_post = starts[tid]
+                CHUNK = 4_000_000
+                for lo in range(0, len(pdf), CHUNK):
+                    hi = min(lo + CHUNK, len(pdf))
+                    reps_c = reps[lo:hi]
+                    total = int(reps_c.sum())
+                    if total == 0:
+                        continue
+                    cum_c = np.cumsum(reps_c)
+                    pos_c = np.arange(total) - np.repeat(cum_c - reps_c, reps_c)
+                    qid_c = flat[np.repeat(start_post[lo:hi], reps_c) + pos_c]
+                    idx = qid_c * u.size + np.repeat(doc_inv_post[lo:hi], reps_c)
+                    dense += np.bincount(
+                        idx,
+                        weights=np.repeat(contrib_post[lo:hi], reps_c),
+                        minlength=n_queries * u.size,
+                    )
+                dense = dense.reshape(n_queries, u.size)
+                frames = []
+                for q in range(n_queries):
+                    row = dense[q]
+                    if u.size > 4 * k:
+                        cut = np.partition(row, row.size - k)[row.size - k]
+                        cand = np.flatnonzero(row >= max(cut, np.finfo(float).tiny))
+                    else:
+                        cand = np.flatnonzero(row > 0.0)
+                    if cand.size == 0:
+                        continue
+                    order = np.lexsort((u[cand], -row[cand]))[:k]
+                    sel = cand[order]
+                    frames.append(
+                        pd.DataFrame(
+                            {
+                                "query_id": np.full(sel.size, q, dtype=np.int32),
+                                "doc_ord": u[sel],
+                                "score": row[sel],
+                            }
+                        )
+                    )
+                if frames:
+                    yield pd.concat(frames, ignore_index=True)
+                return
+            # sparse fallback (dense matrix would exceed DENSE_MAX):
+            # materialized fan-out + hash aggregation
             cum = np.cumsum(reps)
             pos = np.arange(int(cum[-1]) if reps.size else 0) - np.repeat(
                 cum - reps, reps
@@ -755,7 +817,7 @@ class IndexBuilder:
             fan = pd.DataFrame(
                 {
                     "query_id": qid.astype(np.int32),
-                    "doc_ord": np.repeat(pdf["doc_ord"].to_numpy(), reps),
+                    "doc_ord": np.repeat(all_ords, reps),
                     "contrib": np.repeat(pdf["contrib"].to_numpy(), reps),
                 }
             )
@@ -869,6 +931,55 @@ class IndexBuilder:
     def query(self, query: str, k: int = 10, prune: bool = True) -> DataFrame:
         """Single-query top-k: (*id_cols, score)."""
         return self.query_batch([query], k=k, prune=prune).drop("query_id")
+
+    # Above this many candidate blocks the interactive path would decode
+    # too much on one core — fall back to the distributed batch path.
+    WARM_MAX_BLOCKS = 5_000
+
+    def query_warm(self, query: str, k: int = 10) -> pd.DataFrame:
+        """Interactive single-query BM25 with NO Spark job — the warm
+        path matching the reference's hundredths-of-a-second class
+        (README.md:43,47): manifest-pruned pyarrow block reads, numpy
+        decode + scoring, driver-side top-k, pyarrow docmap resolve.
+        Used when the query's candidate blocks fit one core
+        (≤ WARM_MAX_BLOCKS, i.e. rare/mid terms — the interactive
+        regime); stopword-heavy queries fall back to the distributed
+        ``query_batch``. Returns pandas (*id_cols, score), rank- and
+        value-identical to the batch path (pinned by tests)."""
+        plan = self._plan_queries([query])
+        if self._dm_schema_cache is None:
+            self._dm_schema_cache = self.catalog.read("docmap").schema
+        cols = [*self.id_cols, "score"]
+        if plan is None:
+            return pd.DataFrame(columns=cols)
+        if plan["est_blocks"] > self.WARM_MAX_BLOCKS:
+            out = self.query_batch([query], k=k).toPandas()
+            return out.drop(columns=["query_id"]).reset_index(drop=True)
+        batch = self.catalog.read_pruned_arrow(
+            "blocks", "term", plan["terms"],
+            columns=["term", "n_docs", "docs_packed", "tfs_packed",
+                     "dls_packed"],
+        ).to_pandas()
+        if not len(batch):
+            return pd.DataFrame(columns=cols)
+        term_rep, ords, tfs, dls = _decode_batch(batch)
+        idf_map = plan["idf"]
+        idf_post = np.array([idf_map[t] for t in term_rep], dtype=np.float64)
+        tf = tfs.astype(np.float64)
+        dl = dls.astype(np.float64)
+        tfw = self._tfw(tf, dl, plan["avgdl"])
+        contrib = idf_post * tfw
+        uniq, inv = np.unique(ords, return_inverse=True)
+        scores = np.zeros(uniq.size)
+        np.add.at(scores, inv, contrib)
+        top = np.lexsort((uniq, -scores))[:k]
+        dm = self.catalog.read_pruned_arrow(
+            "docmap", "doc_ord", values=[int(o) for o in uniq[top]],
+            columns=["doc_ord", *self.id_cols],
+        ).to_pandas().set_index("doc_ord")
+        out = dm.loc[uniq[top], list(self.id_cols)].reset_index(drop=True)
+        out["score"] = scores[top]
+        return out
 
     # -- antidb-parity point/range reads over the PHYSICAL index ---------
     # (Prs.eq/rng against the .adb archive, prs.py:86-131: file-level

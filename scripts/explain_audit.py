@@ -76,22 +76,75 @@ def main() -> None:
         plan_of(idx.eq("spark", "data")),
     ))
 
-    # physical-index query path: needs a built index
+    # physical-index query path: needs a built index. query_batch is
+    # driver-planned + eager (one Spark action and a tiny driver merge),
+    # so the audit captures its internal chain: manifest-pruned blocks
+    # scan → decode+score Arrow stage → ONE hash shuffle on doc_ord →
+    # reducer top-k. No dfs/stats joins appear anywhere: df/idf/avgdl
+    # ride in the stage closures from driver-side pyarrow reads.
     with tempfile.TemporaryDirectory(prefix="audit_idx_") as root:
         t = synth_transcripts(spark, n_convs=200).cache()
         t.count()
         b = IndexBuilder(spark, root)
         b.build(t)
-        q = b.query_batch(["the kemuba0 data"], k=10, prune=False)
+        plan = b._plan_queries(["the kemuba0 data"])
+        blocks = b._blocks_scan(plan["terms"]).filter(
+            F.col("term").isin(plan["terms"])
+        )
+        contribs = b._posting_contribs(blocks, plan)
+        chain = contribs.repartition(
+            spark.sparkContext.defaultParallelism, "doc_ord"
+        )
         sections.append((
-            "indexed BM25 query (packed blocks → decode → score)",
+            "indexed BM25 batch (blocks scan → decode+score → one shuffle)",
             "The blocks scan must show PushedFilters: In(term, …) — "
             "file-level manifest pruning happened before the plan (path "
-            "list), row-group stats prune inside files, and the decoded "
-            "postings join stats tables via broadcast.",
-            plan_of(q),
+            "list), row-group stats prune inside files. The ONLY exchange "
+            "is hashpartitioning(doc_ord): scoring constants (idf/avgdl) "
+            "and the block-max θ thresholds travel in the closure/filter, "
+            "never as joins.",
+            plan_of(chain),
+        ))
+
+        from antidb_spark.operators.keyed import KeyedIndexStore
+
+        st = KeyedIndexStore(spark, os.path.join(root, "keyed"))
+        kidx = st.build("doc_tokens", docs, distinct_tokens("text"),
+                        id_cols=["doc_id"], multi=True)
+        sections.append((
+            "persisted keyed eq (covering index)",
+            "ONE parquet scan — the committed covering index table (path "
+            "list already manifest-pruned to the probe keys); the probe "
+            "side is a broadcast of literals; NO base-table scan anywhere.",
+            plan_of(kidx.eq("spark", "data")),
+        ))
+
+        from antidb_spark.operators.ann import AnnIndexStore
+
+        vecs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        ast = AnnIndexStore(spark, os.path.join(root, "ann"))
+        lsh = ast.build_lsh("lsh", vecs, n_partitions=4)
+        probe = [float(v) for v in
+                 vecs.filter(F.col("vec_id") == 0).first()["embedding"]]
+        sections.append((
+            "persisted LSH ANN probe",
+            "Scan of the committed bucket table only (files pruned by "
+            "bkey manifest stats, In(bkey,…) pushed to row groups); "
+            "cosine + top-k are codegen'd expressions over the pruned "
+            "candidates — no full vectors scan.",
+            plan_of(lsh.topk(probe, k=5)),
         ))
         t.unpersist()
+
+    from antidb_spark.operators.dedup import minhash_signatures
+
+    sections.append((
+        "minhash signatures (JVM aggregate path)",
+        "Shingle explode → one xxhash64 per shingle → 64 min-aggregates "
+        "with map-side partial aggregation; ONE shuffle keyed on doc_id, "
+        "no Python anywhere.",
+        plan_of(minhash_signatures(docs)),
+    ))
 
     out = os.path.join(os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))), "PLANS.md")
@@ -102,19 +155,36 @@ def main() -> None:
         for title, note, plan in sections:
             f.write(f"## {title}\n\n{note}\n\n```\n{plan}\n```\n\n")
         # quick property asserts, recorded in the artifact
+        by_title = {t: p for t, _n, p in sections}
         checks = []
-        blocks_plan = sections[-1][2]
+        blocks_plan = by_title[
+            "indexed BM25 batch (blocks scan → decode+score → one shuffle)"
+        ]
         checks.append(("blocks scan has term pushdown",
-                       "PushedFilters: [In(term" in blocks_plan))
-        topk_plan = sections[1][2]
+                       "In(term" in blocks_plan
+                       or "EqualTo(term" in blocks_plan))
+        checks.append(("indexed batch: no joins, one doc_ord exchange",
+                       "Join" not in blocks_plan
+                       and blocks_plan.count("hashpartitioning(doc_ord") == 1))
+        topk_plan = by_title["BM25 top-k, index-free (flagship `entry`)"]
         checks.append(("topk uses TakeOrdered",
                        "TakeOrdered" in topk_plan))
         checks.append(("topk broadcasts stats",
                        "BroadcastExchange" in topk_plan))
-        post_plan = sections[0][2]
+        post_plan = by_title["postings build (tokenize→explode→tf groupBy)"]
         checks.append(("postings one Exchange only",
                        post_plan.count("+- Exchange") +
                        post_plan.count(":- Exchange") <= 2))
+        keyed_plan = by_title["persisted keyed eq (covering index)"]
+        checks.append(("keyed eq: single covering scan, probe broadcast",
+                       keyed_plan.count("Location: InMemoryFileIndex") == 1
+                       and "BroadcastExchange" in keyed_plan))
+        lsh_plan = by_title["persisted LSH ANN probe"]
+        checks.append(("lsh probe: bkey pushdown",
+                       "In(bkey" in lsh_plan))
+        mh_plan = by_title["minhash signatures (JVM aggregate path)"]
+        checks.append(("minhash: no Python eval in plan",
+                       "Python" not in mh_plan and "ArrowEval" not in mh_plan))
         f.write("## Property checks\n\n")
         for name, ok in checks:
             f.write(f"- {'PASS' if ok else 'FAIL'}: {name}\n")

@@ -128,6 +128,21 @@ def test_pruning_skips_blocks(spark, corpus, tmp_path):
     assert a.values.tolist() == c.values.tolist()
 
 
+def test_query_warm_matches_batch(spark, built):
+    """The driver-side interactive path (no Spark job) must be rank- and
+    value-identical to the distributed batch path, across the warm
+    regime, the fallback regime, and misses."""
+    b, _ = built
+    for q in ["kemuba0 data", "the of to and in", "bacoca0"]:
+        warm = b.query_warm(q, k=5)
+        batch = b.query_batch([q], k=5, prune=False).toPandas()
+        assert warm[["conv_id", "turn_idx"]].values.tolist() == \
+            batch[["conv_id", "turn_idx"]].values.tolist(), q
+        assert (abs(warm["score"] - batch["score"]) < 1e-9).all(), q
+    assert len(b.query_warm("zzzznotaterm")) == 0
+    assert len(b.query_warm("...!!!")) == 0
+
+
 def test_miss_is_empty(spark, built):
     b, _ = built
     out = b.query_batch(["zzzznotaterm"], k=10)
