@@ -423,6 +423,41 @@ def _q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sample_frames(_media(spark, sf_dir), every_n=4)
 
 
+def _q_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL codec round-trip: genuine PNG/WAV payloads encoded from
+    sha256-derived bytes, decoded with the pure-stdlib decoders; the
+    oracle recomputes the statistics from the derivation WITHOUT
+    decoding, so hash equality proves decode(encode(x)) == x."""
+    from antidb_spark.operators.multimodal import decode_media, real_media_table
+
+    return decode_media(real_media_table(_docs(spark, sf_dir)))
+
+
+MEDIA_DECODE_ORACLE = """
+WITH h AS (SELECT doc_id, sha256(text) || sha256(text || 'x') AS hx
+           FROM documents),
+b AS (SELECT doc_id, i.i AS i,
+             ('0x' || substr(hx, 2 * i.i + 1, 2))::INT AS byte
+      FROM h, unnest(generate_series(0, 63)) AS i(i)),
+img AS (SELECT doc_id, round(avg(byte), 6) AS mv FROM b
+        WHERE doc_id % 2 = 0 GROUP BY doc_id),
+sraw AS (SELECT doc_id, i // 2 AS si,
+                CASE WHEN i % 2 = 0 THEN byte ELSE byte * 256 END AS part
+         FROM b WHERE doc_id % 2 = 1),
+sval AS (SELECT doc_id, si, sum(part) AS v FROM sraw GROUP BY 1, 2),
+ssgn AS (SELECT doc_id, si,
+                CASE WHEN v >= 32768 THEN v - 65536 ELSE v END AS sv
+         FROM sval),
+wav AS (SELECT doc_id, round(avg(abs(sv)), 6) AS mv FROM ssgn
+        GROUP BY doc_id)
+SELECT doc_id::BIGINT AS media_id, 'image/png' AS media_type,
+       8 AS width, 8 AS height, NULL::INT AS n_samples, mv AS mean_val
+FROM img
+UNION ALL
+SELECT doc_id::BIGINT, 'audio/wav', NULL, NULL, 32, mv FROM wav
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "term_counts": _q_term_counts,
@@ -454,6 +489,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_dups": _q_embedding_dups,
         "media_meta": _q_media_meta,
         "media_features": _q_media_features,
+        "media_decode": _q_media_decode,
         "frame_sample": _q_frame_sample,
     }
 
@@ -858,6 +894,7 @@ FROM documents
     # the persisted-index paths must answer exactly like the in-memory
     # KeyedIndex paths → same oracles
     out["phrase_search"] = _phrase_oracle(PHRASE_QUERY)
+    out["media_decode"] = MEDIA_DECODE_ORACLE
     out["keyed_eq_persisted"] = out["eq_lookup"]
     out["keyed_rng_persisted"] = out["rng_lookup"]
     out["simhash_dups"] = _simhash_dups_oracle(3)

@@ -1,0 +1,149 @@
+"""Real (pure-stdlib) media codecs: PNG and WAV.
+
+This container has no PIL/opencv/libav, but PNG and WAV need none of
+them: PNG is zlib (stdlib) + per-scanline filters + CRC-32, WAV is a
+RIFF header around PCM samples (stdlib ``wave``). These codecs replace
+the round-1 deterministic-fake decode stub with a REAL decode path for
+two of the three media types (mp4 remains stubbed — a video demuxer is
+genuinely out of stdlib reach; the frame-sampling plumbing keeps its
+documented fake).
+
+Decoder coverage: 8-bit greyscale (color type 0) and RGB (type 2),
+non-interlaced, all five scanline filters (None/Sub/Up/Average/Paeth)
+— i.e. real-world files from any encoder using the standard filters.
+The encoder emits filter 0 with fixed zlib level 6, so output bytes are
+deterministic (oracle-hashable).
+
+Reference: PNG spec (RFC 2083) §§ 4.1, 6.2-6.6; WAVE via ``wave``.
+"""
+
+from __future__ import annotations
+
+import io
+import struct
+import wave
+import zlib
+
+import numpy as np
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _chunk(tag: bytes, body: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(body))
+        + tag
+        + body
+        + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+    )
+
+
+def encode_png(pixels: np.ndarray) -> bytes:
+    """uint8 array (h, w) greyscale or (h, w, 3) RGB → PNG bytes
+    (8-bit, non-interlaced, filter 0, zlib level 6 — deterministic)."""
+    px = np.ascontiguousarray(pixels, dtype=np.uint8)
+    if px.ndim == 2:
+        color_type, channels = 0, 1
+        h, w = px.shape
+    elif px.ndim == 3 and px.shape[2] == 3:
+        color_type, channels = 2, 3
+        h, w = px.shape[:2]
+    else:
+        raise ValueError("expected (h, w) greyscale or (h, w, 3) RGB uint8")
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    raw = px.reshape(h, w * channels)
+    scanlines = b"".join(b"\x00" + raw[y].tobytes() for y in range(h))
+    idat = zlib.compress(scanlines, 6)
+    return _PNG_SIG + _chunk(b"IHDR", ihdr) + _chunk(b"IDAT", idat) + _chunk(b"IEND", b"")
+
+
+def decode_png(data: bytes) -> np.ndarray:
+    """PNG bytes → uint8 array (h, w) or (h, w, 3). Verifies signature
+    and chunk CRCs; supports 8-bit color types 0/2, non-interlaced,
+    all five scanline filters."""
+    if data[:8] != _PNG_SIG:
+        raise ValueError("not a PNG (bad signature)")
+    off = 8
+    ihdr = None
+    idat = b""
+    while off < len(data):
+        (length,) = struct.unpack(">I", data[off : off + 4])
+        tag = data[off + 4 : off + 8]
+        body = data[off + 8 : off + 8 + length]
+        (crc,) = struct.unpack(
+            ">I", data[off + 8 + length : off + 12 + length]
+        )
+        if zlib.crc32(tag + body) & 0xFFFFFFFF != crc:
+            raise ValueError(f"bad CRC in {tag!r} chunk")
+        if tag == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", body)
+        elif tag == b"IDAT":
+            idat += body
+        elif tag == b"IEND":
+            break
+        off += 12 + length
+    if ihdr is None:
+        raise ValueError("missing IHDR")
+    w, h, depth, color_type, comp, filt, interlace = ihdr
+    if depth != 8 or color_type not in (0, 2) or interlace:
+        raise NotImplementedError(
+            "decoder supports 8-bit grey/RGB non-interlaced PNG"
+        )
+    ch = 1 if color_type == 0 else 3
+    stride = w * ch
+    raw = zlib.decompress(idat)
+    if len(raw) != h * (stride + 1):
+        raise ValueError("IDAT length mismatch")
+    out = np.zeros((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint8)
+    for y in range(h):
+        f = raw[y * (stride + 1)]
+        line = np.frombuffer(
+            raw, dtype=np.uint8, count=stride, offset=y * (stride + 1) + 1
+        ).copy()
+        if f == 0:  # None
+            cur = line
+        elif f == 2:  # Up
+            cur = line + prev
+        elif f in (1, 3, 4):  # Sub / Average / Paeth need a left scan
+            cur = line
+            for x in range(stride):
+                a = int(cur[x - ch]) if x >= ch else 0
+                if f == 1:
+                    pred = a
+                elif f == 3:
+                    pred = (a + int(prev[x])) // 2
+                else:
+                    b = int(prev[x])
+                    c = int(prev[x - ch]) if x >= ch else 0
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                cur[x] = (int(cur[x]) + pred) & 0xFF
+        else:
+            raise ValueError(f"unknown scanline filter {f}")
+        out[y] = cur
+        prev = out[y]
+    return out.reshape((h, w) if ch == 1 else (h, w, 3))
+
+
+def encode_wav(samples: np.ndarray, rate: int = 8000) -> bytes:
+    """int16 mono samples → WAV bytes (PCM16, deterministic)."""
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wf:
+        wf.setnchannels(1)
+        wf.setsampwidth(2)
+        wf.setframerate(rate)
+        wf.writeframes(
+            np.ascontiguousarray(samples, dtype="<i2").tobytes()
+        )
+    return buf.getvalue()
+
+
+def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
+    """WAV bytes → (int16 mono samples, sample rate)."""
+    with wave.open(io.BytesIO(data), "rb") as wf:
+        if wf.getnchannels() != 1 or wf.getsampwidth() != 2:
+            raise NotImplementedError("decoder supports PCM16 mono")
+        frames = wf.readframes(wf.getnframes())
+        return np.frombuffer(frames, dtype="<i2"), wf.getframerate()
