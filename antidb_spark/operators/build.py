@@ -444,6 +444,11 @@ class IndexBuilder:
     # metadata no longer belongs on the driver; block-max pruning then
     # runs as the distributed two-pass plan (_pruned_blocks).
     META_MAX_BLOCKS = 2_000_000
+    # reducer memory bounds, independent of data scale AND parallelism
+    # level (the SAME algorithm must run at every level, or cross-level
+    # comparisons measure the code path, not scaling):
+    DENSE_SLAB = 24_000_000   # score-matrix entries per query slab
+    FAN_CHUNK = 8_000_000     # fanned rows materialized at once
 
     def _blocks_scan(self, q_terms: Sequence[str]) -> DataFrame:
         """Manifest-pruned blocks relation, cached by resolved file list
@@ -733,10 +738,8 @@ class IndexBuilder:
         )
 
         n_queries = len(plan["per_query"])
-        # cap on the dense (queries × partition-docs) score matrix: above
-        # it (huge doc-per-partition counts at extreme scale) fall back
-        # to hash aggregation
-        DENSE_MAX = 100_000_000
+        DENSE_SLAB = self.DENSE_SLAB
+        FAN_CHUNK = self.FAN_CHUNK
 
         def reduce_topk(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             # hash(doc_ord) partitioning co-locates ALL of a doc's term
@@ -751,24 +754,35 @@ class IndexBuilder:
             flat = np.concatenate(qmap_by_tid)
             starts = np.cumsum(nq) - nq
             reps = nq[tid]
-            # row i fans out to flat[starts[tid[i]] : +reps[i]] — same
-            # repeat-offset construction as the block delta decode
-            all_ords = pdf["doc_ord"].to_numpy()
-            u, doc_inv_post = np.unique(all_ords, return_inverse=True)
-            if n_queries * u.size <= DENSE_MAX:
-                # dense accumulation: bincount over the combined
-                # (query, doc) index — large shared-hot-term batches fan
-                # out to 10^8 rows here, where a hash groupby becomes
-                # the whole batch's bottleneck. Fan-out runs in posting
-                # CHUNKS so the expanded index arrays never exceed a few
-                # hundred MB. Scores are never exactly 0.0 (idf, tfw >
-                # 0), so 0 = "no candidate".
-                dense = np.zeros(n_queries * u.size)
-                contrib_post = pdf["contrib"].to_numpy()
-                start_post = starts[tid]
-                CHUNK = 4_000_000
-                for lo in range(0, len(pdf), CHUNK):
-                    hi = min(lo + CHUNK, len(pdf))
+            u, doc_inv_post = np.unique(
+                pdf["doc_ord"].to_numpy(), return_inverse=True
+            )
+            contrib_post = pdf["contrib"].to_numpy()
+            start_post = starts[tid]
+            # posting-chunk boundaries sized by FANNED rows (a chunk of
+            # hot-term postings expands by the number of queries sharing
+            # the term), so expanded index arrays stay a few hundred MB
+            cumreps = np.cumsum(reps)
+            total_fan = int(cumreps[-1]) if reps.size else 0
+            cuts = [0]
+            tgt = FAN_CHUNK
+            while tgt < total_fan:
+                cuts.append(int(np.searchsorted(cumreps, tgt)) + 1)
+                tgt += FAN_CHUNK
+            cuts.append(len(pdf))
+            cuts = sorted(set(cuts))
+            # dense accumulation per QUERY SLAB: bincount over the
+            # combined (query, doc) index — large shared-hot-term
+            # batches fan to 10^8 rows, where a hash groupby is the
+            # whole batch's bottleneck; slabbing bounds the matrix at
+            # DENSE_SLAB entries for any partition-doc count. Scores
+            # are never exactly 0.0 (idf, tfw > 0) → 0 = no candidate.
+            q_chunk = max(1, min(n_queries, DENSE_SLAB // max(1, u.size)))
+            frames = []
+            for q0 in range(0, n_queries, q_chunk):
+                q1 = min(q0 + q_chunk, n_queries)
+                dense = np.zeros((q1 - q0) * u.size)
+                for lo, hi in zip(cuts[:-1], cuts[1:]):
                     reps_c = reps[lo:hi]
                     total = int(reps_c.sum())
                     if total == 0:
@@ -776,19 +790,25 @@ class IndexBuilder:
                     cum_c = np.cumsum(reps_c)
                     pos_c = np.arange(total) - np.repeat(cum_c - reps_c, reps_c)
                     qid_c = flat[np.repeat(start_post[lo:hi], reps_c) + pos_c]
-                    idx = qid_c * u.size + np.repeat(doc_inv_post[lo:hi], reps_c)
+                    m = (qid_c >= q0) & (qid_c < q1)
+                    if not m.any():
+                        continue
+                    idx = (qid_c[m] - q0) * u.size + np.repeat(
+                        doc_inv_post[lo:hi], reps_c
+                    )[m]
                     dense += np.bincount(
                         idx,
-                        weights=np.repeat(contrib_post[lo:hi], reps_c),
-                        minlength=n_queries * u.size,
+                        weights=np.repeat(contrib_post[lo:hi], reps_c)[m],
+                        minlength=(q1 - q0) * u.size,
                     )
-                dense = dense.reshape(n_queries, u.size)
-                frames = []
-                for q in range(n_queries):
-                    row = dense[q]
+                dense = dense.reshape(q1 - q0, u.size)
+                for q in range(q0, q1):
+                    row = dense[q - q0]
                     if u.size > 4 * k:
                         cut = np.partition(row, row.size - k)[row.size - k]
-                        cand = np.flatnonzero(row >= max(cut, np.finfo(float).tiny))
+                        cand = np.flatnonzero(
+                            row >= max(cut, np.finfo(float).tiny)
+                        )
                     else:
                         cand = np.flatnonzero(row > 0.0)
                     if cand.size == 0:
@@ -804,31 +824,8 @@ class IndexBuilder:
                             }
                         )
                     )
-                if frames:
-                    yield pd.concat(frames, ignore_index=True)
-                return
-            # sparse fallback (dense matrix would exceed DENSE_MAX):
-            # materialized fan-out + hash aggregation
-            cum = np.cumsum(reps)
-            pos = np.arange(int(cum[-1]) if reps.size else 0) - np.repeat(
-                cum - reps, reps
-            )
-            qid = flat[np.repeat(starts[tid], reps) + pos]
-            fan = pd.DataFrame(
-                {
-                    "query_id": qid.astype(np.int32),
-                    "doc_ord": np.repeat(all_ords, reps),
-                    "contrib": np.repeat(pdf["contrib"].to_numpy(), reps),
-                }
-            )
-            agg = (
-                fan.groupby(["query_id", "doc_ord"], sort=False, as_index=False)
-                .agg(score=("contrib", "sum"))
-            )
-            agg = agg.sort_values(
-                ["query_id", "score", "doc_ord"], ascending=[True, False, True]
-            )
-            yield agg.groupby("query_id", sort=False).head(k)
+            if frames:
+                yield pd.concat(frames, ignore_index=True)
 
         n_part = self.spark.sparkContext.defaultParallelism
         top_pdf = (

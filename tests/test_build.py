@@ -128,6 +128,24 @@ def test_pruning_skips_blocks(spark, corpus, tmp_path):
     assert a.values.tolist() == c.values.tolist()
 
 
+def test_reducer_slabs_identical(spark, built):
+    """Shrinking the reducer's dense-slab and fan-chunk bounds (forcing
+    many query slabs and posting chunks) must not change any answer —
+    the memory bounds are an implementation detail, not semantics."""
+    b, _ = built
+    queries = QUERIES * 3  # 15 queries → several slabs at tiny bounds
+    base = b.query_batch(queries, k=5, prune=False).toPandas()
+    old = (b.DENSE_SLAB, b.FAN_CHUNK)
+    try:
+        b.DENSE_SLAB, b.FAN_CHUNK = 1_000, 50
+        small = b.query_batch(queries, k=5, prune=False).toPandas()
+    finally:
+        b.DENSE_SLAB, b.FAN_CHUNK = old
+    assert small[["query_id", "conv_id", "turn_idx"]].values.tolist() == \
+        base[["query_id", "conv_id", "turn_idx"]].values.tolist()
+    assert (abs(small["score"] - base["score"]) < 1e-9).all()
+
+
 def test_query_warm_matches_batch(spark, built):
     """The driver-side interactive path (no Spark job) must be rank- and
     value-identical to the distributed batch path, across the warm
