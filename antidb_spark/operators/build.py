@@ -449,6 +449,7 @@ class IndexBuilder:
     # comparisons measure the code path, not scaling):
     DENSE_SLAB = 24_000_000   # score-matrix entries per query slab
     FAN_CHUNK = 8_000_000     # fanned rows materialized at once
+    TARGET_DOCS_PER_REDUCER = 100_000  # data-sized reducer tasks
 
     def _blocks_scan(self, q_terms: Sequence[str]) -> DataFrame:
         """Manifest-pruned blocks relation, cached by resolved file list
@@ -827,7 +828,17 @@ class IndexBuilder:
             if frames:
                 yield pd.concat(frames, ignore_index=True)
 
-        n_part = self.spark.sparkContext.defaultParallelism
+        # reducer partition count is DATA-sized, not core-sized: target
+        # ~TARGET_DOCS_PER_REDUCER candidate docs per task so the dense
+        # slab geometry (and therefore per-core work) is the same at any
+        # parallelism level; excess tasks just queue over the cores
+        cand_docs = min(
+            plan["n_docs"], plan["est_blocks"] * BLOCK_SIZE
+        )
+        n_part = max(
+            self.spark.sparkContext.defaultParallelism,
+            -(-cand_docs // self.TARGET_DOCS_PER_REDUCER),
+        )
         top_pdf = (
             contribs.repartition(n_part, "doc_ord")
             .mapInPandas(reduce_topk, schema=topk_schema)
