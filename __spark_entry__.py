@@ -297,7 +297,13 @@ def _q_exact_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     from antidb_spark.operators.dedup import ngram_jaccard_pairs
 
-    return ngram_jaccard_pairs(_docs(spark, sf_dir), threshold=0.7)
+    # max_shingle_df=None: the SQL oracle generates candidates uncapped,
+    # so the oracled entry runs the fully-exact configuration — operator
+    # and oracle compute the same function in principle, not just on the
+    # sf corpora (the capped default stays the documented scale path)
+    return ngram_jaccard_pairs(
+        _docs(spark, sf_dir), threshold=0.7, max_shingle_df=None
+    )
 
 
 def _q_minhash_dups(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -25,7 +25,8 @@ sequences compare like Python lists — shorter prefix first):
   positive → sign bit set; -0.0 normalized to 0.0 so Python ``==`` and
   byte equality agree); str → ``04`` + UTF-8 with ``00`` escaped as
   ``00 ff``, terminated by ``00``; sequence/tuple/dict-values → ``05``
-  + elements + ``00`` terminator.
+  + elements + ``00`` terminator; datetime → ``02`` + biased epoch
+  micros; bytes → ``06`` + ``00``-escaped payload + ``00``.
 """
 
 from __future__ import annotations
@@ -33,6 +34,8 @@ from __future__ import annotations
 import datetime as _dt
 import struct as _struct
 from typing import Any
+
+import numpy as _np
 
 _SIGN = 0x8000000000000000
 _ALL = 0xFFFFFFFFFFFFFFFF
@@ -56,19 +59,33 @@ def _enc_str(s: str) -> bytes:
 
 
 def encode_value(v: Any) -> bytes:
-    if isinstance(v, bool):  # before int (bool is an int subclass)
+    # numpy scalars ride along the bool/int/float branches: pandas hands
+    # the encoder np.int64/np.float64/np.bool_ from typed Series and
+    # struct sub-frames (np.float64 subclasses float; np.int64/np.bool_
+    # do NOT subclass their Python twins, so the unions are load-bearing)
+    if isinstance(v, (bool, _np.bool_)):  # before int (bool ⊂ int)
         return b"\x01" + (b"\x01" if v else b"\x00")
-    if isinstance(v, int):
+    if isinstance(v, (int, _np.integer)):
         return b"\x02" + _enc_int(v)
-    if isinstance(v, _dt.date) and not isinstance(v, _dt.datetime):
+    if isinstance(v, _dt.datetime):  # before date (datetime subclasses it)
+        # epoch microseconds via exact timedelta integer fields (a float
+        # .timestamp() round-trip would lose sub-ms order); covers
+        # pd.Timestamp too (a datetime subclass), i.e. TimestampType keys
+        d = v - _dt.datetime(1970, 1, 1, tzinfo=v.tzinfo)
+        return b"\x02" + _enc_int(
+            (d.days * 86400 + d.seconds) * 1_000_000 + d.microseconds
+        )
+    if isinstance(v, _dt.date):
         return b"\x02" + _enc_int(v.toordinal())
-    if isinstance(v, float):
+    if isinstance(v, (float, _np.floating)):
         return b"\x03" + _enc_float(v)
     if isinstance(v, str):
         return b"\x04" + _enc_str(v)
+    if isinstance(v, (bytes, bytearray)):  # BinaryType keys
+        return b"\x06" + bytes(v).replace(b"\x00", b"\x00\xff") + b"\x00"
     if isinstance(v, dict):  # Arrow struct → dict, field order preserved
         return b"\x05" + b"".join(encode_value(e) for e in v.values()) + b"\x00"
-    if isinstance(v, (list, tuple)):
+    if isinstance(v, (list, tuple, _np.ndarray)):
         return b"\x05" + b"".join(encode_value(e) for e in v) + b"\x00"
     raise TypeError(f"unencodable key element: {type(v).__name__}")
 
@@ -79,7 +96,7 @@ def encode_key(key: Any) -> bytes:
     frame redundant, and dropping it keeps point-lookup keys short."""
     if isinstance(key, dict):
         return b"".join(encode_value(e) for e in key.values())
-    if isinstance(key, (list, tuple)):
+    if isinstance(key, (list, tuple, _np.ndarray)):
         return b"".join(encode_value(e) for e in key)
     return encode_value(key)
 

@@ -386,6 +386,14 @@ class IndexBuilder:
                 enriched = postings.join(docmap, self.id_cols).select(
                     "term", "doc_ord", "tf", "dl"
                 )
+                # block_id layout: run_base(16 bits, <<48) | pid(16, <<32)
+                # | seq(32). Enforce the pid width HERE, where the layout
+                # is established — an unchecked >=2^16-partition build
+                # would overlap appended-run id space (pruning-only
+                # weakening, but the invariant belongs at the source).
+                assert n_part < (1 << 16), (
+                    "block_id layout assumes < 2^16 pack partitions"
+                )
                 packed = (
                     enriched.repartitionByRange(n_part, "term", "doc_ord")
                     .sortWithinPartitions("term", "doc_ord")

@@ -63,6 +63,31 @@ _NATIVE_TYPES = (
     T.BooleanType,
 )
 
+# leaf dataTypes the memcomparable codec can encode (hex-key path)
+_ENCODABLE_LEAVES = _NATIVE_TYPES + (
+    T.DateType,
+    T.TimestampType,
+    T.TimestampNTZType,
+    T.BinaryType,
+)
+
+
+def _check_encodable(dt: T.DataType, path: str = "key") -> None:
+    """Fail a build with a clear message BEFORE launching the job when
+    the key type has an unencodable leaf (e.g. DecimalType) — the
+    alternative is a generic TypeError deep inside an executor UDF."""
+    if isinstance(dt, T.ArrayType):
+        _check_encodable(dt.elementType, path + "[]")
+    elif isinstance(dt, T.StructType):
+        for f in dt.fields:
+            _check_encodable(f.dataType, f"{path}.{f.name}")
+    elif not isinstance(dt, _ENCODABLE_LEAVES):
+        raise TypeError(
+            f"key element {path} has unsupported type {dt.simpleString()}; "
+            "encodable leaves: string/int/float/bool/date/timestamp/binary "
+            "and arrays/structs of those"
+        )
+
 
 def _hex_encoder(rule: SortRule | None):
     """Vectorized raw-key → memcomparable-hex pandas_udf (normalize with
@@ -178,6 +203,8 @@ class PersistedKeyedIndex:
         tbl = self.catalog.read_pruned_arrow(
             self.name, "_key", lo=lo, hi=hi
         ).to_pandas()
+        if not len(tbl):  # pruned-to-nothing / empty table: canonical miss
+            return pd.DataFrame(columns=self.base_cols)
         hit = tbl[(tbl["_key"] >= lo) & (tbl["_key"] <= hi)]
         hit = hit.sort_values(["_key", *self.id_cols])
         return hit[self.base_cols].reset_index(drop=True)
@@ -227,6 +254,10 @@ class KeyedIndexStore:
         if native:
             keyed = sel.withColumn("_key", F.col("_raw"))
         else:
+            if rule is None:
+                # rule py_fns reshape values before encoding; only the
+                # rule-less hex path encodes raw column values directly
+                _check_encodable(raw_type)
             keyed = sel.withColumn("_key", _hex_encoder(rule)(F.col("_raw")))
         keyed = keyed.drop("_raw")
         n_part = n_partitions or self.spark.sparkContext.defaultParallelism

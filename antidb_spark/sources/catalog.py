@@ -217,6 +217,15 @@ class Catalog:
             os.path.join(self.table_dir(name), e["path"])
             for e in self.manifest(name)["files"]
         ]
+        if not all_paths:
+            # committed-but-empty table (e.g. an index over an empty
+            # base): no footer to borrow a schema from — synthesize an
+            # empty table over the requested columns (null-typed; callers
+            # only length-check / filter empty frames on this path)
+            import pyarrow as pa
+
+            cols = columns if columns is not None else [col]
+            return pa.table({c: pa.nulls(0) for c in cols})
         paths = self.pruned_file_paths(name, col, values, lo, hi)
         if paths is None:
             paths = all_paths

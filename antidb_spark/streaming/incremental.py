@@ -235,6 +235,16 @@ def compact_incremental(
         sink.mark_compacted(todo)
         return {"mode": "full", "reason": "no committed index"}
 
+    def _invalidate(builder: IndexBuilder) -> None:
+        """Every compaction path rewrites index tables out from under a
+        live builder: drop its driver-side caches so the next query
+        re-reads committed (n_docs, avgdl) / schemas / scan plans — a
+        builder that served queries BEFORE compacting would otherwise
+        score with stale stats (wrong idf/avgdl) afterwards."""
+        builder._stats_cache = None
+        builder._dm_schema_cache = None
+        builder._scan_cache.clear()
+
     docmap = b.catalog.read("docmap")
     delta_ids = delta_post.select(*sink.id_cols).distinct()
     n_updates = delta_ids.join(docmap, sink.id_cols).count()
@@ -257,6 +267,7 @@ def compact_incremental(
             snapshot=man["snapshot_id"], seconds=0.0,
         )
         b.build(corpus=None, n_partitions=n_part)
+        _invalidate(b)
         sink.mark_compacted(todo)
         return {"mode": "full", "reason": f"{n_updates} existing docs updated"}
 

@@ -67,3 +67,36 @@ def test_equal_keys_equal_encodings():
     # embedded NULs in strings stay ordered
     assert hex_key(("a\x00b",)) < hex_key(("ab",))
     assert hex_key(("a",)) < hex_key(("a\x00",))
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    st.lists(
+        st.datetimes(
+            min_value=__import__("datetime").datetime(1, 1, 2),
+            max_value=__import__("datetime").datetime(9999, 12, 30),
+        ),
+        min_size=2,
+        max_size=8,
+    )
+)
+def test_datetime_hex_order(vals):
+    """TimestampType keys (ADVICE r02): exact epoch-micros encoding —
+    hex order == datetime order, sub-millisecond included."""
+    _ordered_like_python(vals)
+
+
+def test_numpy_scalars_match_python_twins():
+    """pandas hands the encoder numpy scalars; encodings must be
+    identical to the Python-native values'."""
+    import numpy as np
+
+    assert encode_key(np.int64(-7)) == encode_key(-7)
+    assert encode_key(np.float64(2.5)) == encode_key(2.5)
+    assert encode_key(np.bool_(True)) == encode_key(True)
+    assert encode_key(np.array([1, 2, 3])) == encode_key([1, 2, 3])
+
+
+def test_bytes_keys_ordered():
+    vals = [b"", b"\x00", b"\x00\x01", b"a", b"a\x00", b"ab"]
+    _ordered_like_python(vals)

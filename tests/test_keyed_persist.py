@@ -183,3 +183,50 @@ def test_multi_key_tokens_persisted(spark, tmp_path):
     a = idx.rng("planner", "query").select("doc_id").toPandas()
     b = mem.rng("planner", "query").toPandas()[["doc_id"]]
     assert a.values.tolist() == b.values.tolist()
+
+
+def test_timestamp_key_persisted(spark, tmp_path):
+    """TimestampType keys (ADVICE r02): hex-encoded micros order; eq/rng
+    and the warm local paths answer correctly."""
+    import datetime as dt
+
+    rows = [
+        (i, dt.datetime(2024, 1, 1) + dt.timedelta(seconds=i * 61, microseconds=i))
+        for i in range(50)
+    ]
+    df = spark.createDataFrame(rows, "row_ord long, ts timestamp")
+    st = KeyedIndexStore(spark, str(tmp_path / "ts_store"))
+    idx = st.build("by_ts", df, F.col("ts"), id_cols=["row_ord"], n_partitions=4)
+    probe = rows[7][1]
+    assert [r["row_ord"] for r in idx.eq(probe).collect()] == [7]
+    lo, hi = rows[3][1], rows[6][1]
+    assert [r["row_ord"] for r in idx.rng(lo, hi).collect()] == [3, 4, 5, 6]
+    assert idx.eq_local(probe)["row_ord"].tolist() == [7]
+    assert idx.rng_local(lo, hi)["row_ord"].tolist() == [3, 4, 5, 6]
+
+
+def test_unencodable_key_raises_at_build_time(spark, tmp_path):
+    """DecimalType key → clear TypeError BEFORE any job launches, not a
+    generic executor failure (ADVICE r02)."""
+    import pytest
+
+    df = spark.createDataFrame([(1,)], "row_ord long").selectExpr(
+        "row_ord", "cast(row_ord as decimal(10,2)) as d"
+    )
+    st = KeyedIndexStore(spark, str(tmp_path / "dec_store"))
+    with pytest.raises(TypeError, match="decimal"):
+        st.build(
+            "by_dec", df, F.struct("d", "row_ord"), id_cols=["row_ord"]
+        )
+
+
+def test_empty_base_index_misses_cleanly(spark, tmp_path):
+    """An index over an empty base commits an empty table; eq/rng and
+    the warm local paths return empty, never raise (ADVICE r02)."""
+    df = spark.createDataFrame([], "row_ord long, k string").filter("1=0")
+    st = KeyedIndexStore(spark, str(tmp_path / "empty_store"))
+    idx = st.build("by_k", df, F.col("k"), id_cols=["row_ord"], n_partitions=2)
+    assert idx.eq("anything").count() == 0
+    assert idx.rng("a", "b").count() == 0
+    assert len(idx.eq_local("anything")) == 0
+    assert len(idx.rng_local("a", "b")) == 0

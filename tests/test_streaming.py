@@ -224,3 +224,33 @@ def test_turn_rates_watermark(spark, corpus, source_dir, tmp_path):
     }
     assert got == want
     assert out  # silence unused
+
+
+def test_full_compaction_invalidates_live_builder_caches(
+    spark, corpus, tmp_path
+):
+    """A builder that served queries BEFORE a full (doc-mutating)
+    compaction must answer with POST-compaction stats afterwards — the
+    cached (n_docs, avgdl) would otherwise yield stale idf/avgdl scores
+    (ADVICE r02)."""
+    from pyspark.sql import functions as F
+
+    from antidb_spark.operators.build import IndexBuilder
+    from antidb_spark.streaming.incremental import compact_incremental
+
+    b = IndexBuilder(spark, str(tmp_path / "inval_idx"))
+    b.build(corpus, n_partitions=4)
+    q = ["the kemuba0"]
+    b.query_batch(q, k=3).count()  # populate _stats_cache et al.
+    assert b._stats_cache is not None
+
+    upd = corpus.filter(F.col("conv_id") == "conv_00000003")
+    sink = PostingsDeltaSink(str(tmp_path / "inval_sink"))
+    sink(upd, batch_id=0)
+    m = compact_incremental(spark, sink, b, n_partitions=4)
+    assert m["mode"] == "full"
+
+    got = b.query_batch(q, k=3).toPandas()
+    fresh = IndexBuilder(spark, str(tmp_path / "inval_idx"))
+    want = fresh.query_batch(q, k=3).toPandas()
+    assert got.values.tolist() == want.values.tolist()
