@@ -301,10 +301,18 @@ class IndexBuilder:
         self.timer = PhaseTimer()
         self._stats_cache: tuple[int, float] | None = None
         self._dm_schema_cache: T.StructType | None = None
-        # lazy-relation cache keyed by the pruned file list: re-planning
+        # lazy-relation LRU keyed by the pruned file list: re-planning
         # spark.read.parquet(...) per batch costs driver-side footer
-        # reads that are identical across batches hitting the same files
-        self._scan_cache: dict[tuple[str, ...], DataFrame] = {}
+        # reads that are identical across batches hitting the same
+        # files. BOUNDED (a long-lived query service would otherwise
+        # accumulate one plan per distinct pruned-file set forever).
+        from collections import OrderedDict
+
+        self._scan_cache: OrderedDict[tuple[str, ...], DataFrame] = (
+            OrderedDict()
+        )
+
+    SCAN_CACHE_MAX = 64
 
     # -- build ------------------------------------------------------------
 
@@ -468,8 +476,12 @@ class IndexBuilder:
         if not paths:
             return self.catalog.read("blocks").limit(0)
         key = tuple(sorted(paths))
-        if key not in self._scan_cache:
+        if key in self._scan_cache:
+            self._scan_cache.move_to_end(key)
+        else:
             self._scan_cache[key] = self.spark.read.parquet(*paths)
+            while len(self._scan_cache) > self.SCAN_CACHE_MAX:
+                self._scan_cache.popitem(last=False)
         return self._scan_cache[key]
 
     def _corpus_stats(self) -> tuple[int, float]:

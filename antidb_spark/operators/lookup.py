@@ -89,24 +89,40 @@ class KeyedIndex:
 
     def rng(self, start: Any, end: Any) -> DataFrame:
         """Inclusive range scan (prs.py:107-131). Output: base columns,
-        ordered (key, *id_cols)."""
+        ordered (key, *id_cols).
+
+        Scalar-keyed bounds are LITERALS: a crossJoined 1-row bounds
+        relation defeats parquet predicate pushdown on file-sourced
+        bases (the filter must be a literal comparison to reach
+        ``PushedFilters``). Complex keys (SortRule array<struct>
+        encodings) aren't literal-expressible, so they keep the
+        broadcast-bounds plan — the persisted path covers them with
+        manifest pruning over memcomparable hex."""
         s, e = self._norm(start), self._norm(end)
         if _py_gt(s, e):
             raise QueryStartGtEndError(start, end)
-        bounds = self._spark.createDataFrame(
-            [(s, e)],
-            T.StructType(
-                [
-                    T.StructField("_lo", self.key_type, False),
-                    T.StructField("_hi", self.key_type, False),
-                ]
-            ),
-        )
-        hits = (
-            self.entries.crossJoin(F.broadcast(bounds))
-            .filter((F.col("_key") >= F.col("_lo")) & (F.col("_key") <= F.col("_hi")))
-            .select("_key", *self.id_cols)
-        )
+        if isinstance(self.key_type, (T.ArrayType, T.StructType, T.MapType)):
+            bounds = self._spark.createDataFrame(
+                [(s, e)],
+                T.StructType(
+                    [
+                        T.StructField("_lo", self.key_type, False),
+                        T.StructField("_hi", self.key_type, False),
+                    ]
+                ),
+            )
+            hits = (
+                self.entries.crossJoin(F.broadcast(bounds))
+                .filter(
+                    (F.col("_key") >= F.col("_lo"))
+                    & (F.col("_key") <= F.col("_hi"))
+                )
+                .select("_key", *self.id_cols)
+            )
+        else:
+            hits = self.entries.filter(
+                (F.col("_key") >= F.lit(s)) & (F.col("_key") <= F.lit(e))
+            ).select("_key", *self.id_cols)
         return (
             hits.join(self.base, self.id_cols)
             .orderBy("_key", *self.id_cols)

@@ -50,6 +50,13 @@ class Catalog:
 
     # -- write / commit ----------------------------------------------------
 
+    def _data_dir_name(self, name: str) -> str:
+        """Current committed data directory (manifest pointer; pre-pointer
+        manifests default to ``data``)."""
+        if self.exists(name):
+            return self.manifest(name).get("data_dir", "data")
+        return "data"
+
     def write(
         self,
         df: DataFrame,
@@ -59,23 +66,58 @@ class Catalog:
         props: dict[str, Any] | None = None,
         mode: str = "overwrite",
     ) -> dict:
-        """Write data files, then commit by writing the manifest last."""
-        ddir = os.path.join(self.table_dir(name), "data")
+        """Write data files, then commit by writing the manifest last.
+
+        ``append`` writes into the COMMITTED data dir (new files only
+        become visible at the manifest replace); ``overwrite`` of a live
+        table is not crash-atomic — use :meth:`replace` for that."""
+        data_dir = self._data_dir_name(name) if mode == "append" else "data"
+        ddir = os.path.join(self.table_dir(name), data_dir)
         w = df.write.mode(mode).option("compression", "zstd")
         if partition_by:
             w = w.partitionBy(*partition_by)
         w.parquet(ddir)
-        return self.commit(name, stats_cols=stats_cols, props=props)
+        return self.commit(
+            name, stats_cols=stats_cols, props=props, data_dir=data_dir
+        )
+
+    def replace(
+        self,
+        df: DataFrame,
+        name: str,
+        stats_cols: list[str] | None = None,
+        props: dict[str, Any] | None = None,
+    ) -> dict:
+        """CRASH-ATOMIC table rewrite: data files land in a fresh
+        generation directory, the manifest pointer swaps to it in one
+        ``os.replace`` (the commit point), then older generations are
+        GC'd. A crash before the swap leaves the old snapshot fully
+        intact; a crash after leaves only orphan files (harmless — no
+        manifest references them)."""
+        import shutil
+        import uuid as _uuid
+
+        gen = f"data-{_uuid.uuid4().hex[:8]}"
+        ddir = os.path.join(self.table_dir(name), gen)
+        df.write.mode("overwrite").option("compression", "zstd").parquet(ddir)
+        man = self.commit(name, stats_cols=stats_cols, props=props,
+                          data_dir=gen)
+        for d in os.listdir(self.table_dir(name)):
+            if d != gen and (d == "data" or d.startswith("data-")):
+                shutil.rmtree(os.path.join(self.table_dir(name), d),
+                              ignore_errors=True)
+        return man
 
     def commit(
         self,
         name: str,
         stats_cols: list[str] | None = None,
         props: dict[str, Any] | None = None,
+        data_dir: str = "data",
     ) -> dict:
         """Harvest footer stats for existing data files and atomically
         publish the manifest (the snapshot commit point)."""
-        ddir = os.path.join(self.table_dir(name), "data")
+        ddir = os.path.join(self.table_dir(name), data_dir)
         paths = []
         for dirpath, _dirs, fnames in os.walk(ddir):
             for fn in sorted(fnames):
@@ -117,6 +159,7 @@ class Catalog:
             "snapshot_id": uuid.uuid4().hex,
             "committed_at": time.time(),
             "format": "parquet-iceberg-style",
+            "data_dir": data_dir,
             "stats_cols": stats_cols or [],
             "props": props or {},
             "files": files,
@@ -136,7 +179,9 @@ class Catalog:
     def read(self, name: str) -> DataFrame:
         if not self.exists(name):
             raise FileNotFoundError(f"table {name!r} has no committed snapshot")
-        return self.spark.read.parquet(os.path.join(self.table_dir(name), "data"))
+        return self.spark.read.parquet(
+            os.path.join(self.table_dir(name), self._data_dir_name(name))
+        )
 
     def pruned_file_paths(
         self,
