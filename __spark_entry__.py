@@ -237,8 +237,36 @@ PHRASE_QUERY = "table hash"
 
 
 def _q_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Positional phrase search: docs containing the exact token
-    sequence, with occurrence counts."""
+    """Positional phrase search SERVED FROM THE COMMITTED INDEX: build
+    the docmap + positional-blocks tables once, then answer from
+    manifest-pruned ``pos_blocks`` files (build-once/query-many,
+    idx.py:85-92 ↔ prs.py:27-38) — the corpus is never re-tokenized at
+    query time. Same oracle as the ad-hoc ``phrase_search`` definition."""
+    import shutil
+    import tempfile
+
+    from antidb_spark.operators.build import IndexBuilder
+    from antidb_spark.operators.phrase import (
+        build_positional_index,
+        phrase_query,
+    )
+
+    root = tempfile.mkdtemp(prefix="antidb_entry_pos_")
+    try:
+        b = IndexBuilder(spark, root, id_cols=DOC_ID)
+        b.build(_docs(spark, sf_dir))
+        build_positional_index(b, _docs(spark, sf_dir))
+        out = phrase_query(b, PHRASE_QUERY).cache()
+        out.count()  # materialize before the temp dir is removed
+        return out
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+def _q_phrase_adhoc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ad-hoc corpus-level phrase operator (tokenize per call) —
+    the oracle-checkable semantic definition the indexed path must
+    match."""
     from antidb_spark.operators.phrase import phrase_search
 
     return phrase_search(_docs(spark, sf_dir), PHRASE_QUERY, id_cols=DOC_ID)
@@ -481,6 +509,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fallback_join": _q_fallback_join,
         "interval_days": _q_interval_days,
         "phrase_search": _q_phrase_search,
+        "phrase_adhoc": _q_phrase_adhoc,
         "fingerprints": _q_fingerprints,
         "exact_dup_groups": _q_exact_dup_groups,
         "ngram_jaccard": _q_ngram_jaccard,
@@ -900,6 +929,7 @@ FROM documents
     # the persisted-index paths must answer exactly like the in-memory
     # KeyedIndex paths → same oracles
     out["phrase_search"] = _phrase_oracle(PHRASE_QUERY)
+    out["phrase_adhoc"] = _phrase_oracle(PHRASE_QUERY)
     out["media_decode"] = MEDIA_DECODE_ORACLE
     out["keyed_eq_persisted"] = out["eq_lookup"]
     out["keyed_rng_persisted"] = out["rng_lookup"]

@@ -1,9 +1,23 @@
-"""Positional postings + exact phrase search.
+"""Positional postings, exact phrase search, and the PERSISTED
+positional-blocks index.
 
 The reference's query surface is key-equality/range only; a full-text
 engine needs phrase queries ("exact sequence of tokens"), which require
 per-(term, doc) POSITION lists — the positional-postings layer classic
 inverted indexes add beside tf.
+
+Two tiers:
+
+- ``phrase_search``: ad-hoc, corpus-level (tokenize per call) — the
+  oracle-checkable definition of the semantics.
+- ``build_positional_index`` + ``phrase_query`` / ``phrase_warm``: the
+  build-once/query-many tier matching the reference's Idx→Prs shape
+  (idx.py:85-92 ↔ prs.py:27-38): per-(term, doc) positions are
+  delta+varint-packed into ~128-doc blocks committed as a
+  ``pos_blocks`` catalog table beside the tf blocks (same manifest
+  min/max pruning on ``term``); queries decode only the phrase's
+  manifest-pruned blocks — never re-tokenizing the corpus — and
+  ``phrase_warm`` answers driver-side with zero Spark jobs.
 
 Spark-first design (no UDFs anywhere):
 
@@ -30,12 +44,20 @@ list_intersect (``__spark_entry__``), so the entry is hash-checked.
 
 from __future__ import annotations
 
-from collections.abc import Sequence
+from collections.abc import Iterator, Sequence
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from antidb_spark.functions.analyze import py_tokens, tokens
+from antidb_spark.functions.packing import (
+    pack_postings,
+    varint_decode,
+    varint_encode,
+)
 from antidb_spark.schema import DOC_ID_COLS
 
 
@@ -100,3 +122,309 @@ def phrase_search(
         .select(*id_cols, "phrase_freq")
         .orderBy(F.desc("phrase_freq"), *[F.asc(c) for c in id_cols])
     )
+
+
+# --- persisted positional-blocks index -----------------------------------
+
+POS_BLOCK_SIZE = 128
+
+# One row per ≤128-doc run of a term's positional postings. A doc's
+# position list NEVER splits across rows (rows are cut on doc
+# boundaries), so decode is purely local to a row.
+_POS_BLOCKS_OUT = T.StructType(
+    [
+        T.StructField("term", T.StringType(), False),
+        T.StructField("block_id", T.LongType(), False),
+        T.StructField("n_docs", T.IntegerType(), False),
+        T.StructField("min_ord", T.LongType(), False),
+        T.StructField("max_ord", T.LongType(), False),
+        T.StructField("docs_packed", T.BinaryType(), False),
+        T.StructField("tfs_packed", T.BinaryType(), False),
+        T.StructField("pos_packed", T.BinaryType(), False),
+    ]
+)
+
+_DECODED_POS = T.StructType(
+    [
+        T.StructField("term", T.StringType(), False),
+        T.StructField("doc_ord", T.LongType(), False),
+        T.StructField("pos", T.LongType(), False),
+    ]
+)
+
+
+def _pack_pos_partition(
+    batches: Iterator[pd.DataFrame], run_base: int = 0
+) -> Iterator[pd.DataFrame]:
+    """Pack one sorted (term, doc_ord) partition of positional postings
+    into blocks (same carry-the-tail protocol and block_id layout as
+    build._pack_partition; positions are per-doc delta+varint — first
+    position absolute, then gaps — concatenated across the block)."""
+    pending: pd.DataFrame | None = None
+    seq = 0
+    pid = None
+
+    def cut(frame: pd.DataFrame, flush: bool) -> Iterator[tuple]:
+        nonlocal seq
+        for term, grp in frame.groupby("term", sort=False):
+            is_last_term = term == frame["term"].iloc[-1]
+            n_full = len(grp) // POS_BLOCK_SIZE
+            end = (
+                len(grp)
+                if (flush or not is_last_term)
+                else n_full * POS_BLOCK_SIZE
+            )
+            for s in range(0, end, POS_BLOCK_SIZE):
+                chunk = grp.iloc[s : s + POS_BLOCK_SIZE]
+                if not (flush or not is_last_term) and len(chunk) < POS_BLOCK_SIZE:
+                    break
+                ords = chunk["doc_ord"].to_numpy(dtype=np.int64)
+                plists = [
+                    np.asarray(p, dtype=np.int64) for p in chunk["positions"]
+                ]
+                counts = np.array([p.size for p in plists], dtype=np.int64)
+                flat = (
+                    np.concatenate(plists)
+                    if plists
+                    else np.empty(0, dtype=np.int64)
+                )
+                docs_b, tfs_b = pack_postings(
+                    ords.astype(np.uint64), counts.astype(np.uint64)
+                )
+                d = flat.copy()
+                if flat.size:
+                    d[1:] -= flat[:-1]
+                    starts = np.cumsum(counts) - counts
+                    d[starts] = flat[starts]
+                yield (
+                    term,
+                    run_base | (pid << 32) | seq,
+                    len(chunk),
+                    int(ords[0]),
+                    int(ords[-1]),
+                    docs_b,
+                    tfs_b,
+                    varint_encode(d.astype(np.uint64)),
+                )
+                seq += 1
+
+    cols = [f.name for f in _POS_BLOCKS_OUT.fields]
+    for batch in batches:
+        if len(batch) == 0:
+            continue
+        if pid is None:
+            pid = int(batch["_pid"].iloc[0])
+        frame = batch if pending is None else pd.concat([pending, batch])
+        last_term = frame["term"].iloc[-1]
+        rows = list(cut(frame, flush=False))
+        if rows:
+            yield pd.DataFrame(rows, columns=cols)
+        tail = frame[frame["term"] == last_term]
+        n_packed = (len(tail) // POS_BLOCK_SIZE) * POS_BLOCK_SIZE
+        pending = tail.iloc[n_packed:] if n_packed < len(tail) else None
+    if pending is not None and len(pending):
+        rows = list(cut(pending, flush=True))
+        if rows:
+            yield pd.DataFrame(rows, columns=cols)
+
+
+def _decode_pos_batch(
+    batch: pd.DataFrame,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Whole-batch vectorized decode → (term_per_pos, ord_per_pos, pos).
+
+    Doc ordinals reconstruct exactly like build._decode_batch (segment
+    cumsum over concatenated deltas); positions add one more nesting
+    level — segments are per DOC (lengths = the decoded tf counts)."""
+    counts = batch["n_docs"].to_numpy(dtype=np.int64)
+    ddeltas = varint_decode(b"".join(batch["docs_packed"])).astype(np.int64)
+    starts = np.concatenate(([0], np.cumsum(counts)[:-1]))
+    cs = np.cumsum(ddeltas)
+    ords = cs - np.repeat(cs[starts] - ddeltas[starts], counts)
+    tfs = varint_decode(b"".join(batch["tfs_packed"])).astype(np.int64)
+    pdeltas = varint_decode(b"".join(batch["pos_packed"])).astype(np.int64)
+    pstarts = np.cumsum(tfs) - tfs
+    pcs = np.cumsum(pdeltas)
+    pos = pcs - np.repeat(pcs[pstarts] - pdeltas[pstarts], tfs)
+    term_per_doc = np.repeat(batch["term"].to_numpy(), counts)
+    return (
+        np.repeat(term_per_doc, tfs),
+        np.repeat(ords, tfs),
+        pos,
+    )
+
+
+def _decode_pos_blocks(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    for batch in batches:
+        if len(batch) == 0:
+            continue
+        term_rep, ords, pos = _decode_pos_batch(batch)
+        yield pd.DataFrame({"term": term_rep, "doc_ord": ords, "pos": pos})
+
+
+def build_positional_index(
+    builder, corpus: DataFrame, n_partitions: int | None = None
+) -> dict:
+    """Commit the ``pos_blocks`` table for an IndexBuilder whose docmap
+    is already built (positions share the index's doc ordinals, so the
+    final id resolve is the same pruned docmap read every other query
+    path uses). Resumable like every build stage; returns the manifest.
+
+    Invalidation: incremental compaction appends/renumbers docs the
+    positional layer doesn't know about — ``compact_incremental`` drops
+    this table and its checkpoint, and phrase queries raise until it is
+    rebuilt from the merged corpus (the delta sink persists tf postings
+    only, not positions — positions exist only in the corpus).
+    """
+    if not builder.ckpt.is_done("docmap"):
+        raise ValueError("build the base index (docmap) before positions")
+    if builder.ckpt.is_done("pos_blocks"):
+        return builder.catalog.manifest("pos_blocks")
+    spark = builder.spark
+    n_part = n_partitions or spark.sparkContext.defaultParallelism
+    assert n_part < (1 << 16), (
+        "block_id layout assumes < 2^16 pack partitions"
+    )
+    with builder.timer.phase("pos_blocks"):
+        posts = positional_postings(
+            corpus, builder.id_cols, builder.text_col
+        )
+        docmap = builder.catalog.read("docmap")
+        enriched = posts.join(
+            docmap.select(*builder.id_cols, "doc_ord"), builder.id_cols
+        ).select("term", "doc_ord", "positions")
+        packed = (
+            enriched.repartitionByRange(n_part, "term", "doc_ord")
+            .sortWithinPartitions("term", "doc_ord")
+            .withColumn("_pid", F.spark_partition_id())
+            .mapInPandas(_pack_pos_partition, schema=_POS_BLOCKS_OUT)
+        )
+        man = builder.catalog.write(packed, "pos_blocks", stats_cols=["term"])
+    builder.ckpt.mark_done(
+        "pos_blocks",
+        rows=sum(e["rows"] for e in man["files"]),
+        snapshot=man["snapshot_id"],
+        seconds=builder.timer.phases[-1]["seconds"],
+    )
+    return man
+
+
+def _empty_phrase_result(builder) -> DataFrame:
+    dm = builder.catalog.read("docmap")
+    schema = ", ".join(
+        [
+            f"{c} {dm.schema[c].dataType.simpleString()}"
+            for c in builder.id_cols
+        ]
+        + ["phrase_freq long"]
+    )
+    return builder.spark.createDataFrame([], schema)
+
+
+def phrase_query(builder, phrase: str) -> DataFrame:
+    """Index-served exact phrase search: (*id_cols, phrase_freq), same
+    semantics and ordering as ``phrase_search`` (pinned by tests /
+    the shared DuckDB oracle) but reading ONLY manifest-pruned
+    ``pos_blocks`` files — the corpus is never touched.
+
+    Plan (one shuffle): decode pruned blocks → per-occurrence-slot
+    anchor fan-out ((doc, pos - slot) via a broadcast slot map) →
+    groupBy (doc, anchor) counting slots (== len(phrase) ⟺ every slot
+    present: within a slot an anchor can only arise once, positions
+    being unique per (term, doc)) → per-doc anchor counts → pruned
+    docmap resolve. Skew-free: the shuffle key (doc, anchor) is as
+    fine-grained as the data itself."""
+    terms = py_tokens(phrase)
+    if not builder.ckpt.is_done("pos_blocks"):
+        raise ValueError("positional index not built (build_positional_index)")
+    if not terms:
+        return _empty_phrase_result(builder)
+    uniq = sorted(set(terms))
+    blocks = builder.catalog.read_pruned("pos_blocks", "term", uniq).filter(
+        F.col("term").isin(uniq)
+    )
+    decoded = blocks.select(
+        "term", "n_docs", "docs_packed", "tfs_packed", "pos_packed"
+    ).mapInPandas(_decode_pos_blocks, schema=_DECODED_POS)
+    spark = builder.spark
+    slots = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(terms)], "slot int, term string"
+    )
+    anchors = (
+        decoded.join(F.broadcast(slots), "term")
+        .select("doc_ord", (F.col("pos") - F.col("slot")).alias("anchor"))
+        .filter(F.col("anchor") >= 0)
+    )
+    matched = (
+        anchors.groupBy("doc_ord", "anchor")
+        .agg(F.count(F.lit(1)).alias("n_slots"))
+        .filter(F.col("n_slots") == len(terms))
+    )
+    freq = matched.groupBy("doc_ord").agg(
+        F.count(F.lit(1)).alias("phrase_freq")
+    )
+    docmap = builder.catalog.read("docmap")
+    return (
+        freq.join(docmap.select("doc_ord", *builder.id_cols), "doc_ord")
+        .select(*builder.id_cols, "phrase_freq")
+        .orderBy(F.desc("phrase_freq"), *[F.asc(c) for c in builder.id_cols])
+    )
+
+
+# anchors are keyed doc-locally: dense candidate-doc index * 2^33 +
+# adjusted position (positions < 2^33 per doc; the dense index keeps the
+# key in int64 regardless of global doc_ord magnitude)
+_WARM_SHIFT = 33
+
+
+def phrase_warm(builder, phrase: str) -> pd.DataFrame:
+    """Interactive phrase search with NO Spark job (the warm tier beside
+    ``IndexBuilder.query_warm``): manifest-pruned pyarrow block reads,
+    vectorized numpy decode + per-slot sorted-set intersection, pruned
+    pyarrow docmap resolve. Row/value-identical to ``phrase_query``
+    (pinned by tests). Intended for the interactive regime (rare/mid
+    terms); stopword-heavy phrases belong on the distributed path."""
+    terms = py_tokens(phrase)
+    cols = [*builder.id_cols, "phrase_freq"]
+    if not builder.ckpt.is_done("pos_blocks"):
+        raise ValueError("positional index not built (build_positional_index)")
+    if not terms:
+        return pd.DataFrame(columns=cols)
+    uniq = sorted(set(terms))
+    tbl = builder.catalog.read_pruned_arrow(
+        "pos_blocks", "term", uniq,
+        columns=["term", "n_docs", "docs_packed", "tfs_packed", "pos_packed"],
+    ).to_pandas()
+    if not len(tbl):
+        return pd.DataFrame(columns=cols)
+    term_rep, ords, pos = _decode_pos_batch(tbl)
+    u_docs, doc_inv = np.unique(ords, return_inverse=True)
+    anchors: np.ndarray | None = None
+    for i, t in enumerate(terms):
+        sel = (term_rep == t) & (pos >= i)
+        keys = (doc_inv[sel] << _WARM_SHIFT) + (pos[sel] - i)
+        keys = np.unique(keys)  # sorted for intersect1d's fast path
+        anchors = (
+            keys
+            if anchors is None
+            else np.intersect1d(anchors, keys, assume_unique=True)
+        )
+        if anchors.size == 0:
+            return pd.DataFrame(columns=cols)
+    hit_docs, freqs = np.unique(anchors >> _WARM_SHIFT, return_counts=True)
+    hit_ords = u_docs[hit_docs]
+    dm = (
+        builder.catalog.read_pruned_arrow(
+            "docmap", "doc_ord", values=[int(o) for o in hit_ords],
+            columns=["doc_ord", *builder.id_cols],
+        )
+        .to_pandas()
+        .set_index("doc_ord")
+    )
+    out = dm.loc[hit_ords, list(builder.id_cols)].reset_index(drop=True)
+    out["phrase_freq"] = freqs
+    return out.sort_values(
+        ["phrase_freq", *builder.id_cols], ascending=[False] + [True] * len(builder.id_cols)
+    ).reset_index(drop=True)

@@ -56,6 +56,14 @@ class BuildCheckpoint:
             byunit[r["unit"]] = r
         return list(byunit.values())
 
+    def unmark(self, unit: str) -> None:
+        """Invalidate one committed unit (e.g. an optional index layer a
+        compaction made stale) without touching the others."""
+        try:
+            os.remove(self._marker(unit))
+        except FileNotFoundError:
+            pass
+
     def reset(self) -> None:
         import shutil
 

@@ -258,7 +258,8 @@ def compact_incremental(
         # full rebuild in place: localCheckpoint pins the merged relation
         # before its source tables are dropped out from under it
         merged = merged.localCheckpoint()
-        for tbl in ("postings", "docmap", "stats", "terms", "blocks"):
+        for tbl in ("postings", "docmap", "stats", "terms", "blocks",
+                    "pos_blocks"):
             b.catalog.drop(tbl)
         b.ckpt.reset()
         man = b.catalog.write(merged, "postings")
@@ -288,7 +289,9 @@ def compact_incremental(
 
     b.catalog.write(delta_post, "postings", mode="append")
 
-    # terms: merged df written beside, then atomically swapped in
+    # terms: merged df lands in a fresh generation dir; the manifest
+    # pointer swap is the crash-atomic commit point (Catalog.replace) —
+    # a crash mid-rewrite leaves the old terms snapshot fully readable
     old_terms = b.catalog.read("terms")
     delta_df = delta_post.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     merged_terms = (
@@ -302,16 +305,14 @@ def compact_incremental(
             ).alias("df"),
         )
     )
-    b.catalog.write(merged_terms, "terms__next", stats_cols=["term"])
-    b.catalog.drop("terms")
-    os.rename(b.catalog.table_dir("terms__next"), b.catalog.table_dir("terms"))
+    b.catalog.replace(merged_terms, "terms", stats_cols=["term"])
 
     # stats: recomputed the batch way over the appended docmap (exact
     # equivalence with a from-scratch build)
     stats = b.catalog.read("docmap").agg(
         F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")
     )
-    b.catalog.write(stats, "stats")
+    b.catalog.replace(stats, "stats")
 
     # blocks: pack ONLY the delta postings; append with a fresh run_base
     n_runs = int(b.catalog.manifest("blocks")["props"].get("n_runs", 1))
@@ -335,6 +336,13 @@ def compact_incremental(
     if src is not None:
         src.unpersist()
     b._stats_cache = None  # appended corpus → cached (n_docs, avgdl) stale
+    # the positional layer (if built) doesn't cover the appended docs —
+    # positions live only in the corpus, not the delta sink, so it can't
+    # be appended here: invalidate it (phrase queries raise until a
+    # rebuild via build_positional_index over the merged corpus)
+    if b.ckpt.is_done("pos_blocks"):
+        b.catalog.drop("pos_blocks")
+        b.ckpt.unmark("pos_blocks")
     b.ckpt.mark_done(
         f"compaction_run_{n_runs}",
         batches=sorted(todo),

@@ -134,6 +134,38 @@ def main() -> None:
         timings["bm25_warm"] = round(statistics.median(lat), 4)
         extras["bm25_warm_ms"] = round(1000 * statistics.median(lat), 2)
 
+    # --- persisted positional index: build + warm phrase queries --------
+    if phase_on("pos_build") or phase_on("phrase_warm"):
+        from antidb_spark.operators.phrase import (
+            build_positional_index,
+            phrase_warm,
+        )
+
+        if phase_on("pos_build"):
+            timed("pos_build",
+                  lambda: build_positional_index(builder, transcripts))
+        else:
+            build_positional_index(builder, transcripts)
+        if phase_on("phrase_warm"):
+            import statistics
+
+            v = vocabulary(2000)
+            # stopword+midword pairs anchor real hits; midword pairs
+            # exercise decode+intersection on sparse lists
+            phrases = [f"{v[i]} {v[i + 37]}" for i in range(20, 30)] + [
+                f"the {v[i]}" for i in range(100, 110)
+            ]
+            phrase_warm(builder, phrases[0])  # warm dataset metadata
+            lat = []
+            for p in phrases:
+                t0 = time.perf_counter()
+                phrase_warm(builder, p)
+                lat.append(time.perf_counter() - t0)
+            timings["phrase_warm"] = round(statistics.median(lat), 4)
+            extras["phrase_warm_ms"] = round(
+                1000 * statistics.median(lat), 2
+            )
+
     # --- flagship documents query ---------------------------------------
     if phase_on("topk_docs"):
         timed(

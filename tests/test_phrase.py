@@ -73,3 +73,130 @@ def test_positional_postings_roundtrip(docs_df):
     want_spark = [i for i, t in enumerate(toks0) if t == "spark"]
     assert list(by_key[(0, "spark")]["positions"]) == want_spark
     assert by_key[(0, "spark")]["tf"] == len(want_spark)
+
+
+# --- persisted positional-blocks index -----------------------------------
+
+
+@pytest.fixture(scope="module")
+def pos_builder(spark, docs_df, tmp_path_factory):
+    """Base index + positional blocks over the tiny corpus."""
+    from antidb_spark.operators.build import IndexBuilder
+    from antidb_spark.operators.phrase import build_positional_index
+
+    root = str(tmp_path_factory.mktemp("pos_idx"))
+    b = IndexBuilder(spark, root, id_cols=("doc_id",))
+    b.build(docs_df, n_partitions=4)
+    build_positional_index(b, docs_df, n_partitions=4)
+    return b
+
+
+@pytest.mark.parametrize(
+    "phrase",
+    [
+        "spark runs",
+        "spark runs fast",
+        "runs runs",
+        "a b a",
+        "spark",
+        "zzz missing",
+    ],
+)
+def test_phrase_query_matches_adhoc(pos_builder, docs_df, phrase):
+    """Index-served phrase == ad-hoc corpus phrase (rows AND order)."""
+    from antidb_spark.operators.phrase import phrase_query, phrase_search
+
+    got = phrase_query(pos_builder, phrase).toPandas()
+    want = phrase_search(docs_df, phrase, id_cols=("doc_id",)).toPandas()
+    assert got.values.tolist() == want.values.tolist(), phrase
+
+
+@pytest.mark.parametrize("phrase", ["spark runs", "runs runs", "a b a", "zzz"])
+def test_phrase_warm_matches_query(pos_builder, phrase):
+    """Warm (no-Spark-job) path row/value-identical to the distributed
+    path."""
+    from antidb_spark.operators.phrase import phrase_query, phrase_warm
+
+    got = phrase_warm(pos_builder, phrase)
+    want = phrase_query(pos_builder, phrase).toPandas()
+    assert got.values.tolist() == want.values.tolist(), phrase
+
+
+def test_phrase_query_empty_and_unbuilt(spark, pos_builder, docs_df, tmp_path):
+    from antidb_spark.operators.build import IndexBuilder
+    from antidb_spark.operators.phrase import phrase_query, phrase_warm
+
+    assert phrase_query(pos_builder, " ... ").count() == 0
+    assert len(phrase_warm(pos_builder, " ... ")) == 0
+    b2 = IndexBuilder(spark, str(tmp_path / "nopos"), id_cols=("doc_id",))
+    b2.build(docs_df, n_partitions=2)
+    with pytest.raises(ValueError, match="positional index not built"):
+        phrase_query(b2, "spark runs")
+
+
+def test_phrase_blocks_span_block_and_partition_boundaries(spark, tmp_path):
+    """>128 docs per term forces multiple blocks across multiple pack
+    partitions; anchors must survive the block cuts."""
+    from antidb_spark.operators.build import IndexBuilder
+    from antidb_spark.operators.phrase import (
+        build_positional_index,
+        phrase_query,
+        phrase_warm,
+    )
+
+    rows = [
+        (i, ("filler%d " % i) + "alpha beta " * (1 + i % 3) + "gamma")
+        for i in range(300)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    b = IndexBuilder(spark, str(tmp_path / "span_idx"), id_cols=("doc_id",))
+    b.build(df, n_partitions=4)
+    man = build_positional_index(b, df, n_partitions=4)
+    # the alpha/beta posting lists must actually span >1 block row
+    tbl = b.catalog.read_pruned_arrow(
+        "pos_blocks", "term", ["alpha"], columns=["term", "n_docs"]
+    ).to_pandas()
+    tbl = tbl[tbl["term"] == "alpha"]
+    assert len(tbl) >= 2 and tbl["n_docs"].sum() == 300
+    got = phrase_query(b, "alpha beta").toPandas()
+    assert len(got) == 300
+    freqs = {r.doc_id: r.phrase_freq for r in got.itertuples()}
+    assert all(freqs[i] == 1 + i % 3 for i in range(300))
+    warm = phrase_warm(b, "alpha beta")
+    assert warm.values.tolist() == got.values.tolist()
+    assert man["files"]  # committed
+
+
+def test_compaction_invalidates_positional_layer(spark, tmp_path):
+    """Appending new docs via compact_incremental drops pos_blocks (the
+    delta sink has no positions); phrase queries raise until rebuilt."""
+    from antidb_spark.operators.build import IndexBuilder
+    from antidb_spark.operators.phrase import (
+        build_positional_index,
+        phrase_query,
+    )
+    from antidb_spark.streaming.incremental import (
+        PostingsDeltaSink,
+        compact_incremental,
+    )
+    from antidb_spark.synth import synth_transcripts
+
+    corpus = synth_transcripts(spark, n_convs=10, seed=7)
+    b = IndexBuilder(spark, str(tmp_path / "cidx"))
+    b.build(corpus, n_partitions=4)
+    build_positional_index(b, corpus, n_partitions=4)
+    assert phrase_query(b, "the").count() > 0
+
+    new = synth_transcripts(spark, n_convs=12, seed=7).filter(
+        "conv_id > 'conv_00000009'"
+    )
+    sink = PostingsDeltaSink(str(tmp_path / "csink"))
+    sink(new, batch_id=0)
+    m = compact_incremental(spark, sink, b, n_partitions=4)
+    assert m["mode"] == "append"
+    with pytest.raises(ValueError, match="positional index not built"):
+        phrase_query(b, "the")
+    # rebuild over the merged corpus restores service
+    merged = corpus.unionByName(new)
+    build_positional_index(b, merged, n_partitions=4)
+    assert phrase_query(b, "the").count() > 0
