@@ -361,7 +361,10 @@ def _q_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _q_clone_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     from antidb_spark.operators.textstats import clone_candidates
 
-    return clone_candidates(_docs(spark, sf_dir), min_shared=2)
+    # max_fp_df=None: the oracle generates candidates uncapped, so the
+    # oracled entry runs the fully-exact configuration (the capped
+    # default is the documented scale path, tested with planted skew)
+    return clone_candidates(_docs(spark, sf_dir), min_shared=2, max_fp_df=None)
 
 
 def _vecs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -588,7 +591,8 @@ def _simhash_dups_oracle(max_distance: int = 3) -> str:
     """Brute-force simhash Hamming pairs, computed from the SAME
     md5-hex-digit bit definition as dedup.term_bit — Spark's 4-band
     pigeonhole query is EXACT for distance ≤ 3, so brute force is the
-    oracle. Tokenless docs get all-zero bits via the left join."""
+    oracle. simhash-0 docs (all bits zero) are excluded from pairing,
+    mirroring the operator's empty-doc guard."""
     bit = (
         "((strpos('0123456789abcdef', substr(md5(term), b.b // 4 + 1, 1)) - 1)"
         " >> (b.b % 4)) & 1"
@@ -605,10 +609,13 @@ vbit AS (
 bits AS (
   SELECT d.doc_id, b.b, coalesce(v.bit, 0) AS bit
   FROM documents d CROSS JOIN bser b
-  LEFT JOIN vbit v ON v.doc_id = d.doc_id AND v.b = b.b)
+  LEFT JOIN vbit v ON v.doc_id = d.doc_id AND v.b = b.b),
+nz AS (SELECT doc_id FROM bits GROUP BY doc_id HAVING sum(bit) > 0)
 SELECT x.doc_id AS id_a, y.doc_id AS id_b,
        sum(CASE WHEN x.bit <> y.bit THEN 1 ELSE 0 END)::BIGINT AS hamming
 FROM bits x JOIN bits y ON x.b = y.b AND x.doc_id < y.doc_id
+WHERE x.doc_id IN (SELECT doc_id FROM nz)
+  AND y.doc_id IN (SELECT doc_id FROM nz)
 GROUP BY 1, 2
 HAVING sum(CASE WHEN x.bit <> y.bit THEN 1 ELSE 0 END) <= {max_distance}
 """
@@ -721,42 +728,94 @@ FROM cand c, p ORDER BY cos DESC, vec_id ASC LIMIT {k}
 
 
 def _embedding_dups_oracle(threshold: float = 0.95, n_planes: int = 8,
-                           dim: int = 64, seed: int = 42) -> str:
-    """LSH-bucketed cosine near-dup pairs with the hyperplanes inlined
-    as double literals (same seeded planes as similarity._hyperplanes,
-    same fold order as the Spark dot/l2norm expressions — the
-    ann_cosine_topk oracle already pins that list_sum ≡ F.aggregate)."""
+                           n_tables: int = 2, dim: int = 64,
+                           seed: int = 42) -> str:
+    """Multi-table LSH-bucketed cosine near-dup pairs with the
+    hyperplanes inlined as double literals (same seeded planes as
+    similarity._hyperplanes per table — seed + 1000·t — same fold order
+    as the Spark dot/l2norm expressions; the ann_cosine_topk oracle
+    already pins that list_sum ≡ F.aggregate). Candidates = same bucket
+    in ANY table (DISTINCT over the per-table union ≡ Spark's exploded
+    (table, bucket) equi-join + distinct)."""
     from antidb_spark.operators.similarity import _hyperplanes
 
-    planes = _hyperplanes(dim, n_planes, seed)
-    lits = ["[" + ", ".join(repr(float(x)) for x in p) + "]" for p in planes]
-
-    def dot(plane_lit: str) -> str:
-        return (
-            f"list_sum(list_transform(generate_series(1, {dim}), "
-            f"i -> embedding[i]::DOUBLE * ({plane_lit})[i]))"
+    def bucket(t: int) -> str:
+        planes = _hyperplanes(dim, n_planes, seed + 1000 * t)
+        lits = [
+            "[" + ", ".join(repr(float(x)) for x in p) + "]" for p in planes
+        ]
+        return " + ".join(
+            f"(CASE WHEN list_sum(list_transform(generate_series(1, {dim}), "
+            f"i -> embedding[i]::DOUBLE * ({pl})[i])) >= 0 "
+            f"THEN {1 << i} ELSE 0 END)"
+            for i, pl in enumerate(lits)
         )
 
-    bucket = " + ".join(
-        f"(CASE WHEN {dot(pl)} >= 0 THEN {1 << i} ELSE 0 END)"
-        for i, pl in enumerate(lits)
-    )
+    bucket_cols = ", ".join(f"({bucket(t)}) AS b{t}" for t in range(n_tables))
+    any_table = " OR ".join(f"x.b{t} = y.b{t}" for t in range(n_tables))
     return f"""
 WITH aug AS (SELECT * FROM embeddings UNION ALL
              SELECT vec_id + 100000 AS vec_id, embedding, label
              FROM embeddings WHERE vec_id % 100 = 0),
 b AS (SELECT vec_id, embedding,
              sqrt(list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE))) AS nrm,
-             ({bucket}) AS bucket
+             {bucket_cols}
       FROM aug)
 SELECT x.vec_id AS id_a, y.vec_id AS id_b,
        round(list_sum(list_transform(generate_series(1, {dim}),
              i -> x.embedding[i]::DOUBLE * y.embedding[i]::DOUBLE))
              / (x.nrm * y.nrm), 6) AS cos
-FROM b x JOIN b y ON x.bucket = y.bucket AND x.vec_id < y.vec_id
+FROM b x JOIN b y ON ({any_table}) AND x.vec_id < y.vec_id
 WHERE round(list_sum(list_transform(generate_series(1, {dim}),
             i -> x.embedding[i]::DOUBLE * y.embedding[i]::DOUBLE))
             / (x.nrm * y.nrm), 6) >= {threshold}
+"""
+
+
+def _minhash_dups_oracle(threshold: float = 0.7, seed: int = 42) -> str:
+    """MinHash+LSH in pure SQL: the SAME 28-bit md5-prefix base hash,
+    the SAME seeded affine permutation family (literals inlined from
+    dedup._minhash_coeffs), the SAME 16×4 banding (candidate iff some
+    band's 4-tuple matches), and the SAME exact-Jaccard verify — so the
+    probabilistic operator is hash-checked end-to-end, not rows-only."""
+    from antidb_spark.operators.dedup import (
+        MINHASH_P,
+        N_BANDS,
+        N_HASHES,
+        ROWS_PER_BAND,
+        _minhash_coeffs,
+    )
+
+    a, b = _minhash_coeffs(seed)
+    mins = ", ".join(
+        f"min(({a[i]} * h + {b[i]}) % {MINHASH_P}) AS h{i}"
+        for i in range(N_HASHES)
+    )
+    band_eq = " OR ".join(
+        "("
+        + " AND ".join(
+            f"x.h{t * ROWS_PER_BAND + r} = y.h{t * ROWS_PER_BAND + r}"
+            for r in range(ROWS_PER_BAND)
+        )
+        + ")"
+        for t in range(N_BANDS)
+    )
+    return f"""
+WITH {TOKARR_CTE}, {SHINGLE_CTE},
+hs AS (SELECT doc_id, ('0x' || substr(md5(sh), 1, 7))::BIGINT AS h FROM sh),
+sig AS (SELECT doc_id, {mins} FROM hs GROUP BY doc_id),
+cand AS (SELECT x.doc_id AS id_a, y.doc_id AS id_b
+         FROM sig x JOIN sig y ON x.doc_id < y.doc_id AND ({band_eq})),
+sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+shared AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  GROUP BY 1, 2)
+SELECT c.id_a, c.id_b, round(s.c::DOUBLE / (x.n + y.n - s.c), 6) AS jaccard
+FROM cand c
+JOIN shared s ON c.id_a = s.id_a AND c.id_b = s.id_b
+JOIN sz x ON c.id_a = x.doc_id JOIN sz y ON c.id_b = y.doc_id
+WHERE round(s.c::DOUBLE / (x.n + y.n - s.c), 6) >= {threshold}
 """
 
 
@@ -920,11 +979,9 @@ SELECT doc_id::BIGINT AS media_id,
   md5(text) AS payload_md5
 FROM documents
 """,
-        # Remaining no-oracle ops (minhash_dups, media_features,
-        # frame_sample) are probabilistic or stub-backed: the driver
-        # applies its rows-only check; their correctness is pinned by
-        # pytest oracles and subset/recall assertions against the exact
-        # operators above.
+        # Remaining no-oracle ops (media_features, frame_sample) are
+        # stub-backed media paths: the driver applies its rows-only
+        # check; their correctness is pinned by pytest oracles.
     }
     # the persisted-index paths must answer exactly like the in-memory
     # KeyedIndex paths → same oracles
@@ -934,6 +991,7 @@ FROM documents
     out["keyed_eq_persisted"] = out["eq_lookup"]
     out["keyed_rng_persisted"] = out["rng_lookup"]
     out["simhash_dups"] = _simhash_dups_oracle(3)
+    out["minhash_dups"] = _minhash_dups_oracle(0.7)
     out["clone_candidates"] = _clone_candidates_oracle(2)
     out["embedding_dups"] = _embedding_dups_oracle(0.95)
     out["ann_lsh_topk"] = _ann_lsh_oracle(10)

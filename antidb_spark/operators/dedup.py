@@ -48,6 +48,24 @@ N_HASHES = 64
 N_BANDS = 16
 ROWS_PER_BAND = N_HASHES // N_BANDS
 
+# Affine permutation family over the 28-bit md5-prefix base hash:
+# h_i = (a_i·h + b_i) mod P with P = 2^31 - 1 (Mersenne prime). Every
+# intermediate fits int64 (a < 2^31, h < 2^28 → a·h < 2^59), and the
+# SAME literals are inlined into the DuckDB oracle — this is what makes
+# minhash hash-checkable cross-engine (xxhash64 has no DuckDB twin).
+# 28-bit base-hash collisions (~N_shingles/2^28) only perturb the
+# signature estimate; candidates are always verified with TRUE Jaccard.
+MINHASH_P = (1 << 31) - 1
+
+
+def _minhash_coeffs(seed: int) -> tuple[list[int], list[int]]:
+    import numpy as _np
+
+    rng = _np.random.default_rng(seed)
+    a = rng.integers(1, MINHASH_P, N_HASHES)
+    b = rng.integers(0, MINHASH_P, N_HASHES)
+    return [int(x) for x in a], [int(x) for x in b]
+
 
 def norm_text(col: Column | str) -> Column:
     """Whitespace/case-normalized text — the exact-dedup canonical form."""
@@ -199,25 +217,31 @@ def minhash_signatures(
 ) -> DataFrame:
     """(id, sig: array<long>[N_HASHES]) — fully JVM-side.
 
-    Each doc shingle is hashed ONCE (``xxhash64(seed, shingle)``); the
-    64 permutations re-hash only the resulting 8-byte value
-    (``xxhash64(i, h)`` — far cheaper than 64 string hashes per
-    shingle). Explode → 64 min-aggregates (map-side partial agg, one
-    shuffle keyed on the doc id — no skew: hot shingles are values
-    here, not keys; duplicates are irrelevant under min). Replaces a
-    per-document Python hashing loop that was the dedup bench's
-    dominant constant factor; min-of-seeded-hash is the standard
-    minhash family, so the equal-component fraction still estimates
-    Jaccard.
+    Each doc shingle is hashed ONCE (28-bit md5-prefix base hash); the
+    64 permutations are affine maps of that value under the seeded
+    ``_minhash_coeffs`` family (pure long arithmetic — far cheaper
+    than 64 string hashes per shingle, and expressible verbatim in
+    ANSI SQL, so ``minhash_dups`` is fully DuckDB-oracled). Explode →
+    64 min-aggregates (map-side partial agg, one shuffle keyed on the
+    doc id — no skew: hot shingles are values here, not keys;
+    duplicates are irrelevant under min). min-of-universal-hash is the
+    standard minhash family, so the equal-component fraction still
+    estimates Jaccard.
     """
     sh = shingle_arrays(corpus, id_col, text_col, n).select(
         F.col("_id").alias(id_col), F.explode("shs").alias("sh")
     )
     hashed = sh.select(
-        id_col, F.xxhash64(F.lit(int(seed)), F.col("sh")).alias("h")
+        id_col,
+        F.conv(F.substring(F.md5(F.col("sh")), 1, 7), 16, 10)
+        .cast("long")
+        .alias("h"),
     )
+    a, b = _minhash_coeffs(seed)
     aggs = [
-        F.min(F.xxhash64(F.lit(i), F.col("h"))).alias(f"h{i}")
+        F.min(
+            (F.lit(a[i]) * F.col("h") + F.lit(b[i])) % F.lit(MINHASH_P)
+        ).alias(f"h{i}")
         for i in range(N_HASHES)
     ]
     return (
@@ -247,6 +271,10 @@ def minhash_near_dups(
     recall ≈ 1 - (1 - 0.7⁴)¹⁶ ≈ 0.986 per qualifying pair).
     """
     sig = minhash_signatures(corpus, id_col, text_col, n, seed)
+    # bucket key = the band's VALUE TUPLE itself (array<long> equi-join),
+    # not its hash: hash-collision candidates would diverge from the
+    # tuple-equality oracle (they'd still be Jaccard-verified, but the
+    # candidate SETS must match the SQL definition exactly)
     bands = sig.select(
         F.col(id_col).alias("_id"),
         F.explode(
@@ -254,8 +282,8 @@ def minhash_near_dups(
                 F.sequence(F.lit(0), F.lit(N_BANDS - 1)),
                 lambda i: F.struct(
                     i.alias("band"),
-                    F.hash(
-                        F.slice(F.col("sig"), i * ROWS_PER_BAND + 1, ROWS_PER_BAND)
+                    F.slice(
+                        F.col("sig"), i * ROWS_PER_BAND + 1, ROWS_PER_BAND
                     ).alias("bh"),
                 ),
             )
@@ -368,9 +396,17 @@ def simhash_near_dups(
 ) -> DataFrame:
     """Pairs with simhash Hamming distance ≤ max_distance (≤ 3 for
     exactness: 4-band pigeonhole guarantees any pair within distance 3
-    shares a band). Output: (id_a, id_b, hamming)."""
-    sig = simhash64(corpus, id_col, text_col).select(
-        F.col(id_col).alias("_id"), "simhash"
+    shares a band). Output: (id_a, id_b, hamming).
+
+    simhash-0 docs (tokenless, or the measure-zero all-negative-bit
+    case) are EXCLUDED from pairing: they all land in one bucket and
+    pair quadratically — at corpus scale a few million empty docs would
+    be the whole job — and "two empty docs are near-duplicates" is not
+    a useful signal (filter empties upstream with quality_scores)."""
+    sig = (
+        simhash64(corpus, id_col, text_col)
+        .filter(F.col("simhash") != 0)
+        .select(F.col(id_col).alias("_id"), "simhash")
     )
     band_structs = [
         F.struct(

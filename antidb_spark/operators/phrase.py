@@ -153,55 +153,64 @@ _DECODED_POS = T.StructType(
 )
 
 
+def _usable_docs(n_docs: int, flush: bool, is_last_term: bool) -> int:
+    """How many leading docs of a term run may be cut into blocks.
+
+    Non-last terms in a frame are complete (a later term follows them in
+    the sorted stream); the frame's LAST term — and, crucially, its last
+    DOC, whose position rows may continue in the next Arrow batch — is
+    held back unless flushing, and only full blocks are cut from it."""
+    if flush or not is_last_term:
+        return n_docs
+    return ((n_docs - 1) // POS_BLOCK_SIZE) * POS_BLOCK_SIZE
+
+
 def _pack_pos_partition(
     batches: Iterator[pd.DataFrame], run_base: int = 0
 ) -> Iterator[pd.DataFrame]:
-    """Pack one sorted (term, doc_ord) partition of positional postings
-    into blocks (same carry-the-tail protocol and block_id layout as
-    build._pack_partition; positions are per-doc delta+varint — first
-    position absolute, then gaps — concatenated across the block)."""
+    """Pack one sorted (term, doc_ord, pos) partition of ROW-LEVEL
+    positional postings into blocks (same carry-the-tail protocol and
+    block_id layout as build._pack_partition). Consuming raw position
+    rows — not per-doc arrays — lets the build plan skip the
+    collect_list aggregation shuffle entirely: explode → docmap join →
+    ONE range shuffle → pack. Positions are per-doc delta+varint (first
+    position absolute, then gaps), concatenated across the block."""
     pending: pd.DataFrame | None = None
     seq = 0
     pid = None
 
     def cut(frame: pd.DataFrame, flush: bool) -> Iterator[tuple]:
         nonlocal seq
+        last_term = frame["term"].iloc[-1]
         for term, grp in frame.groupby("term", sort=False):
-            is_last_term = term == frame["term"].iloc[-1]
-            n_full = len(grp) // POS_BLOCK_SIZE
-            end = (
-                len(grp)
-                if (flush or not is_last_term)
-                else n_full * POS_BLOCK_SIZE
+            ords_all = grp["doc_ord"].to_numpy(dtype=np.int64)
+            pos_all = grp["pos"].to_numpy(dtype=np.int64)
+            docs, first_idx, counts = np.unique(
+                ords_all, return_index=True, return_counts=True
             )
-            for s in range(0, end, POS_BLOCK_SIZE):
-                chunk = grp.iloc[s : s + POS_BLOCK_SIZE]
-                if not (flush or not is_last_term) and len(chunk) < POS_BLOCK_SIZE:
-                    break
-                ords = chunk["doc_ord"].to_numpy(dtype=np.int64)
-                plists = [
-                    np.asarray(p, dtype=np.int64) for p in chunk["positions"]
-                ]
-                counts = np.array([p.size for p in plists], dtype=np.int64)
-                flat = (
-                    np.concatenate(plists)
-                    if plists
-                    else np.empty(0, dtype=np.int64)
+            usable = _usable_docs(docs.size, flush, term == last_term)
+            for s in range(0, usable, POS_BLOCK_SIZE):
+                e = min(s + POS_BLOCK_SIZE, usable)
+                dchunk = docs[s:e]
+                ccounts = counts[s:e]
+                row_lo = int(first_idx[s])
+                row_hi = (
+                    int(first_idx[e]) if e < docs.size else len(grp)
                 )
+                flat = pos_all[row_lo:row_hi]
                 docs_b, tfs_b = pack_postings(
-                    ords.astype(np.uint64), counts.astype(np.uint64)
+                    dchunk.astype(np.uint64), ccounts.astype(np.uint64)
                 )
                 d = flat.copy()
-                if flat.size:
-                    d[1:] -= flat[:-1]
-                    starts = np.cumsum(counts) - counts
-                    d[starts] = flat[starts]
+                d[1:] -= flat[:-1]
+                starts = np.cumsum(ccounts) - ccounts
+                d[starts] = flat[starts]
                 yield (
                     term,
                     run_base | (pid << 32) | seq,
-                    len(chunk),
-                    int(ords[0]),
-                    int(ords[-1]),
+                    int(dchunk.size),
+                    int(dchunk[0]),
+                    int(dchunk[-1]),
                     docs_b,
                     tfs_b,
                     varint_encode(d.astype(np.uint64)),
@@ -219,9 +228,14 @@ def _pack_pos_partition(
         rows = list(cut(frame, flush=False))
         if rows:
             yield pd.DataFrame(rows, columns=cols)
+        # carry the UNCUT rows of the last term (its trailing partial
+        # block, including the possibly-batch-spanning last doc)
         tail = frame[frame["term"] == last_term]
-        n_packed = (len(tail) // POS_BLOCK_SIZE) * POS_BLOCK_SIZE
-        pending = tail.iloc[n_packed:] if n_packed < len(tail) else None
+        t_ords = tail["doc_ord"].to_numpy(dtype=np.int64)
+        t_docs, t_first = np.unique(t_ords, return_index=True)
+        usable = _usable_docs(t_docs.size, False, True)
+        consumed = int(t_first[usable]) if usable < t_docs.size else len(tail)
+        pending = tail.iloc[consumed:] if consumed < len(tail) else None
     if pending is not None and len(pending):
         rows = list(cut(pending, flush=True))
         if rows:
@@ -288,16 +302,22 @@ def build_positional_index(
         "block_id layout assumes < 2^16 pack partitions"
     )
     with builder.timer.phase("pos_blocks"):
-        posts = positional_postings(
-            corpus, builder.id_cols, builder.text_col
+        # row-level plan: posexplode → docmap join → ONE range shuffle →
+        # pack. No collect_list aggregation stage: the packer groups docs
+        # itself from the sorted row stream, so raw position rows are
+        # shuffled exactly once (plus the docmap equi-join) instead of
+        # being aggregated into arrays and re-shuffled twice.
+        pos = corpus.select(
+            *builder.id_cols,
+            F.posexplode(tokens(builder.text_col)).alias("pos", "term"),
         )
         docmap = builder.catalog.read("docmap")
-        enriched = posts.join(
+        enriched = pos.join(
             docmap.select(*builder.id_cols, "doc_ord"), builder.id_cols
-        ).select("term", "doc_ord", "positions")
+        ).select("term", "doc_ord", "pos")
         packed = (
             enriched.repartitionByRange(n_part, "term", "doc_ord")
-            .sortWithinPartitions("term", "doc_ord")
+            .sortWithinPartitions("term", "doc_ord", "pos")
             .withColumn("_pid", F.spark_partition_id())
             .mapInPandas(_pack_pos_partition, schema=_POS_BLOCKS_OUT)
         )
@@ -378,6 +398,11 @@ def phrase_query(builder, phrase: str) -> DataFrame:
 # key in int64 regardless of global doc_ord magnitude)
 _WARM_SHIFT = 33
 
+# above this many candidate position blocks the warm path would decode
+# too much on one core — fall back to the distributed phrase_query
+# (same gate design as IndexBuilder.WARM_MAX_BLOCKS)
+PHRASE_WARM_MAX_BLOCKS = 5_000
+
 
 def phrase_warm(builder, phrase: str) -> pd.DataFrame:
     """Interactive phrase search with NO Spark job (the warm tier beside
@@ -385,7 +410,9 @@ def phrase_warm(builder, phrase: str) -> pd.DataFrame:
     vectorized numpy decode + per-slot sorted-set intersection, pruned
     pyarrow docmap resolve. Row/value-identical to ``phrase_query``
     (pinned by tests). Intended for the interactive regime (rare/mid
-    terms); stopword-heavy phrases belong on the distributed path."""
+    terms); stopword-heavy phrases (candidate blocks >
+    ``PHRASE_WARM_MAX_BLOCKS``, estimated from the terms table's df)
+    transparently fall back to the distributed path."""
     terms = py_tokens(phrase)
     cols = [*builder.id_cols, "phrase_freq"]
     if not builder.ckpt.is_done("pos_blocks"):
@@ -393,6 +420,16 @@ def phrase_warm(builder, phrase: str) -> pd.DataFrame:
     if not terms:
         return pd.DataFrame(columns=cols)
     uniq = sorted(set(terms))
+    dfs = builder.catalog.read_pruned_arrow(
+        "terms", "term", uniq, columns=["term", "df"]
+    )
+    est_blocks = sum(
+        (int(d) + POS_BLOCK_SIZE - 1) // POS_BLOCK_SIZE
+        for d in dfs.column("df").to_pylist()
+    )
+    if est_blocks > PHRASE_WARM_MAX_BLOCKS:
+        out = phrase_query(builder, phrase).toPandas()
+        return out.reset_index(drop=True)
     tbl = builder.catalog.read_pruned_arrow(
         "pos_blocks", "term", uniq,
         columns=["term", "n_docs", "docs_packed", "tfs_packed", "pos_packed"],

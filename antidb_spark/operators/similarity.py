@@ -140,28 +140,62 @@ def cosine_dup_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     n_planes: int = 8,
+    n_tables: int = 2,
     seed: int = 42,
 ) -> DataFrame:
-    """Embedding near-dup pairs: same-LSH-bucket candidates verified by
-    exact cosine ≥ threshold. Output (id_a, id_b, cos) rounded 6dp."""
-    planes = _hyperplanes(
-        vectors.select(F.size(vec_col)).first()[0], n_planes, seed
-    )
+    """Embedding near-dup pairs: LSH-bucket candidates from
+    ``n_tables`` INDEPENDENT hash tables of ``n_planes`` hyperplanes
+    each, verified by exact cosine ≥ threshold. Output (id_a, id_b,
+    cos) rounded 6dp, each pair once.
+
+    Sizing at scale (the parameters are the scale knobs, not fixed
+    magic): expected bucket occupancy is N / 2^n_planes per table, so
+    pick ``n_planes ≈ log2(N / B)`` for a target per-bucket candidate
+    set B (e.g. 10^10 vectors with B=10^4 → 20 planes); per-table
+    recall for a pair at cosine θ is (1 - acos(θ)/π)^n_planes, and
+    ``n_tables`` tables recover 1-(1-p)^L of it (0.95-cosine pairs at
+    20 planes: p≈0.51, L=4 → 0.94). The shuffle key is (table, bucket)
+    — candidate generation never goes all-pairs.
+    """
+    dim = vectors.select(F.size(vec_col)).first()[0]
+    bucket_cols = [
+        _bucket_col(F.col(vec_col), _hyperplanes(dim, n_planes, seed + 1000 * t))
+        .alias(f"_b{t}")
+        for t in range(n_tables)
+    ]
     bucketed = vectors.select(
-        F.col(id_col).alias("_id"),
-        F.col(vec_col).alias("_v"),
-        _bucket_col(F.col(vec_col), planes).alias("_b"),
+        F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"), *bucket_cols
     )
-    return (
-        bucketed.alias("x")
+    # one row per (table, bucket) membership → equi-join on the composite
+    # (table, bucket) key: hash-partitioned, no OR-join, no all-pairs
+    exploded = bucketed.select(
+        "_id",
+        F.explode(
+            F.array(*[
+                F.struct(F.lit(t).alias("t"), F.col(f"_b{t}").alias("b"))
+                for t in range(n_tables)
+            ])
+        ).alias("tb"),
+    ).select("_id", "tb.t", "tb.b")
+    cand = (
+        exploded.alias("x")
         .join(
-            bucketed.alias("y"),
-            (F.col("x._b") == F.col("y._b")) & (F.col("x._id") < F.col("y._id")),
+            exploded.alias("y"),
+            (F.col("x.t") == F.col("y.t"))
+            & (F.col("x.b") == F.col("y.b"))
+            & (F.col("x._id") < F.col("y._id")),
         )
+        .select(F.col("x._id").alias("id_a"), F.col("y._id").alias("id_b"))
+        .distinct()
+    )
+    vecs = bucketed.select("_id", "_v")
+    return (
+        cand.join(vecs.withColumnsRenamed({"_id": "id_a", "_v": "va"}), "id_a")
+        .join(vecs.withColumnsRenamed({"_id": "id_b", "_v": "vb"}), "id_b")
         .select(
-            F.col("x._id").alias("id_a"),
-            F.col("y._id").alias("id_b"),
-            F.round(cosine(F.col("x._v"), F.col("y._v")), 6).alias("cos"),
+            "id_a",
+            "id_b",
+            F.round(cosine(F.col("va"), F.col("vb")), 6).alias("cos"),
         )
         .filter(F.col("cos") >= threshold)
     )

@@ -206,20 +206,48 @@ def winnow_fingerprints(
 
 def clone_candidates(
     corpus: DataFrame, id_col: str = "doc_id", text_col: str = "text",
-    min_shared: int = 2,
+    min_shared: int = 2, max_fp_df: int | None = 1000,
 ) -> DataFrame:
     """Pairs sharing ≥ min_shared winnow fingerprints (inverted-index
-    join on fingerprint — the scalable clone-detection path)."""
+    join on fingerprint — the scalable clone-detection path).
+
+    Fingerprints with document frequency > ``max_fp_df`` (boilerplate —
+    a license header's window min lands in thousands of docs) are
+    dropped from CANDIDATE GENERATION only, capping the fp⋈fp self-join
+    at df² per sub-cap fingerprint; ``shared_fps`` is then VERIFIED
+    exactly from the full per-doc fingerprint sets
+    (``array_intersect``), so results are exact whenever each
+    qualifying pair shares at least one sub-cap fingerprint — the same
+    exactness boundary as ``dedup.ngram_jaccard_pairs``;
+    ``max_fp_df=None`` opts into fully-exact (scale-unsafe) generation.
+    """
     fp = _winnow_flat(corpus, id_col, text_col)
-    return (
-        fp.alias("x")
+    gen = fp
+    if max_fp_df is not None:
+        hot = (
+            fp.groupBy("fp")
+            .agg(F.count(F.lit(1)).alias("fdf"))
+            .filter(F.col("fdf") > max_fp_df)
+            .select("fp")
+        )
+        gen = fp.join(F.broadcast(hot), "fp", "left_anti")
+    cand = (
+        gen.alias("x")
         .join(
-            fp.alias("y"),
+            gen.alias("y"),
             (F.col("x.fp") == F.col("y.fp")) & (F.col("x._id") < F.col("y._id")),
         )
-        .groupBy(
-            F.col("x._id").alias("id_a"), F.col("y._id").alias("id_b")
+        .select(F.col("x._id").alias("id_a"), F.col("y._id").alias("id_b"))
+        .distinct()
+    )
+    arrs = fp.groupBy("_id").agg(F.sort_array(F.collect_set("fp")).alias("fps"))
+    return (
+        cand.join(arrs.withColumnsRenamed({"_id": "id_a", "fps": "fa"}), "id_a")
+        .join(arrs.withColumnsRenamed({"_id": "id_b", "fps": "fb"}), "id_b")
+        .withColumn(
+            "shared_fps",
+            F.size(F.array_intersect("fa", "fb")).cast("long"),
         )
-        .agg(F.count(F.lit(1)).alias("shared_fps"))
         .filter(F.col("shared_fps") >= min_shared)
+        .select("id_a", "id_b", "shared_fps")
     )

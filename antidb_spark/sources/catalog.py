@@ -36,6 +36,15 @@ class Catalog:
         self.spark = spark
         self.root = root
         os.makedirs(root, exist_ok=True)
+        # warm-path caches (the interactive no-Spark-job tier): parsed
+        # manifests keyed by file mtime, pyarrow datasets + per-file
+        # fragments keyed by snapshot id. Fragments memoize their parquet
+        # footer after first use, so repeat warm queries skip ALL
+        # metadata IO — this is what closes the gap to the reference's
+        # 15 ms warm class. Invalidation is by snapshot/mtime, so
+        # appends/replaces are picked up automatically.
+        self._man_cache: dict[str, tuple[int, dict]] = {}
+        self._ds_cache: dict[str, tuple[str, Any, dict[str, Any]]] = {}
 
     # -- paths -----------------------------------------------------------
 
@@ -173,8 +182,37 @@ class Catalog:
     # -- read --------------------------------------------------------------
 
     def manifest(self, name: str) -> dict:
-        with open(self._manifest_path(name)) as f:
-            return json.load(f)
+        path = self._manifest_path(name)
+        mtime = os.stat(path).st_mtime_ns
+        hit = self._man_cache.get(name)
+        if hit is not None and hit[0] == mtime:
+            return hit[1]
+        with open(path) as f:
+            man = json.load(f)
+        self._man_cache[name] = (mtime, man)
+        return man
+
+    def _fragments(self, name: str):
+        """(dataset, {abs_path: fragment}) for the committed snapshot,
+        cached — fragment objects keep their parsed footer, so repeat
+        driver-side reads of the same files do zero metadata IO."""
+        import pyarrow.dataset as ds
+
+        man = self.manifest(name)
+        snap = man["snapshot_id"]
+        hit = self._ds_cache.get(name)
+        if hit is not None and hit[0] == snap:
+            return hit[1], hit[2]
+        paths = [
+            os.path.join(self.table_dir(name), e["path"])
+            for e in man["files"]
+        ]
+        dataset = ds.dataset(paths, format="parquet") if paths else None
+        frags = (
+            {f.path: f for f in dataset.get_fragments()} if dataset else {}
+        )
+        self._ds_cache[name] = (snap, dataset, frags)
+        return dataset, frags
 
     def read(self, name: str) -> DataFrame:
         if not self.exists(name):
@@ -233,13 +271,12 @@ class Catalog:
     def read_arrow(self, name: str, columns: list[str] | None = None):
         """Unfiltered driver-side read → pyarrow Table (tiny relations:
         stats, per-query metadata). Zero Spark jobs."""
-        import pyarrow.dataset as ds
+        dataset, _ = self._fragments(name)
+        if dataset is None:
+            import pyarrow as pa
 
-        paths = [
-            os.path.join(self.table_dir(name), e["path"])
-            for e in self.manifest(name)["files"]
-        ]
-        return ds.dataset(paths, format="parquet").to_table(columns=columns)
+            return pa.table({c: pa.nulls(0) for c in (columns or [])})
+        return dataset.to_table(columns=columns)
 
     def read_pruned_arrow(
         self,
@@ -258,11 +295,8 @@ class Catalog:
         dominate (the reference's 0.015 s warm ``eq``, README.md:43)."""
         import pyarrow.dataset as ds
 
-        all_paths = [
-            os.path.join(self.table_dir(name), e["path"])
-            for e in self.manifest(name)["files"]
-        ]
-        if not all_paths:
+        full, frags = self._fragments(name)
+        if full is None:
             # committed-but-empty table (e.g. an index over an empty
             # base): no footer to borrow a schema from — synthesize an
             # empty table over the requested columns (null-typed; callers
@@ -272,13 +306,25 @@ class Catalog:
             cols = columns if columns is not None else [col]
             return pa.table({c: pa.nulls(0) for c in cols})
         paths = self.pruned_file_paths(name, col, values, lo, hi)
-        if paths is None:
-            paths = all_paths
-        if not paths:  # provably empty: schema-only slice of any file
-            empty = ds.dataset(all_paths[:1], format="parquet")
-            tbl = empty.to_table(columns=columns, filter=ds.field(col).is_null())
-            return tbl.slice(0, 0)
-        dataset = ds.dataset(paths, format="parquet")
+        if paths is not None and not paths:
+            # provably empty: schema-only, no IO
+            tbl = full.schema.empty_table()
+            return tbl.select(columns) if columns is not None else tbl
+        if paths is None or len(paths) == len(frags):
+            dataset = full
+        else:
+            # subset of the CACHED fragments — no dataset re-discovery,
+            # no footer re-reads (fragments memoize their metadata)
+            sel = [frags.get(p) for p in paths]
+            if all(f is not None for f in sel):
+                dataset = ds.FileSystemDataset(
+                    [f for f in sel if f is not None],
+                    schema=full.schema,
+                    format=full.format,
+                    filesystem=full.filesystem,
+                )
+            else:  # path-normalization mismatch: plain per-call dataset
+                dataset = ds.dataset(paths, format="parquet")
         filt = None
         if values is not None:
             filt = ds.field(col).isin(values)

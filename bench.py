@@ -150,11 +150,10 @@ def main() -> None:
             import statistics
 
             v = vocabulary(2000)
-            # stopword+midword pairs anchor real hits; midword pairs
-            # exercise decode+intersection on sparse lists
-            phrases = [f"{v[i]} {v[i + 37]}" for i in range(20, 30)] + [
-                f"the {v[i]}" for i in range(100, 110)
-            ]
+            # mid-frequency pairs — the interactive warm regime
+            # (stopword-heavy phrases fall back to the distributed path
+            # via PHRASE_WARM_MAX_BLOCKS and would measure a Spark job)
+            phrases = [f"{v[i]} {v[i + 37]}" for i in range(40, 60)]
             phrase_warm(builder, phrases[0])  # warm dataset metadata
             lat = []
             for p in phrases:
@@ -176,28 +175,16 @@ def main() -> None:
             QUERY_REPEATS,
         )
 
-    # --- antidb-parity lookups ------------------------------------------
-    if phase_on("eq_lookup") or phase_on("rng_lookup") or phase_on("eq_batch"):
-        idx = KeyedIndex(docs, distinct_tokens("text"), id_cols=["doc_id"],
-                         multi=True)
-        if phase_on("eq_lookup"):
-            timed("eq_lookup", lambda: idx.eq("spark", "zzzmiss", "data").count(), QUERY_REPEATS)
-        if phase_on("rng_lookup"):
-            timed("rng_lookup", lambda: idx.rng("query", "sort").count(), QUERY_REPEATS)
-        if phase_on("eq_batch"):
-            # the reference's annotation workload shape: a large batch of
-            # point lookups (README.md:180,209 — 2,842 probes, 114 q/s);
-            # one Spark job amortizes scheduling over the whole batch
-            from antidb_spark.synth import vocabulary
-
-            probes = vocabulary(1000)
-            timed("eq_batch_1000", lambda: idx.eq(*probes).count(), QUERY_REPEATS)
-            extras["point_lookups_per_sec"] = round(
-                1000 / timings["eq_batch_1000"], 1
-            )
-
-    # --- persisted keyed index: build + warm interactive lookups --------
-    if phase_on("keyed_build") or phase_on("eq_warm"):
+    # --- persisted keyed index: build + lookups served FROM THE INDEX ---
+    # (the reference's workload shape: build the .adb once, then answer
+    # every eq/rng from it — r02's bench ran the lookup phases on the
+    # in-memory KeyedIndex, which rescans+re-tokenizes the base per call
+    # and measured that rescan, not the engine's index path)
+    lookup_phases = (
+        "keyed_build", "eq_warm", "eq_lookup", "rng_lookup", "eq_batch",
+        "eq_batch_mem",
+    )
+    if any(phase_on(p) for p in lookup_phases):
         from antidb_spark.operators.keyed import KeyedIndexStore
 
         store = KeyedIndexStore(spark, os.path.join(work_root, "keyed"))
@@ -212,6 +199,36 @@ def main() -> None:
             timed("keyed_build", build_keyed)
         else:
             build_keyed()
+        pidx = store.open("doc_tokens")
+        if phase_on("eq_lookup"):
+            timed("eq_lookup",
+                  lambda: pidx.eq("spark", "zzzmiss", "data").count(),
+                  QUERY_REPEATS)
+        if phase_on("rng_lookup"):
+            timed("rng_lookup", lambda: pidx.rng("query", "sort").count(),
+                  QUERY_REPEATS)
+        if phase_on("eq_batch"):
+            # the reference's annotation workload shape: a large batch of
+            # point lookups (README.md:180,209 — 2,842 probes, 114 q/s);
+            # one Spark job over the covering index amortizes scheduling
+            from antidb_spark.synth import vocabulary
+
+            probes = vocabulary(1000)
+            timed("eq_batch_1000", lambda: pidx.eq(*probes).count(),
+                  QUERY_REPEATS)
+            extras["point_lookups_per_sec"] = round(
+                1000 / timings["eq_batch_1000"], 1
+            )
+        if phase_on("eq_batch_mem"):
+            # parity-semantics reference point: the index-free in-memory
+            # KeyedIndex (rescans + re-tokenizes the base per call)
+            from antidb_spark.synth import vocabulary
+
+            midx = KeyedIndex(docs, distinct_tokens("text"),
+                              id_cols=["doc_id"], multi=True)
+            probes = vocabulary(1000)
+            timed("eq_batch_mem", lambda: midx.eq(*probes).count(),
+                  QUERY_REPEATS)
         if phase_on("eq_warm"):
             # the reference's warm point-query class (README.md:43,
             # 0.015 s): driver-side pyarrow reads of manifest-pruned

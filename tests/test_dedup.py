@@ -155,3 +155,23 @@ def test_simhash_banding_exact_for_d3(spark):
         for r in simhash_near_dups(df, max_distance=3).collect()
     }
     assert got == brute
+
+
+def test_simhash_excludes_empty_docs(spark):
+    """Tokenless docs all hash to simhash 0 and would pair quadratically
+    in one bucket; the operator excludes them from pairing (near-dup of
+    nothing is not a signal — filter empties with quality_scores)."""
+    docs = [
+        (0, "real content words here"),
+        (1, "real content words here"),
+        (2, "...!!!"),
+        (3, "???"),
+        (4, ""),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in simhash_near_dups(df, max_distance=3).collect()
+    }
+    assert (0, 1) in pairs
+    assert all(a not in (2, 3, 4) and b not in (2, 3, 4) for a, b in pairs)

@@ -94,3 +94,41 @@ def test_cosine_dup_pairs_verified(spark):
     assert (0, 1) in pairs and abs(pairs[(0, 1)] - 1.0) < 1e-6
     assert (0, 2) in pairs
     assert not any(3 in p for p in pairs)
+
+
+def test_cosine_dup_pairs_multi_table_recall(spark):
+    """Multi-table banding: candidates are the UNION over independent
+    tables, so recall against brute force is monotone in n_tables; each
+    qualifying pair is reported once with its exact cosine."""
+    rng = np.random.default_rng(7)
+    base = rng.standard_normal((40, 16))
+    rows = [(i, base[i].tolist(), 0) for i in range(40)]
+    # planted near-dups: small perturbations of existing vectors
+    for j in range(10):
+        rows.append((100 + j, (base[j] * 1.01 + 0.001 * j).tolist(), 1))
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+
+    def pairs(n_tables):
+        out = cosine_dup_pairs(
+            df, threshold=0.98, n_planes=6, n_tables=n_tables
+        ).collect()
+        got = [(r["id_a"], r["id_b"]) for r in out]
+        assert len(got) == len(set(got))  # each pair exactly once
+        return set(got)
+
+    p1, p2 = pairs(1), pairs(2)
+    assert p1 <= p2  # union of tables can only add candidates
+    # brute-force truth for the planted perturbation pairs
+    def cos(a, b):
+        a, b = np.asarray(a, np.float64), np.asarray(b, np.float64)
+        return a @ b / (np.linalg.norm(a) * np.linalg.norm(b))
+
+    truth = {
+        (j, 100 + j)
+        for j in range(10)
+        if cos(base[j], base[j] * 1.01 + 0.001 * j) >= 0.98
+    }
+    assert truth  # non-vacuous
+    assert truth <= p2  # exact copies-with-noise share buckets in ≥1 table

@@ -71,3 +71,47 @@ def test_winnow_shared_fingerprints(spark):
     }
     assert (0, 1) in pairs and pairs[(0, 1)] >= 2
     assert not any(2 in p for p in pairs)
+
+
+def test_clone_candidates_hot_fp_cap(spark):
+    """Planted boilerplate fingerprint skew: max_fp_df drops corpus-wide
+    fingerprints from CANDIDATE GENERATION (bounding the fp⋈fp self-join
+    at df² per sub-cap fp), while shared_fps is verified over the FULL
+    per-doc sets — so a qualifying pair sharing any sub-cap fp reports
+    its exact shared count."""
+    hot = "alpha beta gamma delta epsilon zeta eta theta"  # shared k-grams
+    docs = [
+        (i, f"{hot} unique{i}a unique{i}b unique{i}c unique{i}d unique{i}e")
+        for i in range(30)
+    ]
+    rare = "omega psi chi phi upsilon tau sigma rho"
+    docs += [(100, f"{hot} {rare} onlyx"), (101, f"{hot} {rare} onlyy")]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+
+    capped = {
+        (r["id_a"], r["id_b"]): r["shared_fps"]
+        for r in clone_candidates(df, min_shared=2, max_fp_df=5).collect()
+    }
+    uncapped = {
+        (r["id_a"], r["id_b"]): r["shared_fps"]
+        for r in clone_candidates(df, min_shared=2, max_fp_df=None).collect()
+    }
+    # the clone pair shares rare (sub-cap) fps → found, with the SAME
+    # exact shared count as the uncapped run (full-set verify counts
+    # the hot boilerplate fp too — exact, not a capped underestimate)
+    assert (100, 101) in capped
+    assert capped[(100, 101)] == uncapped[(100, 101)] >= 2
+    assert set(capped) == {(100, 101)}
+    # boilerplate-ONLY pairs (winnowing collapses the shared prefix to
+    # one corpus-wide fp) are the documented exactness boundary:
+    # present uncapped at min_shared=1, absent under the cap
+    cap1 = {
+        (r["id_a"], r["id_b"])
+        for r in clone_candidates(df, min_shared=1, max_fp_df=5).collect()
+    }
+    uncap1 = {
+        (r["id_a"], r["id_b"])
+        for r in clone_candidates(df, min_shared=1, max_fp_df=None).collect()
+    }
+    assert (0, 1) in uncap1 and (0, 1) not in cap1
+    assert cap1 == {(100, 101)}
