@@ -46,6 +46,10 @@ def varint_decode(buf: bytes) -> np.ndarray:
     raw = np.frombuffer(buf, dtype=np.uint8)
     if raw.size == 0:
         return np.empty(0, dtype=np.uint64)
+    if not (raw & 0x80).any():
+        # all values single-byte (the common case for in-block deltas
+        # and tfs): one cast, no segment bookkeeping
+        return raw.astype(np.uint64)
     is_end = (raw & 0x80) == 0
     ends = np.flatnonzero(is_end)  # index of last byte of each value
     starts = np.concatenate(([0], ends[:-1] + 1))

@@ -255,6 +255,10 @@ def _decode_batch(batch: pd.DataFrame) -> tuple[np.ndarray, ...]:
     first delta of every block is its absolute first ordinal.
     """
     counts = batch["n_docs"].to_numpy(dtype=np.int64)
+    # decode the three streams SEPARATELY: tfs (and often dls) are
+    # all-single-byte buffers that take varint_decode's O(1-pass) fast
+    # path; concatenating them with the multi-byte doc deltas would
+    # force everything onto the general path (measured 2× slower)
     deltas = varint_decode(b"".join(batch["docs_packed"])).astype(np.int64)
     tfs = varint_decode(b"".join(batch["tfs_packed"]))
     dls = varint_decode(b"".join(batch["dls_packed"]))
@@ -311,8 +315,25 @@ class IndexBuilder:
         self._scan_cache: OrderedDict[tuple[str, ...], DataFrame] = (
             OrderedDict()
         )
+        # per-term metadata caches, keyed by the table snapshot they were
+        # read under (invalidated on compaction/rebuild): df from the
+        # terms table, (front lengths, tf front, dl front) from the
+        # blocks table. These turn the per-batch driver-side pyarrow
+        # metadata reads — the dominant serial constant of query_batch —
+        # into dict lookups after first touch. A miss marker (None) is
+        # cached for absent terms so misses don't re-read files.
+        self._df_cache: tuple[str, dict[str, int | None]] | None = None
+        self._front_cache: (
+            tuple[str, dict[str, tuple | None]] | None
+        ) = None
+        # driver-resident (doc_ord → ids) frame, only when the corpus is
+        # small enough (see DOCMAP_CACHE_MAX_DOCS); snapshot-keyed
+        self._docmap_pdf: tuple[str, pd.DataFrame] | None = None
 
     SCAN_CACHE_MAX = 64
+    # ~50M front points ≈ 1.2 GB of driver arrays at float64×3 — the
+    # ceiling for cached per-term block fronts
+    FRONT_CACHE_MAX_ELEMS = 50_000_000
 
     # -- build ------------------------------------------------------------
 
@@ -484,6 +505,66 @@ class IndexBuilder:
                 self._scan_cache.popitem(last=False)
         return self._scan_cache[key]
 
+    def _term_dfs(self, terms: Sequence[str]) -> dict[str, int]:
+        """{term: df} for the subset of ``terms`` present in the index,
+        served from the per-term cache; only never-seen terms touch the
+        terms table (manifest-pruned pyarrow read)."""
+        snap = self.catalog.manifest("terms")["snapshot_id"]
+        if self._df_cache is None or self._df_cache[0] != snap:
+            self._df_cache = (snap, {})
+        cache = self._df_cache[1]
+        missing = [t for t in terms if t not in cache]
+        if missing:
+            tbl = self.catalog.read_pruned_arrow(
+                "terms", "term", missing, columns=["term", "df"]
+            )
+            got = dict(
+                zip(tbl.column("term").to_pylist(),
+                    tbl.column("df").to_pylist())
+            )
+            for t in missing:
+                cache[t] = got.get(t)  # None = not in index (miss marker)
+        return {t: cache[t] for t in terms if cache[t] is not None}
+
+    def _term_fronts(self, terms: Sequence[str]) -> dict[str, tuple]:
+        """{term: (lens, ftf, fdl)} — per-block Pareto-front arrays of
+        the term's blocks, concatenated (lens = front sizes per block),
+        from the per-term cache. The fronts are stats-INDEPENDENT, so
+        the cache stays valid within a snapshot regardless of df/avgdl
+        drift; the avgdl-dependent tfw is computed per batch."""
+        snap = self.catalog.manifest("blocks")["snapshot_id"]
+        if self._front_cache is None or self._front_cache[0] != snap:
+            self._front_cache = (snap, {})
+        cache = self._front_cache[1]
+        # bound the cache by total front elements (a stopword's fronts
+        # at 10^11 docs are ~10^9 points): evict insertion-oldest
+        total = sum(v[1].size for v in cache.values() if v is not None)
+        while total > self.FRONT_CACHE_MAX_ELEMS and cache:
+            _t, v = next(iter(cache.items()))
+            cache.pop(_t)
+            if v is not None:
+                total -= v[1].size
+        missing = [t for t in terms if t not in cache]
+        if missing:
+            meta = self.catalog.read_pruned_arrow(
+                "blocks", "term", missing,
+                columns=["term", "tfs_front", "dls_front"],
+            ).to_pandas()
+            for t in missing:
+                cache[t] = None
+            for t, g in meta.groupby("term"):
+                lens = g["tfs_front"].map(len).to_numpy(dtype=np.int64)
+                cache[t] = (
+                    lens,
+                    np.concatenate(g["tfs_front"].to_numpy()).astype(
+                        np.float64
+                    ),
+                    np.concatenate(g["dls_front"].to_numpy()).astype(
+                        np.float64
+                    ),
+                )
+        return {t: cache[t] for t in terms if cache[t] is not None}
+
     def _corpus_stats(self) -> tuple[int, float]:
         """(n_docs, avgdl) from the committed stats table — driver-side
         single-row pyarrow read, cached per builder (no Spark job)."""
@@ -511,10 +592,7 @@ class IndexBuilder:
         q_terms = sorted({t for ts in per_query for t in ts})
         if not q_terms:
             return None
-        tbl = self.catalog.read_pruned_arrow(
-            "terms", "term", q_terms, columns=["term", "df"]
-        )
-        dfs = dict(zip(tbl.column("term").to_pylist(), tbl.column("df").to_pylist()))
+        dfs = self._term_dfs(q_terms)
         if not dfs:
             return None
         n_docs, avgdl = self._corpus_stats()
@@ -573,34 +651,22 @@ class IndexBuilder:
         filter is a pure expression over the front arrays and the avgdl
         literal — no joins.
         """
-        meta = self.catalog.read_pruned_arrow(
-            "blocks", "term", plan["terms"],
-            columns=["term", "tfs_front", "dls_front"],
-        ).to_pandas()
+        fronts = self._term_fronts(plan["terms"])
         avgdl = plan["avgdl"]
-        n_blocks = len(meta)
-        lens = meta["tfs_front"].map(len).to_numpy(dtype=np.int64)
-        ftf = (
-            np.concatenate(meta["tfs_front"].to_numpy())
-            if n_blocks else np.empty(0, dtype=np.int64)
-        ).astype(np.float64)
-        fdl = (
-            np.concatenate(meta["dls_front"].to_numpy())
-            if n_blocks else np.empty(0, dtype=np.int64)
-        ).astype(np.float64)
-        tfw_flat = self._tfw(ftf, fdl, avgdl)
-        max_tfw = np.full(n_blocks, float("-inf"))
-        np.maximum.at(max_tfw, np.repeat(np.arange(n_blocks), lens), tfw_flat)
-        idf_col = np.array([plan["idf"][t] for t in meta["term"]])
-        meta["m"] = idf_col * max_tfw
-        grouped = meta.groupby("term")["m"]
-        big_m = grouped.max().to_dict()
+        big_m: dict[str, float] = {}
         kth: dict[str, float | None] = {}
-        for t, g in grouped:
-            a = g.to_numpy()
+        for t, (lens, ftf, fdl) in fronts.items():
+            tfw_flat = self._tfw(ftf, fdl, avgdl)
+            n_blocks = lens.size
+            max_tfw = np.full(n_blocks, float("-inf"))
+            np.maximum.at(
+                max_tfw, np.repeat(np.arange(n_blocks), lens), tfw_flat
+            )
+            m = plan["idf"][t] * max_tfw
+            big_m[t] = float(m.max())
             kth[t] = (
-                float(np.partition(a, a.size - k)[a.size - k])
-                if a.size >= k else None
+                float(np.partition(m, m.size - k)[m.size - k])
+                if m.size >= k else None
             )
         neg_inf = float("-inf")
         thr: dict[str, float] = {}
@@ -869,12 +935,9 @@ class IndexBuilder:
         top_pdf = top_pdf.sort_values(
             ["query_id", "score", "doc_ord"], ascending=[True, False, True]
         ).groupby("query_id", sort=False).head(k)
-        dm = self.catalog.read_pruned_arrow(
-            "docmap",
-            "doc_ord",
-            values=[int(o) for o in sorted(set(top_pdf["doc_ord"]))],
-            columns=["doc_ord", *self.id_cols],
-        ).to_pandas()
+        dm = self._resolve_ords(
+            [int(o) for o in sorted(set(top_pdf["doc_ord"]))]
+        )
         merged = top_pdf.merge(dm, on="doc_ord").sort_values(
             ["query_id", "score", "doc_ord"], ascending=[True, False, True]
         )
@@ -963,6 +1026,39 @@ class IndexBuilder:
     # Above this many candidate blocks the interactive path would decode
     # too much on one core — fall back to the distributed batch path.
     WARM_MAX_BLOCKS = 5_000
+    # Dense warm scoring allocates one float per corpus doc; above this
+    # the sparse (np.unique) path is used instead (a 50M-doc dense array
+    # is 400 MB — fine on a driver, wrong at 10^12 docs).
+    DENSE_WARM_MAX_DOCS = 50_000_000
+    # Below this corpus size the whole (doc_ord → ids) mapping lives on
+    # the driver (≈ 2M rows ≈ tens of MB) and final id resolution is a
+    # dict lookup; above it, resolution stays a pruned pyarrow read.
+    DOCMAP_CACHE_MAX_DOCS = 2_000_000
+
+    def _resolve_ords(self, ords: Sequence[int]) -> pd.DataFrame:
+        """(doc_ord, *id_cols) rows for the given ordinals — driver
+        docmap cache when the corpus qualifies, else manifest-pruned
+        pyarrow (row-group predicate) read. Zero Spark jobs either way."""
+        n_docs, _ = self._corpus_stats()
+        if n_docs <= self.DOCMAP_CACHE_MAX_DOCS:
+            snap = self.catalog.manifest("docmap")["snapshot_id"]
+            if self._docmap_pdf is None or self._docmap_pdf[0] != snap:
+                pdf = self.catalog.read_arrow(
+                    "docmap", columns=["doc_ord", *self.id_cols]
+                ).to_pandas().set_index("doc_ord")
+                self._docmap_pdf = (snap, pdf)
+            out = self._docmap_pdf[1].loc[list(ords)].reset_index()
+            return out
+        return (
+            self.catalog.read_pruned_arrow(
+                "docmap", "doc_ord", values=[int(o) for o in ords],
+                columns=["doc_ord", *self.id_cols],
+            )
+            .to_pandas()
+            .set_index("doc_ord")
+            .loc[list(ords)]  # request order, same as the cached branch
+            .reset_index()
+        )
 
     def query_warm(self, query: str, k: int = 10) -> pd.DataFrame:
         """Interactive single-query BM25 with NO Spark job — the warm
@@ -990,23 +1086,44 @@ class IndexBuilder:
         ).to_pandas()
         if not len(batch):
             return pd.DataFrame(columns=cols)
-        term_rep, ords, tfs, dls = _decode_batch(batch)
+        _term_rep, ords, tfs, dls = _decode_batch(batch)
         idf_map = plan["idf"]
-        idf_post = np.array([idf_map[t] for t in term_rep], dtype=np.float64)
+        # idf per BLOCK row (≤ thousands), repeated per posting — a
+        # per-posting Python map over 10^5+ decoded postings was the
+        # warm path's single largest cost (~100 ms on stopword terms)
+        idf_post = np.repeat(
+            np.array([idf_map[t] for t in batch["term"]], dtype=np.float64),
+            batch["n_docs"].to_numpy(dtype=np.int64),
+        )
         tf = tfs.astype(np.float64)
         dl = dls.astype(np.float64)
         tfw = self._tfw(tf, dl, plan["avgdl"])
         contrib = idf_post * tfw
-        uniq, inv = np.unique(ords, return_inverse=True)
-        scores = np.zeros(uniq.size)
-        np.add.at(scores, inv, contrib)
-        top = np.lexsort((uniq, -scores))[:k]
-        dm = self.catalog.read_pruned_arrow(
-            "docmap", "doc_ord", values=[int(o) for o in uniq[top]],
-            columns=["doc_ord", *self.id_cols],
-        ).to_pandas().set_index("doc_ord")
-        out = dm.loc[uniq[top], list(self.id_cols)].reset_index(drop=True)
-        out["score"] = scores[top]
+        if plan["n_docs"] <= self.DENSE_WARM_MAX_DOCS:
+            # doc ordinals are DENSE → O(postings) bincount scoring, no
+            # sort (np.unique was the warm path's dominant cost); a hit
+            # never scores exactly 0.0 (idf, tfw > 0), so 0 = no match
+            scores = np.bincount(
+                ords, weights=contrib, minlength=plan["n_docs"]
+            )
+            cut = (
+                np.partition(scores, scores.size - k)[scores.size - k]
+                if scores.size > k else 0.0
+            )
+            cand = np.flatnonzero(scores >= max(cut, np.finfo(float).tiny))
+            order = np.lexsort((cand, -scores[cand]))[:k]
+            uniq, top = cand, cand[order]
+            top_scores = scores[top]
+        else:
+            uniq, inv = np.unique(ords, return_inverse=True)
+            scores = np.bincount(inv, weights=contrib, minlength=uniq.size)
+            sel = np.lexsort((uniq, -scores))[:k]
+            top = uniq[sel]
+            top_scores = scores[sel]
+        out = self._resolve_ords(
+            [int(o) for o in top]
+        )[list(self.id_cols)].copy()
+        out["score"] = top_scores
         return out
 
     # -- antidb-parity point/range reads over the PHYSICAL index ---------

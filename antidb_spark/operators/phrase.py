@@ -244,12 +244,16 @@ def _pack_pos_partition(
 
 def _decode_pos_batch(
     batch: pd.DataFrame,
-) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
-    """Whole-batch vectorized decode → (term_per_pos, ord_per_pos, pos).
+) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """Whole-batch vectorized decode →
+    (uniq_terms, tid_per_pos, ord_per_pos, pos).
 
     Doc ordinals reconstruct exactly like build._decode_batch (segment
     cumsum over concatenated deltas); positions add one more nesting
-    level — segments are per DOC (lengths = the decoded tf counts)."""
+    level — segments are per DOC (lengths = the decoded tf counts).
+    Terms come back as BLOCK-level unique strings + per-position int
+    ids: expanding object strings per position (and comparing them)
+    would be a hidden Python loop over 10^5-10^6 elements."""
     counts = batch["n_docs"].to_numpy(dtype=np.int64)
     ddeltas = varint_decode(b"".join(batch["docs_packed"])).astype(np.int64)
     starts = np.concatenate(([0], np.cumsum(counts)[:-1]))
@@ -260,12 +264,11 @@ def _decode_pos_batch(
     pstarts = np.cumsum(tfs) - tfs
     pcs = np.cumsum(pdeltas)
     pos = pcs - np.repeat(pcs[pstarts] - pdeltas[pstarts], tfs)
-    term_per_doc = np.repeat(batch["term"].to_numpy(), counts)
-    return (
-        np.repeat(term_per_doc, tfs),
-        np.repeat(ords, tfs),
-        pos,
+    uniq_terms, inv_block = np.unique(
+        batch["term"].to_numpy(), return_inverse=True
     )
+    tid_per_pos = np.repeat(np.repeat(inv_block, counts), tfs)
+    return uniq_terms, tid_per_pos, np.repeat(ords, tfs), pos
 
 
 def _decode_pos_blocks(
@@ -274,8 +277,10 @@ def _decode_pos_blocks(
     for batch in batches:
         if len(batch) == 0:
             continue
-        term_rep, ords, pos = _decode_pos_batch(batch)
-        yield pd.DataFrame({"term": term_rep, "doc_ord": ords, "pos": pos})
+        uniq_terms, tids, ords, pos = _decode_pos_batch(batch)
+        yield pd.DataFrame(
+            {"term": uniq_terms[tids], "doc_ord": ords, "pos": pos}
+        )
 
 
 def build_positional_index(
@@ -436,11 +441,14 @@ def phrase_warm(builder, phrase: str) -> pd.DataFrame:
     ).to_pandas()
     if not len(tbl):
         return pd.DataFrame(columns=cols)
-    term_rep, ords, pos = _decode_pos_batch(tbl)
+    uniq_terms, tids, ords, pos = _decode_pos_batch(tbl)
+    tindex = {t: i for i, t in enumerate(uniq_terms)}
     u_docs, doc_inv = np.unique(ords, return_inverse=True)
     anchors: np.ndarray | None = None
     for i, t in enumerate(terms):
-        sel = (term_rep == t) & (pos >= i)
+        if t not in tindex:
+            return pd.DataFrame(columns=cols)
+        sel = (tids == tindex[t]) & (pos >= i)
         keys = (doc_inv[sel] << _WARM_SHIFT) + (pos[sel] - i)
         keys = np.unique(keys)  # sorted for intersect1d's fast path
         anchors = (

@@ -132,10 +132,19 @@ def bm25_topk_pinned(
 ) -> DataFrame:
     """Cross-engine-deterministic top-k: per-term contributions are summed
     in SORTED-TERM order via fixed-order column addition (each per-term
-    conditional sum aggregates at most one row per doc), and the final
-    ordering key is the score ROUNDED to 4 decimals, so an independent
-    engine (DuckDB oracle) computing the same math picks the identical
-    top-k set. Output: (*id_cols, score[double, rounded])."""
+    tf aggregates at most one posting per doc), and the final ordering
+    key is the score ROUNDED to 4 decimals, so an independent engine
+    (DuckDB oracle) computing the same math picks the identical top-k
+    set. Output: (*id_cols, score[double, rounded]).
+
+    SINGLE-PASS plan: the corpus is tokenized exactly once. One
+    doc-keyed aggregation produces (dl, tf per query term) per doc; a
+    second aggregation over that (already tiny, one row per doc)
+    relation yields (n_docs, avgdl, df per term) as a broadcast single
+    row; scoring is then a pure expression + TakeOrderedAndProject. The
+    previous shape (separate dl / stats / df subtrees joined back)
+    re-ran the tokenize+explode scan 4× — Catalyst does not reuse those
+    exchanges — which tripled the wall time of the index-free path."""
     spark = corpus.sparkSession
     q_terms = sorted(set(py_tokens(query)))
     if not q_terms:
@@ -146,31 +155,36 @@ def bm25_topk_pinned(
         )
         return spark.createDataFrame([], schema)
     postings = build_postings(corpus, id_cols=id_cols, text_col=text_col)
-    dl = doc_lengths(postings, id_cols=id_cols)
-    stats = corpus_stats(dl)
-
-    terms = spark.createDataFrame([(t,) for t in q_terms], "term string")
-    hit = postings.join(F.broadcast(terms), "term")
-    dfs = hit.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-    per_term = (
-        hit.join(F.broadcast(dfs), "term")
-        .join(dl, list(id_cols))
-        .crossJoin(F.broadcast(stats))
-        .withColumn(
-            "contrib",
-            contribution(F.col("tf"), F.col("df"), F.col("dl"),
-                         F.col("avgdl"), F.col("n_docs")),
-        )
+    n = len(q_terms)
+    perdoc = postings.groupBy(*id_cols).agg(
+        F.sum("tf").alias("dl"),
+        *[
+            F.sum(F.when(F.col("term") == t, F.col("tf"))).alias(f"tf{i}")
+            for i, t in enumerate(q_terms)
+        ],
     )
-    aggs = [
-        F.sum(F.when(F.col("term") == t, F.col("contrib"))).alias(f"c{i}")
-        for i, t in enumerate(q_terms)
+    # n_docs/avgdl/df in ONE pass over the per-doc relation (count of a
+    # nullable column = non-null count = docs containing the term)
+    aux = perdoc.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.avg("dl").alias("avgdl"),
+        *[F.count(F.col(f"tf{i}")).alias(f"df{i}") for i in range(n)],
+    )
+    parts = [
+        F.coalesce(
+            contribution(F.col(f"tf{i}"), F.col(f"df{i}"), F.col("dl"),
+                         F.col("avgdl"), F.col("n_docs")),
+            F.lit(0.0),
+        )
+        for i in range(n)
     ]
-    parts = [F.coalesce(F.col(f"c{i}"), F.lit(0.0)) for i in range(len(q_terms))]
     score = F.round(reduce(_op.add, parts), 4)
     return (
-        per_term.groupBy(*id_cols)
-        .agg(*aggs)
+        perdoc.crossJoin(F.broadcast(aux))
+        # only docs matching ≥1 query term compete (miss semantics)
+        .filter(
+            reduce(_op.or_, [F.col(f"tf{i}").isNotNull() for i in range(n)])
+        )
         .withColumn("score", score)
         .select(*id_cols, "score")
         .orderBy(F.desc("score"), *[F.asc(c) for c in id_cols])

@@ -244,6 +244,9 @@ def compact_incremental(
         builder._stats_cache = None
         builder._dm_schema_cache = None
         builder._scan_cache.clear()
+        builder._df_cache = None
+        builder._front_cache = None
+        builder._docmap_pdf = None
 
     docmap = b.catalog.read("docmap")
     delta_ids = delta_post.select(*sink.id_cols).distinct()

@@ -150,10 +150,12 @@ def main() -> None:
             import statistics
 
             v = vocabulary(2000)
-            # mid-frequency pairs — the interactive warm regime
+            # mid/rare-frequency pairs — the interactive warm regime
             # (stopword-heavy phrases fall back to the distributed path
             # via PHRASE_WARM_MAX_BLOCKS and would measure a Spark job)
-            phrases = [f"{v[i]} {v[i + 37]}" for i in range(40, 60)]
+            phrases = [f"{v[i]} {v[i + 37]}" for i in range(300, 310)] + [
+                f"{v[i]} {v[i + 11]}" for i in range(900, 910)
+            ]
             phrase_warm(builder, phrases[0])  # warm dataset metadata
             lat = []
             for p in phrases:
