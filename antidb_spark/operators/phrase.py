@@ -307,19 +307,24 @@ def build_positional_index(
         "block_id layout assumes < 2^16 pack partitions"
     )
     with builder.timer.phase("pos_blocks"):
-        # row-level plan: posexplode → docmap join → ONE range shuffle →
-        # pack. No collect_list aggregation stage: the packer groups docs
-        # itself from the sorted row stream, so raw position rows are
-        # shuffled exactly once (plus the docmap equi-join) instead of
-        # being aggregated into arrays and re-shuffled twice.
-        pos = corpus.select(
-            *builder.id_cols,
-            F.posexplode(tokens(builder.text_col)).alias("pos", "term"),
-        )
+        # row-level plan: docmap join at TURN granularity → posexplode →
+        # ONE range shuffle → pack. The join runs before the explode so
+        # its shuffle moves one row per turn, not one per token
+        # occurrence (~avgdl× fewer rows); the exploded per-occurrence
+        # stream is then shuffled exactly once (the range partition). No
+        # collect_list aggregation stage: the packer groups docs itself
+        # from the sorted row stream.
         docmap = builder.catalog.read("docmap")
-        enriched = pos.join(
-            docmap.select(*builder.id_cols, "doc_ord"), builder.id_cols
-        ).select("term", "doc_ord", "pos")
+        enriched = (
+            corpus.select(*builder.id_cols, builder.text_col)
+            .join(docmap.select(*builder.id_cols, "doc_ord"),
+                  list(builder.id_cols))
+            .select(
+                "doc_ord",
+                F.posexplode(tokens(builder.text_col)).alias("pos", "term"),
+            )
+            .select("term", "doc_ord", "pos")
+        )
         packed = (
             enriched.repartitionByRange(n_part, "term", "doc_ord")
             .sortWithinPartitions("term", "doc_ord", "pos")
