@@ -77,7 +77,7 @@ from antidb_spark.functions.packing import (
 )
 from antidb_spark.operators.stats import build_postings
 from antidb_spark.schema import DOC_ID_COLS
-from antidb_spark.sources.catalog import Catalog
+from antidb_spark.sources.catalog import LEAF_ROW_GROUP_BYTES, Catalog
 from antidb_spark.sources.checkpoint import BuildCheckpoint, PhaseTimer
 
 BLOCK_SIZE = 128
@@ -329,8 +329,23 @@ class IndexBuilder:
         # driver-resident (doc_ord → ids) frame, only when the corpus is
         # small enough (see DOCMAP_CACHE_MAX_DOCS); snapshot-keyed
         self._docmap_pdf: tuple[str, pd.DataFrame] | None = None
+        # decoded-postings LRU for the warm tier — the posting-list cache
+        # every interactive search service keeps (the reference likewise
+        # holds decompressed leaves in-process across queries). Values
+        # are RAW (ords, tfs, dls) per term, not scores: idf/avgdl drift
+        # on append, raw postings don't. Keyed by the blocks snapshot so
+        # compaction/appends invalidate wholesale; bounded by total
+        # cached postings (POSTINGS_CACHE_MAX).
+        self._post_cache: OrderedDict[str, tuple] = OrderedDict()
+        self._post_cache_snap: str | None = None
+        self._post_cache_n = 0
 
     SCAN_CACHE_MAX = 64
+    # posting-list cache ceiling: 8M postings ≈ 130 MB of driver arrays
+    # (int64 ords + int32 tf/dl). Each cached term is itself bounded by
+    # the WARM_MAX_BLOCKS gate (~640k postings), so the cache holds the
+    # working set of hot terms without ever approaching corpus size.
+    POSTINGS_CACHE_MAX = 8_000_000
     # ~50M front points ≈ 1.2 GB of driver arrays at float64×3 — the
     # ceiling for cached per-term block fronts
     FRONT_CACHE_MAX_ELEMS = 50_000_000
@@ -376,7 +391,8 @@ class IndexBuilder:
                 dl = postings.groupBy(*self.id_cols).agg(F.sum("tf").alias("dl"))
                 docmap = assign_doc_ords(dl, self.id_cols, n_part)
                 man = self.catalog.write(
-                    docmap, "docmap", stats_cols=["doc_ord"]
+                    docmap, "docmap", stats_cols=["doc_ord"],
+                    row_group_bytes=LEAF_ROW_GROUP_BYTES,
                 )
                 stats = self.catalog.read("docmap").agg(
                     F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")
@@ -399,7 +415,10 @@ class IndexBuilder:
                 dfs = postings.groupBy("term").agg(
                     F.count(F.lit(1)).alias("df")
                 )
-                man = self.catalog.write(dfs, "terms", stats_cols=["term"])
+                man = self.catalog.write(
+                    dfs, "terms", stats_cols=["term"],
+                    row_group_bytes=LEAF_ROW_GROUP_BYTES,
+                )
             self.ckpt.mark_done("terms", snapshot=man["snapshot_id"],
                                 seconds=self.timer.phases[-1]["seconds"])
 
@@ -432,6 +451,7 @@ class IndexBuilder:
                 man = self.catalog.write(
                     packed, "blocks", stats_cols=["term"],
                     props={"n_runs": 1},
+                    row_group_bytes=LEAF_ROW_GROUP_BYTES,
                 )
             self.ckpt.mark_done(
                 "blocks", rows=sum(e["rows"] for e in man["files"]),
@@ -1060,6 +1080,69 @@ class IndexBuilder:
             .reset_index()
         )
 
+    def _warm_postings(
+        self, terms: Sequence[str], avgdl: float
+    ) -> dict[str, tuple[np.ndarray, np.ndarray]]:
+        """Decoded (ords, tfw) per term for the warm tier, from the
+        bounded LRU posting-list cache; cache misses trigger ONE pruned
+        pyarrow read + decode for all missing terms together. Absent
+        terms cache empty arrays so repeated misses do no IO.
+
+        tfw (the BM25 tf/length weight) is precomputed at insert — it
+        depends only on (tf, dl, avgdl), so a cached query is one
+        idf-multiply + bincount. The cache key includes the stats
+        snapshot, so avgdl drift (appends) invalidates alongside the
+        blocks snapshot. Per-term precompute is elementwise, hence
+        bit-identical to computing tfw over the concatenated stream."""
+        snap = (
+            self.catalog.manifest("blocks")["snapshot_id"],
+            self.catalog.manifest("stats")["snapshot_id"],
+        )
+        if self._post_cache_snap != snap:
+            self._post_cache.clear()
+            self._post_cache_n = 0
+            self._post_cache_snap = snap
+        missing = [t for t in terms if t not in self._post_cache]
+        if missing:
+            batch = self.catalog.read_pruned_arrow(
+                "blocks", "term", list(missing),
+                columns=["term", "n_docs", "docs_packed", "tfs_packed",
+                         "dls_packed"],
+            ).to_pandas()
+            empty = (
+                np.empty(0, dtype=np.int64),
+                np.empty(0, dtype=np.float64),
+            )
+            found: dict[str, tuple] = {}
+            if len(batch):
+                term_rep, ords, tfs, dls = _decode_batch(batch)
+                tfw = self._tfw(
+                    tfs.astype(np.float64), dls.astype(np.float64), avgdl
+                )
+                # the decoded stream is term-major (files and rows are
+                # term-sorted): split at term boundaries, one slice per term
+                bounds = np.flatnonzero(term_rep[1:] != term_rep[:-1]) + 1
+                starts = np.concatenate(([0], bounds))
+                ends = np.concatenate((bounds, [term_rep.size]))
+                for s, e in zip(starts, ends):
+                    found[term_rep[s]] = (ords[s:e], tfw[s:e])
+            for t in missing:
+                val = found.get(t, empty)
+                self._post_cache[t] = val
+                self._post_cache_n += int(val[0].size)
+        out = {}
+        for t in terms:  # refresh LRU position before any eviction
+            self._post_cache.move_to_end(t)
+            out[t] = self._post_cache[t]
+        live = set(terms)
+        while self._post_cache_n > self.POSTINGS_CACHE_MAX:
+            t = next(iter(self._post_cache))
+            if t in live:  # only the current query's terms remain
+                break
+            old = self._post_cache.pop(t)
+            self._post_cache_n -= int(old[0].size)
+        return out
+
     def query_warm(self, query: str, k: int = 10) -> pd.DataFrame:
         """Interactive single-query BM25 with NO Spark job — the warm
         path matching the reference's hundredths-of-a-second class
@@ -1079,25 +1162,24 @@ class IndexBuilder:
         if plan["est_blocks"] > self.WARM_MAX_BLOCKS:
             out = self.query_batch([query], k=k).toPandas()
             return out.drop(columns=["query_id"]).reset_index(drop=True)
-        batch = self.catalog.read_pruned_arrow(
-            "blocks", "term", plan["terms"],
-            columns=["term", "n_docs", "docs_packed", "tfs_packed",
-                     "dls_packed"],
-        ).to_pandas()
-        if not len(batch):
-            return pd.DataFrame(columns=cols)
-        _term_rep, ords, tfs, dls = _decode_batch(batch)
-        idf_map = plan["idf"]
-        # idf per BLOCK row (≤ thousands), repeated per posting — a
-        # per-posting Python map over 10^5+ decoded postings was the
-        # warm path's single largest cost (~100 ms on stopword terms)
-        idf_post = np.repeat(
-            np.array([idf_map[t] for t in batch["term"]], dtype=np.float64),
-            batch["n_docs"].to_numpy(dtype=np.int64),
+        # per-term decoded postings from the LRU cache (one pruned read
+        # for the misses); concatenation in plan["terms"] order is the
+        # same term-ascending order the direct batch read produced, so
+        # float summation order — and therefore every score bit — is
+        # unchanged vs the uncached path.
+        cached = self._warm_postings(plan["terms"], plan["avgdl"])
+        sizes = np.array(
+            [cached[t][0].size for t in plan["terms"]], dtype=np.int64
         )
-        tf = tfs.astype(np.float64)
-        dl = dls.astype(np.float64)
-        tfw = self._tfw(tf, dl, plan["avgdl"])
+        if not sizes.sum():
+            return pd.DataFrame(columns=cols)
+        ords = np.concatenate([cached[t][0] for t in plan["terms"]])
+        tfw = np.concatenate([cached[t][1] for t in plan["terms"]])
+        idf_map = plan["idf"]
+        idf_post = np.repeat(
+            np.array([idf_map[t] for t in plan["terms"]], dtype=np.float64),
+            sizes,
+        )
         contrib = idf_post * tfw
         if plan["n_docs"] <= self.DENSE_WARM_MAX_DOCS:
             # doc ordinals are DENSE → O(postings) bincount scoring, no

@@ -264,10 +264,13 @@ class KeyedIndexStore:
         sorted_df = keyed.repartitionByRange(
             n_part, "_key", *id_cols
         ).sortWithinPartitions("_key", *id_cols)
+        from antidb_spark.sources.catalog import LEAF_ROW_GROUP_BYTES
+
         self.catalog.write(
             sorted_df,
             name,
             stats_cols=["_key"],
+            row_group_bytes=LEAF_ROW_GROUP_BYTES,
             props={
                 "id_cols": list(id_cols),
                 "base_cols": list(base.columns),

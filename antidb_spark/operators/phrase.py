@@ -59,6 +59,7 @@ from antidb_spark.functions.packing import (
     varint_encode,
 )
 from antidb_spark.schema import DOC_ID_COLS
+from antidb_spark.sources.catalog import LEAF_ROW_GROUP_BYTES
 
 
 def positional_postings(
@@ -331,7 +332,10 @@ def build_positional_index(
             .withColumn("_pid", F.spark_partition_id())
             .mapInPandas(_pack_pos_partition, schema=_POS_BLOCKS_OUT)
         )
-        man = builder.catalog.write(packed, "pos_blocks", stats_cols=["term"])
+        man = builder.catalog.write(
+            packed, "pos_blocks", stats_cols=["term"],
+            row_group_bytes=LEAF_ROW_GROUP_BYTES,
+        )
     builder.ckpt.mark_done(
         "pos_blocks",
         rows=sum(e["rows"] for e in man["files"]),

@@ -30,6 +30,12 @@ from typing import Any
 import pyarrow.parquet as pq
 from pyspark.sql import DataFrame, SparkSession
 
+# Row-group cap for tables serving point reads (the B+tree leaf size).
+# Sorted data + per-row-group min/max stats let a point probe decode one
+# ~0.5 MB group instead of Spark's 128 MB default row group; both the
+# pyarrow warm tier and Spark's parquet reader prune on these stats.
+LEAF_ROW_GROUP_BYTES = 512 * 1024
+
 
 class Catalog:
     def __init__(self, spark: SparkSession, root: str):
@@ -74,15 +80,25 @@ class Catalog:
         partition_by: list[str] | None = None,
         props: dict[str, Any] | None = None,
         mode: str = "overwrite",
+        row_group_bytes: int | None = None,
     ) -> dict:
         """Write data files, then commit by writing the manifest last.
 
         ``append`` writes into the COMMITTED data dir (new files only
         become visible at the manifest replace); ``overwrite`` of a live
-        table is not crash-atomic — use :meth:`replace` for that."""
+        table is not crash-atomic — use :meth:`replace` for that.
+
+        ``row_group_bytes`` caps the Parquet row-group size. Tables that
+        serve POINT reads (index blocks, docmap, covering indexes) want
+        small row groups — they are the B+tree leaf size: sorted data +
+        per-row-group min/max stats mean a point probe decodes one small
+        group instead of a whole 128 MB default group. Scan-heavy tables
+        keep the default."""
         data_dir = self._data_dir_name(name) if mode == "append" else "data"
         ddir = os.path.join(self.table_dir(name), data_dir)
         w = df.write.mode(mode).option("compression", "zstd")
+        if row_group_bytes:
+            w = w.option("parquet.block.size", str(int(row_group_bytes)))
         if partition_by:
             w = w.partitionBy(*partition_by)
         w.parquet(ddir)
@@ -96,6 +112,7 @@ class Catalog:
         name: str,
         stats_cols: list[str] | None = None,
         props: dict[str, Any] | None = None,
+        row_group_bytes: int | None = None,
     ) -> dict:
         """CRASH-ATOMIC table rewrite: data files land in a fresh
         generation directory, the manifest pointer swaps to it in one
@@ -108,7 +125,10 @@ class Catalog:
 
         gen = f"data-{_uuid.uuid4().hex[:8]}"
         ddir = os.path.join(self.table_dir(name), gen)
-        df.write.mode("overwrite").option("compression", "zstd").parquet(ddir)
+        w = df.write.mode("overwrite").option("compression", "zstd")
+        if row_group_bytes:
+            w = w.option("parquet.block.size", str(int(row_group_bytes)))
+        w.parquet(ddir)
         man = self.commit(name, stats_cols=stats_cols, props=props,
                           data_dir=gen)
         for d in os.listdir(self.table_dir(name)):

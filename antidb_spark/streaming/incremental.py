@@ -47,6 +47,7 @@ from pyspark.sql import functions as F
 
 from antidb_spark.functions.analyze import tokens
 from antidb_spark.schema import DOC_ID_COLS
+from antidb_spark.sources.catalog import LEAF_ROW_GROUP_BYTES
 
 
 def stream_postings(
@@ -308,7 +309,8 @@ def compact_incremental(
             ).alias("df"),
         )
     )
-    b.catalog.replace(merged_terms, "terms", stats_cols=["term"])
+    b.catalog.replace(merged_terms, "terms", stats_cols=["term"],
+                      row_group_bytes=LEAF_ROW_GROUP_BYTES)
 
     # stats: recomputed the batch way over the appended docmap (exact
     # equivalence with a from-scratch build)
@@ -335,6 +337,7 @@ def compact_incremental(
     man = b.catalog.write(
         packed, "blocks", stats_cols=["term"], mode="append",
         props={"n_runs": n_runs + 1},
+        row_group_bytes=LEAF_ROW_GROUP_BYTES,
     )
     if src is not None:
         src.unpersist()
