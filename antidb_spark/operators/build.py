@@ -504,8 +504,6 @@ class IndexBuilder:
     # reducer memory bounds, independent of data scale AND parallelism
     # level (the SAME algorithm must run at every level, or cross-level
     # comparisons measure the code path, not scaling):
-    DENSE_SLAB = 24_000_000   # score-matrix entries per query slab
-    FAN_CHUNK = 8_000_000     # fanned rows materialized at once
     TARGET_DOCS_PER_REDUCER = 100_000  # data-sized reducer tasks
 
     def _blocks_scan(self, q_terms: Sequence[str]) -> DataFrame:
@@ -716,29 +714,50 @@ class IndexBuilder:
                 out[t] = float(np.nextafter(v / plan["idf"][t], neg_inf))
         return out
 
-    def _posting_contribs(self, blocks: DataFrame, plan: dict) -> DataFrame:
-        """blocks → (doc_ord, term_id, contrib) in ONE Arrow stage:
+    def _bucketed_contribs(
+        self, blocks: DataFrame, plan: dict, n_part: int
+    ) -> DataFrame:
+        """blocks → ONE packed row per (map partition, reducer bucket):
         whole-batch varint decode + numpy BM25 contributions
-        (bit-identical expression order to functions.bm25.contribution).
-        term_id indexes plan["terms"] — per-POSTING rows, not yet fanned
-        out to queries, so the shuffle that follows is as narrow as the
-        physical postings themselves."""
+        (bit-identical expression order to functions.bm25.contribution),
+        bucketed by dense doc_ord range and serialized as raw numpy
+        bytes.
+
+        Shuffling 10^7+ individual (doc_ord, term_id, contrib) rows costs
+        more in Arrow→InternalRow→Arrow conversion than the decode and
+        scoring combined (measured ~25 s for 22M rows vs ~12 s of real
+        work at this corpus size). Packing each bucket's arrays into
+        binary cells moves the SAME bytes through the exchange as a few
+        hundred blob rows — row-codec cost vanishes and the stage is
+        pure memory bandwidth. Per-map-partition memory is bounded by
+        the input split size (a partition's postings as numpy arrays,
+        ~20 B each). The ``src`` column (map partition id) lets the
+        reducer concatenate blobs in deterministic order, making float
+        summation order reproducible run-to-run."""
         from antidb_spark.functions.bm25 import B, K1
 
         idf, avgdl = plan["idf"], plan["avgdl"]
+        n_docs = plan["n_docs"]
         term_ids = {t: i for i, t in enumerate(plan["terms"])}
         out_schema = T.StructType(
             [
-                T.StructField("doc_ord", T.LongType(), False),
-                T.StructField("term_id", T.IntegerType(), False),
-                T.StructField("contrib", T.DoubleType(), False),
+                T.StructField("bucket", T.IntegerType(), False),
+                T.StructField("src", T.IntegerType(), False),
+                T.StructField("ords", T.BinaryType(), False),
+                T.StructField("tids", T.BinaryType(), False),
+                T.StructField("contribs", T.BinaryType(), False),
             ]
         )
 
         def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            ords_l: list[np.ndarray] = []
+            tids_l: list[np.ndarray] = []
+            con_l: list[np.ndarray] = []
+            src = -1
             for batch in batches:
                 if len(batch) == 0:
                     continue
+                src = int(batch["_pid"].iloc[0])
                 _term_rep, ords, tfs, dls = _decode_batch(batch)
                 tf = tfs.astype(np.float64)
                 dl = dls.astype(np.float64)
@@ -747,18 +766,49 @@ class IndexBuilder:
                 )
                 idf_u = np.array([idf[t] for t in uniq], dtype=np.float64)
                 tid_u = np.array([term_ids[t] for t in uniq], dtype=np.int32)
-                per_post = np.repeat(inv, batch["n_docs"].to_numpy(dtype=np.int64))
-                tfw = (tf * (K1 + 1.0)) / (tf + K1 * (1.0 - B + (B * dl) / avgdl))
-                yield pd.DataFrame(
-                    {
-                        "doc_ord": ords,
-                        "term_id": tid_u[per_post],
-                        "contrib": idf_u[per_post] * tfw,
-                    }
+                per_post = np.repeat(
+                    inv, batch["n_docs"].to_numpy(dtype=np.int64)
                 )
+                tfw = (tf * (K1 + 1.0)) / (
+                    tf + K1 * (1.0 - B + (B * dl) / avgdl)
+                )
+                ords_l.append(ords.astype(np.int64, copy=False))
+                tids_l.append(tid_u[per_post])
+                con_l.append(idf_u[per_post] * tfw)
+            if not ords_l:
+                return
+            ords = np.concatenate(ords_l)
+            tids = np.concatenate(tids_l)
+            cons = np.concatenate(con_l)
+            # dense-ordinal range buckets (docmap ords are 0..n_docs-1):
+            # contiguous doc ranges per reducer keep the dense score
+            # matrix small and the unique() cheap
+            bucket = (ords * n_part) // max(1, n_docs)
+            order = np.argsort(bucket, kind="stable")
+            ords, tids, cons, bucket = (
+                ords[order], tids[order], cons[order], bucket[order]
+            )
+            ub, starts = np.unique(bucket, return_index=True)
+            ends = np.append(starts[1:], bucket.size)
+            yield pd.DataFrame(
+                {
+                    "bucket": ub.astype(np.int32),
+                    "src": np.full(ub.size, src, dtype=np.int32),
+                    "ords": [
+                        ords[s:e].tobytes() for s, e in zip(starts, ends)
+                    ],
+                    "tids": [
+                        tids[s:e].tobytes() for s, e in zip(starts, ends)
+                    ],
+                    "contribs": [
+                        cons[s:e].tobytes() for s, e in zip(starts, ends)
+                    ],
+                }
+            )
 
         return blocks.select(
-            "term", "n_docs", "docs_packed", "tfs_packed", "dls_packed"
+            "term", "n_docs", "docs_packed", "tfs_packed", "dls_packed",
+            F.spark_partition_id().alias("_pid"),
         ).mapInPandas(gen, schema=out_schema)
 
     def query_batch(
@@ -780,10 +830,13 @@ class IndexBuilder:
            (``_meta_thresholds`` — provably lossless, results identical
            with pruning on or off). Above ``META_MAX_BLOCKS`` candidates
            the distributed two-pass pruning plan is used instead.
-        3. ``_fanout_scored``: decode + score + query fan-out in one
-           Arrow stage → groupBy(query_id, doc_ord) sum (the ONE
-           shuffle, with JVM map-side partial aggregation).
-        4. tree top-k: per-partition top-k (numpy) → driver merge of
+        3. ``_bucketed_contribs``: decode + score in one Arrow stage,
+           packed into per-(map-partition, doc-range-bucket) binary
+           blob rows → the ONE shuffle moves a few hundred blobs
+           instead of 10^7+ posting rows (row-codec cost was larger
+           than the decode+score work itself).
+        4. tree top-k: per-bucket dense accumulation + top-k (numpy,
+           deterministic blob order) → driver merge of
            ≤ k·|queries|·n_partitions rows → id resolution against the
            docmap via manifest-pruned pyarrow (no docmap scan job).
         """
@@ -810,11 +863,14 @@ class IndexBuilder:
             if thr:
                 from antidb_spark.functions.bm25 import tf_weight
 
-                pairs: list = []
-                for t, v in thr.items():
-                    pairs += [F.lit(t), F.lit(v)]
                 # exact per-block max tfw from the (tf, dl) Pareto front
-                # and the current-avgdl literal — pure codegen, no joins
+                # and the current-avgdl literal; thresholds arrive via a
+                # broadcast hash join (a create_map of 2·|terms| literals
+                # is rebuilt PER ROW by codegen — measurable at 10^5
+                # block rows × 10^3 query terms)
+                thr_df = self.spark.createDataFrame(
+                    list(thr.items()), "term string, _thr double"
+                )
                 block_tfw = F.array_max(
                     F.zip_with(
                         F.col("tfs_front"),
@@ -822,19 +878,29 @@ class IndexBuilder:
                         lambda tf, dl: tf_weight(tf, dl, F.lit(plan["avgdl"])),
                     )
                 )
-                blocks = blocks.filter(
-                    block_tfw
-                    >= F.coalesce(
-                        F.element_at(F.create_map(*pairs), F.col("term")),
-                        F.lit(float("-inf")),
+                blocks = (
+                    blocks.join(F.broadcast(thr_df), "term", "left")
+                    .filter(
+                        block_tfw
+                        >= F.coalesce(F.col("_thr"), F.lit(float("-inf")))
                     )
+                    .drop("_thr")
                 )
         elif prune:
             from antidb_spark.operators.topk import query_terms_df
 
             qt = query_terms_df(self.spark, queries)
             blocks = self._pruned_blocks(blocks, qt, k)
-        contribs = self._posting_contribs(blocks, plan)
+        # reducer partition count is DATA-sized, not core-sized: target
+        # ~TARGET_DOCS_PER_REDUCER candidate docs per task so the dense
+        # slab geometry (and therefore per-core work) is the same at any
+        # parallelism level; excess tasks just queue over the cores
+        cand_docs = min(plan["n_docs"], plan["est_blocks"] * BLOCK_SIZE)
+        n_part = max(
+            self.spark.sparkContext.defaultParallelism,
+            -(-cand_docs // self.TARGET_DOCS_PER_REDUCER),
+        )
+        bucketed = self._bucketed_contribs(blocks, plan, n_part)
         qmap_by_tid = [plan["qmap"][t] for t in plan["terms"]]
         topk_schema = T.StructType(
             [
@@ -845,108 +911,92 @@ class IndexBuilder:
         )
 
         n_queries = len(plan["per_query"])
-        DENSE_SLAB = self.DENSE_SLAB
-        FAN_CHUNK = self.FAN_CHUNK
+        # query -> ascending term-id list (sorted-term order — the same
+        # pinned float-summation order the oracles use)
+        per_q_tids: list[list[int]] = [[] for _ in range(n_queries)]
+        for t_i, qids in enumerate(qmap_by_tid):
+            for q in qids:
+                per_q_tids[int(q)].append(t_i)
 
         def reduce_topk(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-            # hash(doc_ord) partitioning co-locates ALL of a doc's term
+            # bucket partitioning co-locates ALL of a doc's term
             # contributions, so per-(query, doc) sums are complete here
-            # and the partition-local top-k is exact for its docs.
-            parts = [b for b in batches if len(b)]
-            if not parts:
+            # and the partition-local top-k is exact for its docs. Blob
+            # rows are concatenated sorted by source map partition, so
+            # float summation order is deterministic regardless of
+            # shuffle arrival order.
+            rows: list[tuple] = []
+            for b in batches:
+                rows.extend(
+                    zip(b["src"], b["ords"], b["tids"], b["contribs"])
+                )
+            if not rows:
                 return
-            pdf = pd.concat(parts, ignore_index=True)
-            tid = pdf["term_id"].to_numpy()
-            nq = np.array([q.size for q in qmap_by_tid], dtype=np.int64)
-            flat = np.concatenate(qmap_by_tid)
-            starts = np.cumsum(nq) - nq
-            reps = nq[tid]
-            u, doc_inv_post = np.unique(
-                pdf["doc_ord"].to_numpy(), return_inverse=True
+            rows.sort(key=lambda r: r[0])
+            doc_post = np.concatenate(
+                [np.frombuffer(r[1], dtype=np.int64) for r in rows]
             )
-            contrib_post = pdf["contrib"].to_numpy()
-            start_post = starts[tid]
-            # posting-chunk boundaries sized by FANNED rows (a chunk of
-            # hot-term postings expands by the number of queries sharing
-            # the term), so expanded index arrays stay a few hundred MB
-            cumreps = np.cumsum(reps)
-            total_fan = int(cumreps[-1]) if reps.size else 0
-            cuts = [0]
-            tgt = FAN_CHUNK
-            while tgt < total_fan:
-                cuts.append(int(np.searchsorted(cumreps, tgt)) + 1)
-                tgt += FAN_CHUNK
-            cuts.append(len(pdf))
-            cuts = sorted(set(cuts))
-            # dense accumulation per QUERY SLAB: bincount over the
-            # combined (query, doc) index — large shared-hot-term
-            # batches fan to 10^8 rows, where a hash groupby is the
-            # whole batch's bottleneck; slabbing bounds the matrix at
-            # DENSE_SLAB entries for any partition-doc count. Scores
-            # are never exactly 0.0 (idf, tfw > 0) → 0 = no candidate.
-            q_chunk = max(1, min(n_queries, DENSE_SLAB // max(1, u.size)))
+            tid = np.concatenate(
+                [np.frombuffer(r[2], dtype=np.int32) for r in rows]
+            )
+            contrib_post = np.concatenate(
+                [np.frombuffer(r[3], dtype=np.float64) for r in rows]
+            )
+            u, doc_inv_post = np.unique(doc_post, return_inverse=True)
+            # segment the partition's postings by term id ONCE; a doc
+            # appears at most once per term, so per-query accumulation
+            # is a direct fancy-indexed add per term — one pass over
+            # the query fan-out (shared hot terms expand to 10^8 fanned
+            # adds per batch; the previous shape materialized expanded
+            # (query, doc) index arrays and paid ~6 array passes over
+            # them). Scores are never exactly 0.0 (idf, tfw > 0) → 0 =
+            # no candidate.
+            torder = np.argsort(tid, kind="stable")
+            doc_seg = doc_inv_post[torder]
+            con_seg = contrib_post[torder]
+            tid_seg = tid[torder]
+            ut, tstarts = np.unique(tid_seg, return_index=True)
+            tends = np.append(tstarts[1:], tid_seg.size)
+            seg: dict[int, tuple[np.ndarray, np.ndarray]] = {
+                int(t): (doc_seg[s:e], con_seg[s:e])
+                for t, s, e in zip(ut, tstarts, tends)
+            }
+            dense = np.empty(u.size)
             frames = []
-            for q0 in range(0, n_queries, q_chunk):
-                q1 = min(q0 + q_chunk, n_queries)
-                dense = np.zeros((q1 - q0) * u.size)
-                for lo, hi in zip(cuts[:-1], cuts[1:]):
-                    reps_c = reps[lo:hi]
-                    total = int(reps_c.sum())
-                    if total == 0:
-                        continue
-                    cum_c = np.cumsum(reps_c)
-                    pos_c = np.arange(total) - np.repeat(cum_c - reps_c, reps_c)
-                    qid_c = flat[np.repeat(start_post[lo:hi], reps_c) + pos_c]
-                    m = (qid_c >= q0) & (qid_c < q1)
-                    if not m.any():
-                        continue
-                    idx = (qid_c[m] - q0) * u.size + np.repeat(
-                        doc_inv_post[lo:hi], reps_c
-                    )[m]
-                    dense += np.bincount(
-                        idx,
-                        weights=np.repeat(contrib_post[lo:hi], reps_c)[m],
-                        minlength=(q1 - q0) * u.size,
+            for q in range(n_queries):
+                present = [t for t in per_q_tids[q] if t in seg]
+                if not present:
+                    continue
+                dense.fill(0.0)
+                for t in present:  # ascending term id = sorted terms
+                    d, c = seg[t]
+                    dense[d] += c
+                row = dense
+                if u.size > 4 * k:
+                    cut = np.partition(row, row.size - k)[row.size - k]
+                    cand = np.flatnonzero(
+                        row >= max(cut, np.finfo(float).tiny)
                     )
-                dense = dense.reshape(q1 - q0, u.size)
-                for q in range(q0, q1):
-                    row = dense[q - q0]
-                    if u.size > 4 * k:
-                        cut = np.partition(row, row.size - k)[row.size - k]
-                        cand = np.flatnonzero(
-                            row >= max(cut, np.finfo(float).tiny)
-                        )
-                    else:
-                        cand = np.flatnonzero(row > 0.0)
-                    if cand.size == 0:
-                        continue
-                    order = np.lexsort((u[cand], -row[cand]))[:k]
-                    sel = cand[order]
-                    frames.append(
-                        pd.DataFrame(
-                            {
-                                "query_id": np.full(sel.size, q, dtype=np.int32),
-                                "doc_ord": u[sel],
-                                "score": row[sel],
-                            }
-                        )
+                else:
+                    cand = np.flatnonzero(row > 0.0)
+                if cand.size == 0:
+                    continue
+                order = np.lexsort((u[cand], -row[cand]))[:k]
+                sel = cand[order]
+                frames.append(
+                    pd.DataFrame(
+                        {
+                            "query_id": np.full(sel.size, q, dtype=np.int32),
+                            "doc_ord": u[sel],
+                            "score": row[sel],
+                        }
                     )
+                )
             if frames:
                 yield pd.concat(frames, ignore_index=True)
 
-        # reducer partition count is DATA-sized, not core-sized: target
-        # ~TARGET_DOCS_PER_REDUCER candidate docs per task so the dense
-        # slab geometry (and therefore per-core work) is the same at any
-        # parallelism level; excess tasks just queue over the cores
-        cand_docs = min(
-            plan["n_docs"], plan["est_blocks"] * BLOCK_SIZE
-        )
-        n_part = max(
-            self.spark.sparkContext.defaultParallelism,
-            -(-cand_docs // self.TARGET_DOCS_PER_REDUCER),
-        )
         top_pdf = (
-            contribs.repartition(n_part, "doc_ord")
+            bucketed.repartition(n_part, "bucket")
             .mapInPandas(reduce_topk, schema=topk_schema)
             .toPandas()
         )

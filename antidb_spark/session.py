@@ -45,6 +45,14 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "10g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(32 * 1024 * 1024))
+        # Index tables are term-range partitioned, so per-FILE work is
+        # skewed (the file holding 'the' decodes far more postings than
+        # its share of bytes suggests). Files are written with 512 KB
+        # row groups (LEAF_ROW_GROUP_BYTES) precisely so scans can split
+        # them finely: 4 MB scan partitions turn one straggler file into
+        # ~dozens of balanced tasks. At cluster scale the same setting
+        # keeps decode+score tasks granular across executors.
+        .config("spark.sql.files.maxPartitionBytes", str(4 * 1024 * 1024))
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

@@ -129,18 +129,19 @@ def test_pruning_skips_blocks(spark, corpus, tmp_path):
 
 
 def test_reducer_slabs_identical(spark, built):
-    """Shrinking the reducer's dense-slab and fan-chunk bounds (forcing
-    many query slabs and posting chunks) must not change any answer —
-    the memory bounds are an implementation detail, not semantics."""
+    """Shrinking the reducer geometry (forcing many tiny doc-range
+    buckets, hence many blob rows and partition-boundary doc splits)
+    must not change any answer — the partitioning is an implementation
+    detail, not semantics."""
     b, _ = built
-    queries = QUERIES * 3  # 15 queries → several slabs at tiny bounds
+    queries = QUERIES * 3  # 15 queries
     base = b.query_batch(queries, k=5, prune=False).toPandas()
-    old = (b.DENSE_SLAB, b.FAN_CHUNK)
+    old = b.TARGET_DOCS_PER_REDUCER
     try:
-        b.DENSE_SLAB, b.FAN_CHUNK = 1_000, 50
+        b.TARGET_DOCS_PER_REDUCER = 7  # dozens of buckets on the fixture
         small = b.query_batch(queries, k=5, prune=False).toPandas()
     finally:
-        b.DENSE_SLAB, b.FAN_CHUNK = old
+        b.TARGET_DOCS_PER_REDUCER = old
     assert small[["query_id", "conv_id", "turn_idx"]].values.tolist() == \
         base[["query_id", "conv_id", "turn_idx"]].values.tolist()
     assert (abs(small["score"] - base["score"]) < 1e-9).all()
