@@ -83,6 +83,8 @@ def main() -> None:
                 break
     qscale_path = os.path.join(REPO, "BENCH", "query_scaling.json")
     qscale = json.load(open(qscale_path)) if os.path.exists(qscale_path) else None
+    q14_path = os.path.join(REPO, "BENCH", "query_scaling_1to4.json")
+    q14 = json.load(open(q14_path)) if os.path.exists(q14_path) else None
 
     md = os.path.join(REPO, "BENCH", "BASELINE.md")
     os.makedirs(os.path.dirname(md), exist_ok=True)
@@ -101,13 +103,25 @@ def main() -> None:
             "Efficiency = median_ratio / 4.\n\n"
         )
         if ceiling:
+            mem = ceiling.get("mem")
             f.write(
-                f"**Hardware ceiling**: pure-CPU {N}→{N4}-process scaling "
-                f"of this box (fixed total sha256 work) is "
-                f"**{ceiling['efficiency']}** — per-core throughput drops "
-                "as more vCPUs engage (only ~16 of the 32 advertised vCPUs "
-                "are full-speed). No software can exceed this here; engine "
-                "numbers should be read against it.\n\n"
+                f"**Hardware ceilings** ({N}→{N4} processes, fixed total "
+                "work, measured per run): pure-CPU (sha256, "
+                f"cache-resident) **{ceiling['efficiency']}** — the bound "
+                "for JVM/codegen phases"
+                + (
+                    f"; DRAM streaming (numpy passes) "
+                    f"**{mem['efficiency']}** — the bound for Arrow "
+                    "decode+score phases. This single box has ONE memory "
+                    "bus: ~4 streaming processes saturate it, so "
+                    "bandwidth-bound phases cannot scale past that here "
+                    "no matter the software (each node of a real cluster "
+                    "brings its own DRAM — see the 1→4 section below, "
+                    "measured under the saturation point)"
+                    if mem else ""
+                )
+                + ". No software can exceed these here; each phase reads "
+                "against the ceiling of the resource it binds on.\n\n"
             )
         f.write(f"| phase | median T{N}/T{N4} | efficiency | ceiling-normalized |\n")
         f.write("|---|---|---|---|\n")
@@ -138,25 +152,25 @@ def main() -> None:
                    if ceiling else "") + "\n"
                 f"- throughput: {qscale['qps']} queries/sec\n"
             )
-        if qscale:
-            tn, t4n = qscale[f"query_s_local{N}"], qscale[f"query_s_local{N4}"]
-            # Amdahl decomposition: T = S + W/c → two equations, two unknowns
-            s_fix = max(0.0, (4 * t4n - tn) / 3)
-            w_par = (tn - s_fix) * N
+        if q14:
             f.write(
-                "\nAmdahl decomposition of the query batch (from the two "
-                f"controlled points): serial component ≈ **{s_fix:.0f} s "
-                "per batch** (Catalyst planning of the pruned DAG, "
-                "pass-1 threshold barrier, broadcast builds, Python-worker "
-                f"spin-up) + **{w_par:.0f} core-seconds** of parallel "
-                "scoring work. The serial part is per-BATCH, not per-query "
-                f"(≈{s_fix / max(1, qscale['n_queries']):.2f} s/query at "
-                f"{qscale['n_queries']} queries): at production batch "
-                "sizes or a persistent query service it amortizes toward "
-                "zero, while the parallel part is what a real cluster "
-                "scales. The index-build phases carry no such barrier and "
-                "scale at the hardware ceiling (ceiling-normalized ≈ "
-                "0.76+).\n"
+                "\n## Query-path scaling BELOW the DRAM saturation point "
+                "(1→4 cores)\n\n"
+                "The decode+score stages are memory-bandwidth-bound "
+                "(vectorized numpy over posting arrays); on this single "
+                "box ~4 streaming processes saturate the one memory bus "
+                "(the DRAM ceiling above), so the 4→16 query number "
+                "measures the bus, not the engine. The same controlled "
+                "experiment at 1 vs 4 cores — below saturation — shows "
+                "the engine's own scaling:\n\n"
+                f"- local[1]: {q14['query_s_local1']} s, "
+                f"local[4]: {q14['query_s_local4']} s → "
+                f"speedup {q14['speedup']}×, efficiency "
+                f"**{q14['efficiency']}**\n"
+                f"- throughput: {q14['qps']} queries/sec\n\n"
+                "On a multi-node cluster every 4N executors bring 4N "
+                "memory buses, so the 1→4 number — not the bus-saturated "
+                "4→16 one — is the transferable query-path figure.\n"
             )
         f.write(
             "\nFixed-latency phases (eq/rng lookups, single-query "

@@ -80,24 +80,52 @@ def main() -> None:
     print(f"building shared index at {ROOT} ...", file=sys.stderr)
     b = run_child("build", N4_CORES)
     print(json.dumps(b), file=sys.stderr)
-    res = {}
-    for cpus in (N4_CORES, N_CORES):
-        print(f"query batch at local[{cpus}] ...", file=sys.stderr)
-        res[cpus] = run_child("query", cpus)
-        print(json.dumps(res[cpus]), file=sys.stderr)
-    t_n, t_4n = res[N_CORES]["seconds"], res[N4_CORES]["seconds"]
+    # INTERLEAVED rep pairs: this host's dominant noise source is other
+    # tenants' memory-bus traffic — multiplicative, minutes-scale swings
+    # (the same config measures 2-3x apart between consecutive runs).
+    # Adjacent (4N, N) children share the same noise window, so the
+    # PER-PAIR time ratio cancels it; the median of pair ratios is the
+    # robust estimator. A sequential min-of-reps design instead pairs
+    # whichever level got lucky with a quiet bus.
+    import statistics
+
+    reps = int(os.environ.get("SPARK_GRAFT_QSCALE_REPEATS", "3"))
+    runs: dict[int, list[float]] = {N_CORES: [], N4_CORES: []}
+    ratios = []
+    for rep in range(reps):
+        pair = {}
+        for cpus in (N4_CORES, N_CORES):
+            print(f"query batch at local[{cpus}] rep {rep} ...",
+                  file=sys.stderr)
+            pair[cpus] = run_child("query", cpus)
+            print(json.dumps(pair[cpus]), file=sys.stderr)
+            runs[cpus].extend(pair[cpus]["runs"])
+        ratios.append(
+            pair[N_CORES]["seconds"] / pair[N4_CORES]["seconds"]
+        )
+    ratio = statistics.median(ratios)
+    t_n, t_4n = min(runs[N_CORES]), min(runs[N4_CORES])
     out = {
         "n_turns": b["n_turns"],
         "n_queries": N_QUERIES,
         f"query_s_local{N_CORES}": t_n,
         f"query_s_local{N4_CORES}": t_4n,
-        "runs": {str(c): res[c]["runs"] for c in res},
-        "speedup": round(t_n / t_4n, 2),
-        "efficiency": round((t_n / t_4n) / 4.0, 3),
-        "qps": {str(c): round(N_QUERIES / res[c]["seconds"], 2) for c in res},
+        "runs": {str(c): runs[c] for c in runs},
+        "pair_ratios": [round(r, 2) for r in ratios],
+        "speedup": round(ratio, 2),
+        "efficiency": round(ratio / 4.0, 3),
+        "qps": {str(c): round(N_QUERIES / min(runs[c]), 2) for c in runs},
     }
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
-    with open(os.path.join(REPO, "BENCH", "query_scaling.json"), "w") as f:
+    # the default N=4 level pair keeps the historical filename; other
+    # pairs (e.g. 1→4, BELOW the single-box DRAM saturation point — see
+    # scaling_bench.hardware_ceiling) are kept alongside
+    name = (
+        "query_scaling.json"
+        if N_CORES == 4
+        else f"query_scaling_{N_CORES}to{N4_CORES}.json"
+    )
+    with open(os.path.join(REPO, "BENCH", name), "w") as f:
         json.dump(out, f, indent=1)
     shutil.rmtree(ROOT, ignore_errors=True)
     print(json.dumps(out))
