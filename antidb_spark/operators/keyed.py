@@ -180,21 +180,22 @@ class PersistedKeyedIndex:
 
     def eq_local(self, *queries) -> pd.DataFrame:
         """Warm point lookup: manifest pruning + pyarrow row-group reads,
-        zero Spark jobs. Same rows/order as ``eq`` (pinned by tests)."""
+        zero Spark jobs. Same rows/order as ``eq`` (pinned by tests).
+        Batch-friendly: one pruned read + one vectorized merge serves any
+        number of probes (a per-probe filter loop was O(rows·probes))."""
         qk = [self._norm_q(q) for q in queries]
         tbl = self.catalog.read_pruned_arrow(
             self.name, "_key", values=list(set(qk))
         ).to_pandas()
-        frames = []
-        for i, k in enumerate(qk):
-            hit = tbl[tbl["_key"] == k]
-            if len(hit):
-                hit = hit.sort_values(self.id_cols).assign(query_ord=i)
-                frames.append(hit)
-        if not frames:
+        if not len(tbl):
             return pd.DataFrame(columns=["query_ord", *self.base_cols])
-        out = pd.concat(frames, ignore_index=True)
-        return out[["query_ord", *self.base_cols]]
+        qdf = pd.DataFrame(
+            {"query_ord": range(len(qk)), "_key": qk}
+        )
+        out = tbl.merge(qdf, on="_key").sort_values(
+            ["query_ord", *self.id_cols]
+        )
+        return out[["query_ord", *self.base_cols]].reset_index(drop=True)
 
     def rng_local(self, start, end) -> pd.DataFrame:
         lo, hi = self._norm_q(start), self._norm_q(end)

@@ -218,8 +218,18 @@ def main() -> None:
             probes = vocabulary(1000)
             timed("eq_batch_1000", lambda: pidx.eq(*probes).count(),
                   QUERY_REPEATS)
-            extras["point_lookups_per_sec"] = round(
+            extras["point_lookups_per_sec_spark"] = round(
                 1000 / timings["eq_batch_1000"], 1
+            )
+            # the same 1000 probes through the warm tier (one pruned
+            # pyarrow read + one vectorized merge, zero Spark jobs) —
+            # the apples-to-apples single-node shape vs the reference's
+            # single-threaded annotation numbers
+            pidx.eq_local(probes[0])  # warm dataset metadata
+            timed("eq_batch_local", lambda: len(pidx.eq_local(*probes)),
+                  QUERY_REPEATS)
+            extras["point_lookups_per_sec"] = round(
+                1000 / timings["eq_batch_local"], 1
             )
         if phase_on("eq_batch_mem"):
             # parity-semantics reference point: the index-free in-memory

@@ -91,18 +91,20 @@ def main() -> None:
         blocks = b._blocks_scan(plan["terms"]).filter(
             F.col("term").isin(plan["terms"])
         )
-        contribs = b._posting_contribs(blocks, plan)
-        chain = contribs.repartition(
-            spark.sparkContext.defaultParallelism, "doc_ord"
-        )
+        n_part = spark.sparkContext.defaultParallelism
+        bucketed = b._bucketed_contribs(blocks, plan, n_part)
+        chain = bucketed.repartition(n_part, "bucket")
         sections.append((
-            "indexed BM25 batch (blocks scan → decode+score → one shuffle)",
+            "indexed BM25 batch (blocks scan → decode+score+pack → one "
+            "blob shuffle)",
             "The blocks scan must show PushedFilters: In(term, …) — "
             "file-level manifest pruning happened before the plan (path "
             "list), row-group stats prune inside files. The ONLY exchange "
-            "is hashpartitioning(doc_ord): scoring constants (idf/avgdl) "
-            "and the block-max θ thresholds travel in the closure/filter, "
-            "never as joins.",
+            "is hashpartitioning(bucket) moving a few hundred packed "
+            "binary blob rows (per map-partition, per doc-range bucket) — "
+            "not per-posting rows; scoring constants (idf/avgdl) and the "
+            "block-max θ thresholds travel in the closure/broadcast, "
+            "never as wide joins.",
             plan_of(chain),
         ))
 
@@ -158,14 +160,16 @@ def main() -> None:
         by_title = {t: p for t, _n, p in sections}
         checks = []
         blocks_plan = by_title[
-            "indexed BM25 batch (blocks scan → decode+score → one shuffle)"
+            "indexed BM25 batch (blocks scan → decode+score+pack → one "
+            "blob shuffle)"
         ]
         checks.append(("blocks scan has term pushdown",
                        "In(term" in blocks_plan
                        or "EqualTo(term" in blocks_plan))
-        checks.append(("indexed batch: no joins, one doc_ord exchange",
-                       "Join" not in blocks_plan
-                       and blocks_plan.count("hashpartitioning(doc_ord") == 1))
+        checks.append(("indexed batch: one bucket blob exchange, no wide "
+                       "joins (θ broadcast only)",
+                       blocks_plan.count("hashpartitioning(bucket") == 1
+                       and "SortMergeJoin" not in blocks_plan))
         topk_plan = by_title["BM25 top-k, index-free (flagship `entry`)"]
         checks.append(("topk uses TakeOrdered",
                        "TakeOrdered" in topk_plan))
