@@ -147,6 +147,19 @@ def test_reducer_slabs_identical(spark, built):
     assert (abs(small["score"] - base["score"]) < 1e-9).all()
 
 
+def test_query_batch_bit_deterministic(spark, built):
+    """Reducer blobs concatenate sorted by source map partition and each
+    query sums its terms in ascending-term order, so repeated identical
+    batches are BIT-identical — exact float equality, not a tolerance —
+    regardless of shuffle arrival order."""
+    b, _ = built
+    a = b.query_batch(QUERIES, k=5).toPandas()
+    c = b.query_batch(QUERIES, k=5).toPandas()
+    assert a[["query_id", "conv_id", "turn_idx"]].values.tolist() == \
+        c[["query_id", "conv_id", "turn_idx"]].values.tolist()
+    assert (a["score"].to_numpy() == c["score"].to_numpy()).all()
+
+
 def test_query_warm_matches_batch(spark, built):
     """The driver-side interactive path (no Spark job) must be rank- and
     value-identical to the distributed batch path, across the warm
