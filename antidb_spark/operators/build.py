@@ -1169,8 +1169,19 @@ class IndexBuilder:
                 tfw = self._tfw(
                     tfs.astype(np.float64), dls.astype(np.float64), avgdl
                 )
-                # the decoded stream is term-major (files and rows are
-                # term-sorted): split at term boundaries, one slice per term
+                # The decoded stream is term-major only within one run;
+                # after compact_incremental appends, a term's blocks from
+                # different runs interleave with other query terms. A
+                # stable sort by term makes every term one contiguous
+                # slice (within-term file order preserved). Float-safe:
+                # each (term, doc) posting is unique — a doc lives in
+                # exactly one run — so per-doc bincount summation order
+                # stays the per-query-term order regardless of how a
+                # term's runs were ordered in the raw stream.
+                if term_rep.size and (term_rep[1:] < term_rep[:-1]).any():
+                    order = np.argsort(term_rep, kind="stable")
+                    term_rep = term_rep[order]
+                    ords, tfw = ords[order], tfw[order]
                 bounds = np.flatnonzero(term_rep[1:] != term_rep[:-1]) + 1
                 starts = np.concatenate(([0], bounds))
                 ends = np.concatenate((bounds, [term_rep.size]))

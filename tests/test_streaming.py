@@ -154,6 +154,59 @@ def test_incremental_compaction_appends_only(spark, corpus, tmp_path):
     assert compact_incremental(spark, sink, b)["mode"] == "noop"
 
 
+def test_query_warm_matches_batch_after_append(spark, corpus, tmp_path):
+    """Warm-tier postings cache over a MULTI-RUN blocks table (base +
+    appended run): a query term's blocks from different runs interleave
+    with other terms in the pruned read stream, so the per-term slicing
+    must accumulate segments, not overwrite (ADVICE r03 high). Asserts
+    postings-count parity per term and rank/value parity vs the batch
+    path, for queries whose terms straddle both runs."""
+    from pyspark.sql import functions as F
+
+    from antidb_spark.operators.build import IndexBuilder
+    from antidb_spark.streaming.incremental import compact_incremental
+
+    base = corpus.filter(F.col("conv_id") < "conv_00000015")
+    tail = corpus.filter(F.col("conv_id") >= "conv_00000015")
+    b = IndexBuilder(spark, str(tmp_path / "warm_app_idx"))
+    b.build(base, n_partitions=4)
+    sink = PostingsDeltaSink(str(tmp_path / "warm_app_sink"))
+    sink(tail, batch_id=0)
+    assert compact_incremental(spark, sink, b, n_partitions=4)[
+        "mode"] == "append"
+
+    # Whether the two runs' files actually interleave in the pruned
+    # stream depends on lexicographic part-file UUID luck — pyarrow
+    # guarantees NO cross-file order. Pin the worst case: permute the
+    # blocks batch rows (evens then odds) so every multi-block term is
+    # split into non-adjacent segments, deterministically.
+    real = b.catalog.read_pruned_arrow
+
+    def shuffled(name, *args, **kwargs):
+        tbl = real(name, *args, **kwargs)
+        if name == "blocks" and tbl.num_rows > 1:
+            idx = list(range(0, tbl.num_rows, 2)) + \
+                list(range(1, tbl.num_rows, 2))
+            tbl = tbl.take(idx)
+        return tbl
+
+    b.catalog.read_pruned_arrow = shuffled
+
+    post = b.catalog.read("postings")
+    for q in ["the data", "a the of kemuba0", "data bacoca0 of"]:
+        plan = b._plan_queries([q])
+        assert plan is not None and plan["est_blocks"] <= b.WARM_MAX_BLOCKS
+        cached = b._warm_postings(plan["terms"], plan["avgdl"])
+        for t in plan["terms"]:  # no silently dropped postings
+            want = post.filter(F.col("term") == t).count()
+            assert cached[t][0].size == want, (q, t)
+        warm = b.query_warm(q, k=5)
+        batch = b.query_batch([q], k=5, prune=False).toPandas()
+        assert warm[["conv_id", "turn_idx"]].values.tolist() == \
+            batch[["conv_id", "turn_idx"]].values.tolist(), q
+        assert (abs(warm["score"] - batch["score"]) < 1e-9).all(), q
+
+
 def test_incremental_compaction_update_falls_back(spark, corpus, tmp_path):
     """A delta touching an ALREADY-INDEXED doc (its dl is packed into
     every posting) must trigger the full-rebuild path and still answer
