@@ -77,6 +77,7 @@ from antidb_spark.functions.packing import (
 )
 from antidb_spark.operators.stats import build_postings
 from antidb_spark.schema import DOC_ID_COLS
+from antidb_spark.session import INDEX_SCAN_SPLIT_BYTES, scoped_conf
 from antidb_spark.sources.catalog import LEAF_ROW_GROUP_BYTES, Catalog
 from antidb_spark.sources.checkpoint import BuildCheckpoint, PhaseTimer
 
@@ -995,11 +996,22 @@ class IndexBuilder:
             if frames:
                 yield pd.concat(frames, ignore_index=True)
 
-        top_pdf = (
-            bucketed.repartition(n_part, "bucket")
-            .mapInPandas(reduce_topk, schema=topk_schema)
-            .toPandas()
-        )
+        # Materialize under the fine index-scan split (scoped — see
+        # session.INDEX_SCAN_SPLIT_BYTES): the blocks files backing this
+        # action are term-range partitioned with 512 KB row groups, and
+        # 4 MB scan partitions break the straggler term files into
+        # balanced decode+score tasks. Scoping it here keeps every other
+        # scan in the session (128 MB-row-group tables) at the default.
+        with scoped_conf(
+            self.spark,
+            "spark.sql.files.maxPartitionBytes",
+            str(INDEX_SCAN_SPLIT_BYTES),
+        ):
+            top_pdf = (
+                bucketed.repartition(n_part, "bucket")
+                .mapInPandas(reduce_topk, schema=topk_schema)
+                .toPandas()
+            )
         if len(top_pdf) == 0:
             return self.spark.createDataFrame([], out_schema)
         top_pdf = top_pdf.sort_values(

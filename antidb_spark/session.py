@@ -8,8 +8,44 @@ on a real cluster (AQE on, Arrow on, UTC timestamps for oracle parity).
 from __future__ import annotations
 
 import os
+from contextlib import contextmanager
 
 from pyspark.sql import SparkSession
+
+# Scan-partition ceiling for INDEX-BLOCK scans only. Index tables are
+# term-range partitioned, so per-FILE work is skewed (the file holding
+# 'the' decodes far more postings than its share of bytes suggests).
+# Those files are written with 512 KB row groups (LEAF_ROW_GROUP_BYTES)
+# precisely so scans can split them finely: 4 MB scan partitions turn
+# one straggler file into ~dozens of balanced decode tasks. Applied via
+# ``scoped_conf`` around the index-scan actions — NOT session-global:
+# every other table (postings, corpus inputs, dedup/pipeline sources)
+# is written with default ~128 MB row groups, and 4 MB splits there
+# yield ~31 empty tasks per row group of pure scheduler overhead
+# (measured: a 2× regression on build and pipeline phases).
+INDEX_SCAN_SPLIT_BYTES = 4 * 1024 * 1024
+
+
+@contextmanager
+def scoped_conf(spark: SparkSession, key: str, value: str):
+    """Set a runtime SQL conf for the duration of a block, then restore.
+
+    Spark resolves scan-partition geometry from the conf active when an
+    ACTION plans, not when the DataFrame was defined (verified on 4.1),
+    so wrapping just the materialization is sufficient — and returned
+    lazy DataFrames planned later are unaffected."""
+    try:
+        old = spark.conf.get(key)
+    except Exception:
+        old = None
+    spark.conf.set(key, value)
+    try:
+        yield
+    finally:
+        if old is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, old)
 
 
 def get_spark(
@@ -45,14 +81,6 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "10g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(32 * 1024 * 1024))
-        # Index tables are term-range partitioned, so per-FILE work is
-        # skewed (the file holding 'the' decodes far more postings than
-        # its share of bytes suggests). Files are written with 512 KB
-        # row groups (LEAF_ROW_GROUP_BYTES) precisely so scans can split
-        # them finely: 4 MB scan partitions turn one straggler file into
-        # ~dozens of balanced tasks. At cluster scale the same setting
-        # keeps decode+score tasks granular across executors.
-        .config("spark.sql.files.maxPartitionBytes", str(4 * 1024 * 1024))
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

@@ -22,6 +22,13 @@ top-k BM25 query latency):
 - ``dedup_minhash`` / ``text_quality`` — training-pipeline operators over
   documents.
 
+Noise protocol: the whole suite is repeated ``$SPARK_GRAFT_BENCH_REPEATS``
+times (default 3) INTERLEAVED — every phase runs once per repeat, so a
+noisy host window taxes all phases alike instead of whichever phase it
+landed on — and the reported number is the per-phase MEDIAN, with the
+relative spread ((max-min)/median) emitted beside it. Build phases get a
+fresh work root each repeat (no checkpoint reuse across repeats).
+
 Scaling evidence (local[8] vs local[32]) is produced separately by
 ``scripts/scaling_bench.py`` → ``BENCH/BASELINE.md``.
 """
@@ -31,6 +38,7 @@ from __future__ import annotations
 import json
 import os
 import shutil
+import statistics
 import sys
 import tempfile
 import time
@@ -45,94 +53,75 @@ N_QUERIES = int(os.environ.get("SPARK_GRAFT_BENCH_QUERIES", "100"))
 # comma-list of phases to run ("all" = everything) — the scaling harness
 # restricts to the scalable phases to keep interleaved repeats short
 PHASES = (os.environ.get("SPARK_GRAFT_BENCH_PHASES") or "all").split(",")
+REPEATS = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3"))
 
 
 def phase_on(name: str) -> bool:
     return "all" in PHASES or name in PHASES
 
 
-def main() -> None:
-    from antidb_spark.operators.build import IndexBuilder
-    from antidb_spark.operators.lookup import KeyedIndex
-    from antidb_spark.operators.topk import bm25_topk_pinned
-    from antidb_spark.operators.dedup import minhash_near_dups
-    from antidb_spark.operators.textstats import quality_scores
-    from antidb_spark.functions.analyze import distinct_tokens
-    from antidb_spark.session import get_spark
-    from antidb_spark.synth import query_set, synth_transcripts, vocabulary
+def run_suite(spark, docs, transcripts, n_turns):
+    """One interleaved pass over every gated phase.
 
-    spark = get_spark(master=f"local[{CPUS}]")
-    sf = float(os.path.basename(SF_DIR.rstrip("/")).replace("sf", "") or 0.1)
-    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
-    docs.count()  # warm the scan / JVM
+    Phases declare their dependencies here: anything a gated phase needs
+    (a built index, a keyed store) is built UNTIMED when its own phase
+    gate is off, so any single-phase ``SPARK_GRAFT_BENCH_PHASES`` value
+    runs clean. Returns (timings, extras, sub) where ``sub`` holds
+    per-build-phase seconds for the index build.
+    """
+    from antidb_spark.functions.analyze import distinct_tokens
+    from antidb_spark.operators.build import IndexBuilder
+    from antidb_spark.operators.dedup import minhash_near_dups
+    from antidb_spark.operators.lookup import KeyedIndex
+    from antidb_spark.operators.textstats import quality_scores
+    from antidb_spark.operators.topk import bm25_topk_pinned
+    from antidb_spark.synth import query_set, vocabulary
 
     timings: dict[str, float] = {}
     extras: dict[str, float] = {}
+    sub: dict[str, float] = {}
     work_root = tempfile.mkdtemp(
         prefix="antidb_bench_",
         dir=os.environ.get("SPARK_GRAFT_BENCH_WORKDIR") or None,
     )
 
-    def timed(name: str, fn, repeats: int = 1):
-        """Best-of-``repeats`` wall time (this host shows ±2× run-to-run
-        noise; query phases are cheap enough to repeat, build phases
-        are single-shot)."""
-        out, best = None, float("inf")
-        for _ in range(max(1, repeats)):
-            t0 = time.perf_counter()
-            out = fn()
-            best = min(best, time.perf_counter() - t0)
-        timings[name] = round(best, 3)
+    def timed(name: str, fn):
+        t0 = time.perf_counter()
+        out = fn()
+        timings[name] = round(time.perf_counter() - t0, 4)
         return out
 
-    QUERY_REPEATS = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "2"))
+    def warm_median(name: str, probes, fn):
+        fn(probes[0])  # warm manifest / dataset metadata, untimed
+        lat = []
+        for p in probes:
+            t0 = time.perf_counter()
+            fn(p)
+            lat.append(time.perf_counter() - t0)
+        timings[name] = round(statistics.median(lat), 4)
 
     # --- index build over synthetic transcripts (north-rule flagship) ---
-    # bm25_batch depends on the committed index, so the build runs (but is
-    # only TIMED/reported) according to its own phase gate.
-    if phase_on("index_build") or phase_on("bm25_batch"):
-        transcripts = synth_transcripts(spark, n_convs=N_CONVS).cache()
-        n_turns = transcripts.count()  # materialize cache outside the timer
+    index_phases = ("index_build", "bm25_batch", "bm25_warm", "pos_build",
+                    "phrase_warm")
+    builder = None
+    if any(phase_on(p) for p in index_phases):
         builder = IndexBuilder(spark, os.path.join(work_root, "idx"))
         if phase_on("index_build"):
             metrics = timed("index_build", lambda: builder.build(transcripts))
-            extras["turns_per_sec"] = round(n_turns / timings["index_build"], 1)
-            extras["n_turns"] = n_turns
-            extras["build_phases"] = {
-                p["phase"]: round(p["seconds"], 2) for p in metrics["phases"]
-            }
+            sub.update(
+                {p["phase"]: p["seconds"] for p in metrics["phases"]}
+            )
         else:
             builder.build(transcripts)
-        # queries read the committed index tables, not the corpus — release
-        # the cache so the query phases aren't GC-taxed by 10^6 held rows
-        transcripts.unpersist()
 
-    # --- BM25 query batch over the built index --------------------------
     if phase_on("bm25_batch"):
         queries = query_set(N_QUERIES)
+        timed("bm25_batch", lambda: builder.query_batch(queries, k=10).count())
 
-        def run_batch():
-            out = builder.query_batch(queries, k=10)
-            return out.count()
-
-        timed("bm25_batch", run_batch, QUERY_REPEATS)
-        extras["queries_per_sec"] = round(N_QUERIES / timings["bm25_batch"], 2)
-
-    # --- warm interactive BM25 (driver-side, no Spark job) --------------
     if phase_on("bm25_warm"):
-        import statistics
-
-        from antidb_spark.synth import vocabulary as _vocab
-
-        warm_qs = [" ".join(_vocab(2000)[i::997][:2]) for i in range(10)]
-        builder.query_warm(warm_qs[0])  # warm manifest/dataset metadata
-        lat = []
-        for q in warm_qs * 2:
-            t0 = time.perf_counter()
-            builder.query_warm(q, k=10)
-            lat.append(time.perf_counter() - t0)
-        timings["bm25_warm"] = round(statistics.median(lat), 4)
-        extras["bm25_warm_ms"] = round(1000 * statistics.median(lat), 2)
+        v = vocabulary(2000)
+        warm_qs = [" ".join(v[i::997][:2]) for i in range(10)] * 2
+        warm_median("bm25_warm", warm_qs, lambda q: builder.query_warm(q, k=10))
 
     # --- persisted positional index: build + warm phrase queries --------
     if phase_on("pos_build") or phase_on("phrase_warm"):
@@ -147,8 +136,6 @@ def main() -> None:
         else:
             build_positional_index(builder, transcripts)
         if phase_on("phrase_warm"):
-            import statistics
-
             v = vocabulary(2000)
             # mid/rare-frequency pairs — the interactive warm regime
             # (stopword-heavy phrases fall back to the distributed path
@@ -156,16 +143,8 @@ def main() -> None:
             phrases = [f"{v[i]} {v[i + 37]}" for i in range(300, 310)] + [
                 f"{v[i]} {v[i + 11]}" for i in range(900, 910)
             ]
-            phrase_warm(builder, phrases[0])  # warm dataset metadata
-            lat = []
-            for p in phrases:
-                t0 = time.perf_counter()
-                phrase_warm(builder, p)
-                lat.append(time.perf_counter() - t0)
-            timings["phrase_warm"] = round(statistics.median(lat), 4)
-            extras["phrase_warm_ms"] = round(
-                1000 * statistics.median(lat), 2
-            )
+            warm_median("phrase_warm", phrases,
+                        lambda p: phrase_warm(builder, p))
 
     # --- flagship documents query ---------------------------------------
     if phase_on("topk_docs"):
@@ -174,14 +153,11 @@ def main() -> None:
             lambda: bm25_topk_pinned(
                 docs, "spark query join performance", k=10, id_cols=("doc_id",)
             ).collect(),
-            QUERY_REPEATS,
         )
 
     # --- persisted keyed index: build + lookups served FROM THE INDEX ---
     # (the reference's workload shape: build the .adb once, then answer
-    # every eq/rng from it — r02's bench ran the lookup phases on the
-    # in-memory KeyedIndex, which rescans+re-tokenizes the base per call
-    # and measured that rescan, not the engine's index path)
+    # every eq/rng from it)
     lookup_phases = (
         "keyed_build", "eq_warm", "eq_lookup", "rng_lookup", "eq_batch",
         "eq_batch_mem",
@@ -204,75 +180,111 @@ def main() -> None:
         pidx = store.open("doc_tokens")
         if phase_on("eq_lookup"):
             timed("eq_lookup",
-                  lambda: pidx.eq("spark", "zzzmiss", "data").count(),
-                  QUERY_REPEATS)
+                  lambda: pidx.eq("spark", "zzzmiss", "data").count())
         if phase_on("rng_lookup"):
-            timed("rng_lookup", lambda: pidx.rng("query", "sort").count(),
-                  QUERY_REPEATS)
+            timed("rng_lookup", lambda: pidx.rng("query", "sort").count())
         if phase_on("eq_batch"):
             # the reference's annotation workload shape: a large batch of
             # point lookups (README.md:180,209 — 2,842 probes, 114 q/s);
             # one Spark job over the covering index amortizes scheduling
-            from antidb_spark.synth import vocabulary
-
             probes = vocabulary(1000)
-            timed("eq_batch_1000", lambda: pidx.eq(*probes).count(),
-                  QUERY_REPEATS)
-            extras["point_lookups_per_sec_spark"] = round(
-                1000 / timings["eq_batch_1000"], 1
-            )
+            timed("eq_batch_1000", lambda: pidx.eq(*probes).count())
             # the same 1000 probes through the warm tier (one pruned
             # pyarrow read + one vectorized merge, zero Spark jobs) —
             # the apples-to-apples single-node shape vs the reference's
             # single-threaded annotation numbers
             pidx.eq_local(probes[0])  # warm dataset metadata
-            timed("eq_batch_local", lambda: len(pidx.eq_local(*probes)),
-                  QUERY_REPEATS)
-            extras["point_lookups_per_sec"] = round(
-                1000 / timings["eq_batch_local"], 1
-            )
+            timed("eq_batch_local", lambda: len(pidx.eq_local(*probes)))
         if phase_on("eq_batch_mem"):
             # parity-semantics reference point: the index-free in-memory
             # KeyedIndex (rescans + re-tokenizes the base per call)
-            from antidb_spark.synth import vocabulary
-
             midx = KeyedIndex(docs, distinct_tokens("text"),
                               id_cols=["doc_id"], multi=True)
             probes = vocabulary(1000)
-            timed("eq_batch_mem", lambda: midx.eq(*probes).count(),
-                  QUERY_REPEATS)
+            timed("eq_batch_mem", lambda: midx.eq(*probes).count())
         if phase_on("eq_warm"):
             # the reference's warm point-query class (README.md:43,
             # 0.015 s): driver-side pyarrow reads of manifest-pruned
             # files — no Spark job. Median over mixed-frequency probes.
-            import statistics
-
-            idx = store.open("doc_tokens")
-            idx.eq_local("spark")  # warm manifest + dataset metadata
             probes = (vocabulary(1000)[-8:] + ["data", "query"]) * 2
-            lat = []
-            for p in probes:
-                t0 = time.perf_counter()
-                idx.eq_local(p)
-                lat.append(time.perf_counter() - t0)
-            timings["eq_warm"] = round(statistics.median(lat), 4)
-            extras["eq_warm_ms"] = round(1000 * statistics.median(lat), 2)
+            warm_median("eq_warm", probes, pidx.eq_local)
 
     # --- training-pipeline operators ------------------------------------
     if phase_on("dedup_minhash"):
         timed("dedup_minhash",
-              lambda: minhash_near_dups(docs, id_col="doc_id").count(),
-              QUERY_REPEATS)
+              lambda: minhash_near_dups(docs, id_col="doc_id").count())
     if phase_on("text_quality"):
-        timed("text_quality", lambda: quality_scores(docs).count(), QUERY_REPEATS)
+        timed("text_quality", lambda: quality_scores(docs).count())
 
     shutil.rmtree(work_root, ignore_errors=True)
+    return timings, extras, sub
+
+
+def main() -> None:
+    from antidb_spark.session import get_spark
+    from antidb_spark.synth import synth_transcripts
+
+    spark = get_spark(master=f"local[{CPUS}]")
+    sf = float(os.path.basename(SF_DIR.rstrip("/")).replace("sf", "") or 0.1)
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    docs.count()  # warm the scan / JVM
+
+    transcripts, n_turns = None, 0
+    index_phases = ("index_build", "bm25_batch", "bm25_warm", "pos_build",
+                    "phrase_warm")
+    if any(phase_on(p) for p in index_phases):
+        transcripts = synth_transcripts(spark, n_convs=N_CONVS).cache()
+        n_turns = transcripts.count()  # materialize outside any timer
+
+    reps: list[dict[str, float]] = []
+    subs: list[dict[str, float]] = []
+    for _ in range(max(1, REPEATS)):
+        t, _e, s = run_suite(spark, docs, transcripts, n_turns)
+        reps.append(t)
+        subs.append(s)
+
+    def med(vals):
+        return statistics.median(vals)
+
+    timings = {
+        k: round(med([r[k] for r in reps]), 4) for k in reps[0]
+    }
+    spread = {
+        k: round(
+            (max(v) - min(v)) / med(v) if med(v) > 0 else 0.0, 3
+        )
+        for k, v in ((k, [r[k] for r in reps]) for k in reps[0])
+    }
+    extras: dict = {"repeats": len(reps), "spread": spread}
+    if "index_build" in timings:
+        extras["turns_per_sec"] = round(n_turns / timings["index_build"], 1)
+        extras["n_turns"] = n_turns
+        extras["build_phases"] = {
+            p: round(med([s[p] for s in subs]), 2) for p in subs[0]
+        }
+    if "bm25_batch" in timings:
+        extras["queries_per_sec"] = round(N_QUERIES / timings["bm25_batch"], 2)
+    if "bm25_warm" in timings:
+        extras["bm25_warm_ms"] = round(1000 * timings["bm25_warm"], 2)
+    if "phrase_warm" in timings:
+        extras["phrase_warm_ms"] = round(1000 * timings["phrase_warm"], 2)
+    if "eq_batch_1000" in timings:
+        extras["point_lookups_per_sec_spark"] = round(
+            1000 / timings["eq_batch_1000"], 1
+        )
+    if "eq_batch_local" in timings:
+        extras["point_lookups_per_sec"] = round(
+            1000 / timings["eq_batch_local"], 1
+        )
+    if "eq_warm" in timings:
+        extras["eq_warm_ms"] = round(1000 * timings["eq_warm"], 2)
+
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
             {
                 "metric": "headline-suite wall time (index build + BM25 batch "
-                "+ lookups + pipeline ops)",
+                "+ lookups + pipeline ops; median of interleaved repeats)",
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
