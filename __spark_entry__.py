@@ -449,9 +449,22 @@ def _q_media_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic fake decode (sha256-derived 8×8 pixels) + real
+    feature plumbing (mean/std/phash over mapInPandas). The fake's
+    derivation is ANSI-SQL-expressible, so the oracle recomputes the
+    same statistics from the text without running the UDF. Float stats
+    are rounded 6dp at the comparison boundary on both sides."""
     from antidb_spark.operators.multimodal import extract_features
 
-    return extract_features(_media(spark, sf_dir))
+    f = extract_features(_media(spark, sf_dir))
+    return f.select(
+        "media_id",
+        "media_type",
+        "n_bytes",
+        F.round("mean_px", 6).alias("mean_px"),
+        F.round("std_px", 6).alias("std_px"),
+        "phash",
+    )
 
 
 def _q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -492,6 +505,51 @@ SELECT doc_id::BIGINT AS media_id, 'image/png' AS media_type,
 FROM img
 UNION ALL
 SELECT doc_id::BIGINT, 'audio/wav', NULL, NULL, 32, mv FROM wav
+"""
+
+
+# The fake decoder derives the 8×8 'pixels' as sha256(payload) ‖
+# sha256(payload) (multimodal._fake_decode), payload = utf-8 text, so
+# every feature is recomputable in SQL: parse the 32 digest bytes from
+# the hex, duplicate, take mean/std (population, like np.std) and the
+# mean-threshold 64-bit phash (HUGEINT accumulation, two's-complement
+# reinterpreted to BIGINT like the Spark side).
+MEDIA_FEATURES_ORACLE = """
+WITH h AS (SELECT doc_id, octet_length(text::BLOB)::BIGINT AS n_bytes,
+                  sha256(text) AS hx
+           FROM documents),
+b AS (SELECT doc_id, i.i AS i,
+             ('0x' || substr(hx, 2 * (i.i % 32) + 1, 2))::INT AS byte
+      FROM h, unnest(generate_series(0, 63)) AS i(i)),
+m AS (SELECT doc_id, avg(byte) AS mean_px FROM b GROUP BY doc_id),
+s AS (SELECT b.doc_id,
+             sqrt(avg((byte - mean_px) * (byte - mean_px))) AS std_px,
+             sum(CASE WHEN byte > mean_px
+                      THEN (1::HUGEINT << i) ELSE 0::HUGEINT END) AS ph
+      FROM b JOIN m ON b.doc_id = m.doc_id
+      GROUP BY b.doc_id)
+SELECT h.doc_id::BIGINT AS media_id,
+       CASE h.doc_id % 3 WHEN 0 THEN 'image/png' WHEN 1 THEN 'audio/wav'
+            ELSE 'video/mp4' END AS media_type,
+       h.n_bytes,
+       round(m.mean_px, 6) AS mean_px,
+       round(s.std_px, 6) AS std_px,
+       (CASE WHEN s.ph >= (1::HUGEINT << 63)
+             THEN s.ph - (1::HUGEINT << 64) ELSE s.ph END)::BIGINT AS phash
+FROM h JOIN m ON h.doc_id = m.doc_id JOIN s ON h.doc_id = s.doc_id
+"""
+
+# sample_frames' fake frame = 16-byte payload slice at chunk indices
+# 0, 4, 8, … < max(1, n_bytes // 16), frame id = sha256(slice). Text is
+# ASCII in the fixture tables, so character positions == byte offsets
+# and VARCHAR substr + sha256(VARCHAR) reproduce the byte-slice hashes.
+FRAME_SAMPLE_ORACLE = """
+SELECT doc_id::BIGINT AS media_id,
+       (start // 4)::INT AS frame_idx,
+       sha256(substr(text, (start * 16 + 1)::INT, 16)) AS frame_sha256
+FROM (SELECT doc_id, text,
+             unnest(range(0, greatest(1, length(text) // 16), 4)) AS start
+      FROM documents WHERE doc_id % 3 = 2)
 """
 
 
@@ -979,9 +1037,8 @@ SELECT doc_id::BIGINT AS media_id,
   md5(text) AS payload_md5
 FROM documents
 """,
-        # Remaining no-oracle ops (media_features, frame_sample) are
-        # stub-backed media paths: the driver applies its rows-only
-        # check; their correctness is pinned by pytest oracles.
+        "media_features": MEDIA_FEATURES_ORACLE,
+        "frame_sample": FRAME_SAMPLE_ORACLE,
     }
     # the persisted-index paths must answer exactly like the in-memory
     # KeyedIndex paths → same oracles

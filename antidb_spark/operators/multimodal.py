@@ -164,7 +164,7 @@ FRAMES_SCHEMA = T.StructType(
     [
         T.StructField("media_id", T.LongType(), False),
         T.StructField("frame_idx", T.IntegerType(), False),
-        T.StructField("frame_sha1", T.StringType(), False),
+        T.StructField("frame_sha256", T.StringType(), False),
     ]
 )
 
@@ -172,7 +172,10 @@ FRAMES_SCHEMA = T.StructType(
 def sample_frames(media: DataFrame, every_n: int = 4, fake: bool = True) -> DataFrame:
     """Frame sampling for video payloads: 1-to-many mapInPandas (each
     payload yields ceil(n_chunks / every_n) frames; the fake 'frame' is
-    a byte slice — a real decoder would emit decoded frame tensors)."""
+    a byte slice — a real decoder would emit decoded frame tensors).
+    The frame id is sha256 of the slice, an expression ANSI SQL can
+    recompute from the payload derivation — which is what makes this
+    stub's plumbing oracle-checkable end-to-end."""
     if not fake:
         raise NotImplementedError("real frame extraction needs libav")
 
@@ -185,7 +188,7 @@ def sample_frames(media: DataFrame, every_n: int = 4, fake: bool = True) -> Data
                 for fi, start in enumerate(range(0, n_chunks, every_n)):
                     chunk = data[start * 16 : (start + 1) * 16]
                     rows.append(
-                        (int(mid), fi, hashlib.sha1(chunk).hexdigest())
+                        (int(mid), fi, hashlib.sha256(chunk).hexdigest())
                     )
             yield pd.DataFrame(
                 rows, columns=[f.name for f in FRAMES_SCHEMA.fields]
