@@ -70,8 +70,17 @@ def encode_value(v: Any) -> bytes:
     if isinstance(v, _dt.datetime):  # before date (datetime subclasses it)
         # epoch microseconds via exact timedelta integer fields (a float
         # .timestamp() round-trip would lose sub-ms order); covers
-        # pd.Timestamp too (a datetime subclass), i.e. TimestampType keys
-        d = v - _dt.datetime(1970, 1, 1, tzinfo=v.tzinfo)
+        # pd.Timestamp too (a datetime subclass), i.e. TimestampType keys.
+        # Aware values subtract the UTC epoch so the encoding is INSTANT-
+        # based: the same instant in different zones encodes identically
+        # and mixed-tz columns order correctly (timedelta subtraction
+        # between aware datetimes already normalizes, no astimezone needed)
+        epoch = (
+            _dt.datetime(1970, 1, 1, tzinfo=_dt.timezone.utc)
+            if v.tzinfo is not None
+            else _dt.datetime(1970, 1, 1)
+        )
+        d = v - epoch
         return b"\x02" + _enc_int(
             (d.days * 86400 + d.seconds) * 1_000_000 + d.microseconds
         )
@@ -103,3 +112,21 @@ def encode_key(key: Any) -> bytes:
 
 def hex_key(key: Any) -> str:
     return encode_key(key).hex()
+
+
+def hex_i64_batch(vals: _np.ndarray) -> list[str]:
+    """Vectorized ``'02' + 16 hex`` encodings for an int64 batch —
+    byte-identical to ``encode_value(int(v)).hex()`` per element (the
+    tag-02 branch covers ints, epoch-micro timestamps, and date
+    ordinals, so one numpy path serves every rule-less scalar key the
+    codec stores as integers). XOR with the sign bit == adding the
+    2^63 bias mod 2^64; views (not casts) sidestep numpy>=2 overflow
+    rules."""
+    u = vals.astype(_np.int64, copy=False).view(_np.uint64) ^ _np.uint64(
+        _BIAS
+    )
+    buf = _np.empty((len(vals), 9), dtype=_np.uint8)
+    buf[:, 0] = 0x02
+    buf[:, 1:] = u.astype(">u8").view(_np.uint8).reshape(-1, 8)
+    h = buf.tobytes().hex()
+    return [h[i: i + 18] for i in range(0, len(h), 18)]

@@ -555,14 +555,6 @@ class IndexBuilder:
         if self._front_cache is None or self._front_cache[0] != snap:
             self._front_cache = (snap, {})
         cache = self._front_cache[1]
-        # bound the cache by total front elements (a stopword's fronts
-        # at 10^11 docs are ~10^9 points): evict insertion-oldest
-        total = sum(v[1].size for v in cache.values() if v is not None)
-        while total > self.FRONT_CACHE_MAX_ELEMS and cache:
-            _t, v = next(iter(cache.items()))
-            cache.pop(_t)
-            if v is not None:
-                total -= v[1].size
         missing = [t for t in terms if t not in cache]
         if missing:
             meta = self.catalog.read_pruned_arrow(
@@ -582,6 +574,19 @@ class IndexBuilder:
                         np.float64
                     ),
                 )
+        # bound the cache by total front elements (a stopword's fronts
+        # at 10^11 docs are ~10^9 points): evict insertion-oldest AFTER
+        # inserting, never the live query's terms — evicting first let a
+        # single call overshoot the ceiling by the size of its own fronts
+        live = set(terms)
+        total = sum(v[1].size for v in cache.values() if v is not None)
+        if total > self.FRONT_CACHE_MAX_ELEMS:
+            for t in [t for t in cache if t not in live]:
+                if total <= self.FRONT_CACHE_MAX_ELEMS:
+                    break
+                v = cache.pop(t)
+                if v is not None:
+                    total -= v[1].size
         return {t: cache[t] for t in terms if cache[t] is not None}
 
     def _corpus_stats(self) -> tuple[int, float]:

@@ -38,6 +38,7 @@ spill-sort, distributed.
 
 from __future__ import annotations
 
+import datetime as _dt
 from collections.abc import Iterator, Sequence
 
 import pandas as pd
@@ -46,7 +47,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from antidb_spark.err import QueryStartGtEndError
-from antidb_spark.functions.keycodec import hex_key
+from antidb_spark.functions.keycodec import hex_i64_batch, hex_key
 from antidb_spark.functions.sortkeys import LETTS_NUMS, NATUR, SortRule
 
 RULES: dict[str, SortRule] = {"natur": NATUR, "letts_nums": LETTS_NUMS}
@@ -90,13 +91,30 @@ def _check_encodable(dt: T.DataType, path: str = "key") -> None:
 
 
 def _hex_encoder(rule: SortRule | None):
-    """Vectorized raw-key → memcomparable-hex pandas_udf (normalize with
-    the rule's py_fn — identical to the query side — then encode)."""
+    """Raw-key → memcomparable-hex pandas_udf (normalize with the
+    rule's py_fn — identical to the query side — then encode).
+
+    Rule-less scalar batches that the codec stores as tag-02 integers
+    (timestamps → epoch micros, dates → ordinals) encode with ONE numpy
+    pass per Arrow batch (`hex_i64_batch`, byte-identical to the
+    per-row codec); rules, structs/arrays, and binary keep the per-row
+    fallback (normalization and \\x00-escaping are value-shaped)."""
     norm = rule.py_fn if rule else (lambda v: v)
+
+    def _i64_series(s: pd.Series, vals, mask) -> pd.Series:
+        out = hex_i64_batch(vals)
+        if mask.any():
+            return pd.Series(
+                [None if m else o for m, o in zip(mask, out)],
+                index=s.index, dtype=object,
+            )
+        return pd.Series(out, index=s.index, dtype=object)
 
     # (annotated Series-iterator for pandas_udf's hint check; struct
     # inputs actually arrive as sub-DataFrames at runtime)
     def enc(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        import numpy as np
+
         for s in it:
             if isinstance(s, pd.DataFrame):
                 # struct keys arrive as a sub-DataFrame (one column per
@@ -105,6 +123,34 @@ def _hex_encoder(rule: SortRule | None):
                     [hex_key(norm(rec)) for rec in s.to_dict("records")],
                     index=s.index,
                 )
+            elif rule is None and pd.api.types.is_datetime64_any_dtype(
+                s.dtype
+            ):
+                # Spark hands TimestampType as session-tz-naive
+                # datetime64[ns]; floor-div to micros == the codec's
+                # exact-timedelta micros on the same naive values
+                mask = s.isna().to_numpy()
+                vals = s.to_numpy("datetime64[ns]").view(np.int64) // 1000
+                yield _i64_series(s, vals, mask)
+            elif (
+                rule is None
+                and s.dtype == object
+                and len(s)
+                and isinstance(
+                    next((v for v in s if v is not None), None), _dt.date
+                )
+                and not isinstance(
+                    next(v for v in s if v is not None), _dt.datetime
+                )
+            ):
+                # DateType arrives as python date objects; ordinal =
+                # epoch days + date(1970,1,1).toordinal()
+                mask = s.isna().to_numpy()
+                vals = (
+                    pd.to_datetime(s).to_numpy("datetime64[D]")
+                    .view(np.int64) + 719163
+                )
+                yield _i64_series(s, vals, mask)
             else:
                 yield s.map(lambda v: None if v is None else hex_key(norm(v)))
 

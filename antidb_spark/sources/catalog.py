@@ -125,6 +125,14 @@ class Catalog:
 
         gen = f"data-{_uuid.uuid4().hex[:8]}"
         ddir = os.path.join(self.table_dir(name), gen)
+        # the generation being superseded: keep it through THIS swap so
+        # readers pinned to the old snapshot (cached Spark plans, pyarrow
+        # fragments, in-flight queries) finish against intact files; it
+        # is GC'd by the NEXT replace (deferred one-generation GC)
+        try:
+            prev = self.manifest(name).get("data_dir", "data")
+        except FileNotFoundError:
+            prev = None
         w = df.write.mode("overwrite").option("compression", "zstd")
         if row_group_bytes:
             w = w.option("parquet.block.size", str(int(row_group_bytes)))
@@ -132,7 +140,8 @@ class Catalog:
         man = self.commit(name, stats_cols=stats_cols, props=props,
                           data_dir=gen)
         for d in os.listdir(self.table_dir(name)):
-            if d != gen and (d == "data" or d.startswith("data-")):
+            if d not in (gen, prev) and (d == "data"
+                                         or d.startswith("data-")):
                 shutil.rmtree(os.path.join(self.table_dir(name), d),
                               ignore_errors=True)
         return man

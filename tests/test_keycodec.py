@@ -100,3 +100,42 @@ def test_numpy_scalars_match_python_twins():
 def test_bytes_keys_ordered():
     vals = [b"", b"\x00", b"\x00\x01", b"a", b"a\x00", b"ab"]
     _ordered_like_python(vals)
+
+
+def test_aware_datetimes_encode_by_instant():
+    """Two timestamps denoting the same instant in different zones must
+    encode identically (ADVICE r03): the encoding is instant-based for
+    aware values, naive-field-based for naive ones."""
+    import datetime as dt
+
+    utc = dt.timezone.utc
+    plus2 = dt.timezone(dt.timedelta(hours=2))
+    a = dt.datetime(2024, 5, 1, 12, 0, 0, tzinfo=utc)
+    b = a.astimezone(plus2)  # same instant, different zone
+    assert encode_key(a) == encode_key(b)
+    # ordering across mixed zones follows instants
+    c = dt.datetime(2024, 5, 1, 13, 59, 0, tzinfo=plus2)  # 11:59 UTC
+    assert hex_key(c) < hex_key(a)
+    # naive values still encode by their own fields (unchanged branch)
+    assert encode_key(dt.datetime(2024, 5, 1, 12)) == encode_key(
+        a.replace(tzinfo=None)
+    )
+
+
+@settings(max_examples=100, deadline=None)
+@given(
+    st.lists(
+        st.integers(min_value=-(2**63), max_value=2**63 - 1),
+        min_size=1,
+        max_size=64,
+    )
+)
+def test_hex_i64_batch_matches_scalar_codec(vals):
+    """The numpy batch encoder must be byte-identical to the per-row
+    tag-02 branch over the full int64 range."""
+    import numpy as np
+
+    from antidb_spark.functions.keycodec import encode_value, hex_i64_batch
+
+    got = hex_i64_batch(np.array(vals, dtype=np.int64))
+    assert got == [encode_value(int(v)).hex() for v in vals]

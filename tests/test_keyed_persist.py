@@ -205,6 +205,54 @@ def test_timestamp_key_persisted(spark, tmp_path):
     assert idx.rng_local(lo, hi)["row_ord"].tolist() == [3, 4, 5, 6]
 
 
+def test_date_key_vectorized_matches_scalar_codec(spark, tmp_path):
+    """DateType keys ride the vectorized numpy encoder; the committed
+    `_key` bytes must equal the per-row codec's (the query side encodes
+    per-row, so eq/rng only hit if build and query bytes agree), and
+    null keys must drop (phantom filter)."""
+    import datetime as dt
+
+    from antidb_spark.functions.keycodec import hex_key
+
+    rows = [
+        (i, dt.date(2023, 1, 1) + dt.timedelta(days=i * 37))
+        for i in range(40)
+    ] + [(99, None)]
+    df = spark.createDataFrame(rows, "row_ord long, d date")
+    st = KeyedIndexStore(spark, str(tmp_path / "date_store"))
+    idx = st.build("by_d", df, F.col("d"), id_cols=["row_ord"],
+                   n_partitions=4)
+    committed = {
+        r["row_ord"]: r["_key"]
+        for r in st.catalog.read("by_d").select("row_ord", "_key").collect()
+    }
+    assert 99 not in committed  # null key dropped
+    for i, d in rows[:40]:
+        assert committed[i] == hex_key(d), i
+    probe = rows[11][1]
+    assert [r["row_ord"] for r in idx.eq(probe).collect()] == [11]
+    lo, hi = rows[2][1], rows[5][1]
+    assert [r["row_ord"] for r in idx.rng(lo, hi).collect()] == [2, 3, 4, 5]
+
+
+def test_timestamp_key_null_batch(spark, tmp_path):
+    """Timestamp batches containing NaT must encode non-null rows
+    identically to the all-valid path and drop the nulls."""
+    import datetime as dt
+
+    rows = [(0, dt.datetime(2024, 3, 1, 10, 30, 0, 123456)),
+            (1, None),
+            (2, dt.datetime(2024, 3, 2, 0, 0, 1))]
+    df = spark.createDataFrame(rows, "row_ord long, ts timestamp")
+    st = KeyedIndexStore(spark, str(tmp_path / "tsnull_store"))
+    idx = st.build("by_ts", df, F.col("ts"), id_cols=["row_ord"],
+                   n_partitions=2)
+    assert sorted(
+        r["row_ord"] for r in st.catalog.read("by_ts").collect()
+    ) == [0, 2]
+    assert [r["row_ord"] for r in idx.eq(rows[0][1]).collect()] == [0]
+
+
 def test_unencodable_key_raises_at_build_time(spark, tmp_path):
     """DecimalType key → clear TypeError BEFORE any job launches, not a
     generic executor failure (ADVICE r02)."""
