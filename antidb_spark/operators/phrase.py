@@ -292,11 +292,12 @@ def build_positional_index(
     final id resolve is the same pruned docmap read every other query
     path uses). Resumable like every build stage; returns the manifest.
 
-    Invalidation: incremental compaction appends/renumbers docs the
-    positional layer doesn't know about — ``compact_incremental`` drops
-    this table and its checkpoint, and phrase queries raise until it is
-    rebuilt from the merged corpus (the delta sink persists tf postings
-    only, not positions — positions exist only in the corpus).
+    Incremental maintenance: the streaming delta sink persists row-level
+    position deltas beside tf deltas, so ``compact_incremental`` appends
+    new ``pos_blocks`` runs O(delta) (fresh run_base, committed files
+    untouched). The layer is only dropped — phrase queries raising until
+    this rebuild — when a consumed batch predates positional capture or
+    a delta mutates an existing doc (full-rebuild fallback).
     """
     if not builder.ckpt.is_done("docmap"):
         raise ValueError("build the base index (docmap) before positions")

@@ -21,11 +21,13 @@ Design (idiomatic Structured Streaming):
   the ordinary ``IndexBuilder`` over the merged relation into a fresh
   index root (the full, from-scratch level).
 - ``compact_incremental``: the O(delta) level — appends new-doc
-  postings/docmap/block FILES to the committed index (no existing
-  block file is touched; stats-independent block metadata keeps them
-  valid as corpus stats drift), rewrites only the small terms/stats
-  tables, and retires consumed delta batches in the sink ledger; falls
-  back to the full rebuild when a delta mutates an already-indexed doc.
+  postings/docmap/block/pos_block FILES to the committed index (no
+  existing block file is touched; stats-independent block metadata
+  keeps them valid as corpus stats drift), rewrites only the small
+  terms/stats tables, and retires consumed delta batches in the sink
+  ledger; falls back to the full rebuild when a delta mutates an
+  already-indexed doc. The sink persists row-level position deltas
+  beside tf deltas, so the positional layer appends O(delta) too.
 - ``turn_rates``: watermarked tumbling-window aggregate (turns/min per
   role) — late data beyond the watermark is dropped, demonstrating the
   engine's event-time handling on the ``ts`` column.
@@ -69,8 +71,10 @@ class PostingsDeltaSink:
         self.id_cols = list(id_cols)
         self.text_col = text_col
         self.delta_dir = os.path.join(root, "postings_delta")
+        self.pos_dir = os.path.join(root, "positions_delta")
         self.ledger = os.path.join(root, "_delta_ledger.json")
         os.makedirs(self.delta_dir, exist_ok=True)
+        os.makedirs(self.pos_dir, exist_ok=True)
 
     def _ledger(self) -> dict:
         if not os.path.exists(self.ledger):
@@ -107,6 +111,18 @@ class PostingsDeltaSink:
     def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
         if batch_id in self.committed_batches():
             return  # re-delivered after recovery → idempotent skip
+        # positions delta: row-level (term, *id, pos) — a MAP-ONLY job
+        # (no aggregation), bounded by batch size. Persisting positions
+        # here is what lets compact_incremental append pos_blocks runs
+        # O(delta) instead of invalidating the positional layer.
+        posd = batch_df.select(
+            *self.id_cols,
+            F.posexplode(tokens(self.text_col)).alias("pos", "term"),
+        ).select("term", *self.id_cols, "pos")
+        pout = os.path.join(self.pos_dir, f"batch_id={batch_id}")
+        posd.write.mode("overwrite").option("compression", "zstd").parquet(
+            pout
+        )
         post = (
             batch_df.select(
                 *self.id_cols, F.explode(tokens(self.text_col)).alias("term")
@@ -116,7 +132,7 @@ class PostingsDeltaSink:
         )
         out = os.path.join(self.delta_dir, f"batch_id={batch_id}")
         post.write.mode("overwrite").option("compression", "zstd").parquet(out)
-        self._record(batch_id, -1)
+        self._record(batch_id, -1)  # ledger LAST: both deltas re-deliverable
 
     def deltas(
         self, spark: SparkSession, batch_ids: set[int] | None = None
@@ -137,6 +153,27 @@ class PostingsDeltaSink:
         return spark.read.parquet(*dirs).select(
             "term", *self.id_cols, "tf"
         )
+
+    def pos_deltas(
+        self, spark: SparkSession, batch_ids: set[int] | None = None
+    ) -> DataFrame | None:
+        """Committed row-level position deltas (term, *id_cols, pos) for
+        ``batch_ids``. Returns None when ANY requested batch lacks a
+        positions dir (a sink upgraded mid-stream has tf deltas without
+        positions for old batches) — the caller must then invalidate the
+        positional layer instead of appending a hole into it."""
+        want = batch_ids if batch_ids is not None else self.committed_batches()
+        have = {
+            int(d.split("=", 1)[1])
+            for d in os.listdir(self.pos_dir)
+            if d.startswith("batch_id=")
+        }
+        if not want or not want <= have:
+            return None
+        dirs = [
+            os.path.join(self.pos_dir, f"batch_id={b}") for b in sorted(want)
+        ]
+        return spark.read.parquet(*dirs).select("term", *self.id_cols, "pos")
 
 
 def run_ingestion(
@@ -196,9 +233,9 @@ def compact_incremental(
     O(delta) instead of O(total index).
 
     Append path (every delta doc is NEW — the streaming norm: new turns
-    / new conversations): appends files to the postings, docmap, and
-    blocks tables (never touching a committed block file — appended
-    blocks get a fresh ``run_base`` so block_ids can't collide, and
+    / new conversations): appends files to the postings, docmap, blocks,
+    and pos_blocks tables (never touching a committed block file —
+    appended blocks get a fresh ``run_base`` so block_ids can't collide, and
     block metadata is stats-independent so existing blocks stay valid
     as df/avgdl/N grow), renumbers only the new docs after the
     committed max ordinal, and rewrites just the small metadata tables
@@ -339,23 +376,58 @@ def compact_incremental(
         props={"n_runs": n_runs + 1},
         row_group_bytes=LEAF_ROW_GROUP_BYTES,
     )
+    b._stats_cache = None  # appended corpus → cached (n_docs, avgdl) stale
+    # positional layer: the sink persists row-level position deltas, so
+    # pos_blocks runs append exactly like tf blocks — fresh run_base,
+    # no committed file touched, O(delta). Only when the positions for a
+    # consumed batch are missing (pre-upgrade sink data) does the layer
+    # invalidate (phrase queries then raise until a rebuild).
+    pos_mode = None
+    if b.ckpt.is_done("pos_blocks"):
+        pos_delta = sink.pos_deltas(spark, todo)
+        if pos_delta is None:
+            b.catalog.drop("pos_blocks")
+            b.ckpt.unmark("pos_blocks")
+            pos_mode = "invalidated"
+        else:
+            from antidb_spark.operators.phrase import (
+                _pack_pos_partition,
+                _POS_BLOCKS_OUT,
+            )
+
+            n_pos_runs = int(
+                b.catalog.manifest("pos_blocks")["props"].get("n_runs", 1)
+            )
+            enriched_pos = pos_delta.join(new_docmap, sink.id_cols).select(
+                "term", "doc_ord", "pos"
+            )
+            packed_pos = (
+                enriched_pos.repartitionByRange(n_part, "term", "doc_ord")
+                .sortWithinPartitions("term", "doc_ord", "pos")
+                .withColumn("_pid", F.spark_partition_id())
+                .mapInPandas(
+                    partial(_pack_pos_partition, run_base=n_pos_runs << 48),
+                    schema=_POS_BLOCKS_OUT,
+                )
+            )
+            b.catalog.write(
+                packed_pos, "pos_blocks", stats_cols=["term"], mode="append",
+                props={"n_runs": n_pos_runs + 1},
+                row_group_bytes=LEAF_ROW_GROUP_BYTES,
+            )
+            pos_mode = "append"
     if src is not None:
         src.unpersist()
-    b._stats_cache = None  # appended corpus → cached (n_docs, avgdl) stale
-    # the positional layer (if built) doesn't cover the appended docs —
-    # positions live only in the corpus, not the delta sink, so it can't
-    # be appended here: invalidate it (phrase queries raise until a
-    # rebuild via build_positional_index over the merged corpus)
-    if b.ckpt.is_done("pos_blocks"):
-        b.catalog.drop("pos_blocks")
-        b.ckpt.unmark("pos_blocks")
     b.ckpt.mark_done(
         f"compaction_run_{n_runs}",
         batches=sorted(todo),
         snapshot=man["snapshot_id"],
     )
     sink.mark_compacted(todo)
-    return {"mode": "append", "batches": sorted(todo), "run": n_runs}
+    return {
+        "mode": "append", "batches": sorted(todo), "run": n_runs,
+        "pos_mode": pos_mode,
+    }
 
 
 def turn_rates(

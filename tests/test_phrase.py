@@ -167,9 +167,11 @@ def test_phrase_blocks_span_block_and_partition_boundaries(spark, tmp_path):
     assert man["files"]  # committed
 
 
-def test_compaction_invalidates_positional_layer(spark, tmp_path):
-    """Appending new docs via compact_incremental drops pos_blocks (the
-    delta sink has no positions); phrase queries raise until rebuilt."""
+def test_compaction_appends_positional_layer(spark, tmp_path):
+    """Appending new docs via compact_incremental extends pos_blocks
+    O(delta) (the sink persists position deltas): phrase queries stay
+    live across the compaction and match a from-scratch positional
+    build over the merged corpus."""
     from antidb_spark.operators.build import IndexBuilder
     from antidb_spark.operators.phrase import (
         build_positional_index,
@@ -193,10 +195,14 @@ def test_compaction_invalidates_positional_layer(spark, tmp_path):
     sink = PostingsDeltaSink(str(tmp_path / "csink"))
     sink(new, batch_id=0)
     m = compact_incremental(spark, sink, b, n_partitions=4)
-    assert m["mode"] == "append"
-    with pytest.raises(ValueError, match="positional index not built"):
-        phrase_query(b, "the")
-    # rebuild over the merged corpus restores service
+    assert m["mode"] == "append" and m["pos_mode"] == "append"
+    # no rebuild needed: the appended layer equals a from-scratch
+    # positional build over the merged corpus
     merged = corpus.unionByName(new)
-    build_positional_index(b, merged, n_partitions=4)
-    assert phrase_query(b, "the").count() > 0
+    b2 = IndexBuilder(spark, str(tmp_path / "cidx_full"))
+    b2.build(merged, n_partitions=4)
+    build_positional_index(b2, merged, n_partitions=4)
+    for phrase in ["the", "the kemuba0", "data of"]:
+        got = phrase_query(b, phrase).toPandas()
+        want = phrase_query(b2, phrase).toPandas()
+        assert got.values.tolist() == want.values.tolist(), phrase

@@ -207,6 +207,76 @@ def test_query_warm_matches_batch_after_append(spark, corpus, tmp_path):
         assert (abs(warm["score"] - batch["score"]) < 1e-9).all(), q
 
 
+def test_positional_appends_only(spark, corpus, tmp_path):
+    """O(delta) positional appends (VERDICT r03 #6): the sink persists
+    position deltas, compaction appends pos_blocks runs — every
+    pre-existing pos_blocks file stays byte-identical — and phrase
+    queries (distributed + warm) stay green across the compaction,
+    matching the ad-hoc corpus-level semantics on the merged corpus."""
+    from pyspark.sql import functions as F
+
+    from antidb_spark.operators.build import IndexBuilder
+    from antidb_spark.operators.phrase import (
+        build_positional_index,
+        phrase_query,
+        phrase_search,
+        phrase_warm,
+    )
+    from antidb_spark.streaming.incremental import compact_incremental
+
+    base = corpus.filter(F.col("conv_id") < "conv_00000015")
+    tail = corpus.filter(F.col("conv_id") >= "conv_00000015")
+    b = IndexBuilder(spark, str(tmp_path / "pos_idx"))
+    b.build(base, n_partitions=4)
+    build_positional_index(b, base, n_partitions=4)
+
+    sink = PostingsDeltaSink(str(tmp_path / "pos_sink"))
+    sink(tail, batch_id=0)
+    before = _file_hashes(os.path.join(b.root, "pos_blocks"))
+    m = compact_incremental(spark, sink, b, n_partitions=4)
+    assert m["mode"] == "append" and m["pos_mode"] == "append"
+    after = _file_hashes(os.path.join(b.root, "pos_blocks"))
+    assert {p: h for p, h in before.items() if p in after} == before
+    assert len(after) > len(before)  # new pos_block files appended
+    assert b.ckpt.is_done("pos_blocks")  # layer never invalidated
+
+    # phrase parity on phrases hitting base-only, tail-only, and both
+    for phrase in ["the data", "of the", "kemuba0", "no such phrase zz"]:
+        want = phrase_search(corpus, phrase).toPandas()
+        got = phrase_query(b, phrase).toPandas()
+        assert got.values.tolist() == want.values.tolist(), phrase
+        warm = phrase_warm(b, phrase)
+        assert warm.values.tolist() == want.values.tolist(), phrase
+
+    assert compact_incremental(spark, sink, b)["mode"] == "noop"
+
+
+def test_positional_append_without_pos_deltas_invalidates(
+    spark, corpus, tmp_path
+):
+    """Consumed batches that predate positional capture (no positions
+    dir) must invalidate the layer, never append a hole into it."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from antidb_spark.operators.build import IndexBuilder
+    from antidb_spark.operators.phrase import build_positional_index
+    from antidb_spark.streaming.incremental import compact_incremental
+
+    base = corpus.filter(F.col("conv_id") < "conv_00000015")
+    tail = corpus.filter(F.col("conv_id") >= "conv_00000015")
+    b = IndexBuilder(spark, str(tmp_path / "hole_idx"))
+    b.build(base, n_partitions=4)
+    build_positional_index(b, base, n_partitions=4)
+    sink = PostingsDeltaSink(str(tmp_path / "hole_sink"))
+    sink(tail, batch_id=0)
+    shutil.rmtree(os.path.join(sink.pos_dir, "batch_id=0"))
+    m = compact_incremental(spark, sink, b, n_partitions=4)
+    assert m["mode"] == "append" and m["pos_mode"] == "invalidated"
+    assert not b.ckpt.is_done("pos_blocks")
+
+
 def test_incremental_compaction_update_falls_back(spark, corpus, tmp_path):
     """A delta touching an ALREADY-INDEXED doc (its dl is packed into
     every posting) must trigger the full-rebuild path and still answer
