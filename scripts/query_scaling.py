@@ -89,7 +89,7 @@ def main() -> None:
     # whichever level got lucky with a quiet bus.
     import statistics
 
-    reps = int(os.environ.get("SPARK_GRAFT_QSCALE_REPEATS", "3"))
+    reps = int(os.environ.get("SPARK_GRAFT_QSCALE_REPEATS", "8"))
     runs: dict[int, list[float]] = {N_CORES: [], N4_CORES: []}
     ratios = []
     for rep in range(reps):
@@ -104,6 +104,9 @@ def main() -> None:
             pair[N_CORES]["seconds"] / pair[N4_CORES]["seconds"]
         )
     ratio = statistics.median(ratios)
+    # spread of the estimator itself: interquartile range of pair ratios
+    # (≥8 pairs make the median load-bearing on this noisy host)
+    qs = statistics.quantiles(ratios, n=4) if len(ratios) >= 4 else None
     t_n, t_4n = min(runs[N_CORES]), min(runs[N4_CORES])
     out = {
         "n_turns": b["n_turns"],
@@ -114,6 +117,12 @@ def main() -> None:
         "pair_ratios": [round(r, 2) for r in ratios],
         "speedup": round(ratio, 2),
         "efficiency": round(ratio / 4.0, 3),
+        "ratio_iqr": (
+            [round(qs[0], 2), round(qs[2], 2)] if qs else None
+        ),
+        "efficiency_iqr": (
+            [round(qs[0] / 4.0, 3), round(qs[2] / 4.0, 3)] if qs else None
+        ),
         "qps": {str(c): round(N_QUERIES / min(runs[c]), 2) for c in runs},
     }
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)

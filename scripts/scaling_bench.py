@@ -120,6 +120,9 @@ def run_bench(cpus: int, zpath: str) -> dict:
         # scalable phases only: short reps → more repeats → host noise
         # (shared machine) averages out
         SPARK_GRAFT_BENCH_PHASES="index_build,bm25_batch",
+        # the repeat protocol lives HERE (interleaved across levels);
+        # the inner bench must run its suite exactly once per launch
+        SPARK_GRAFT_BENCH_REPEATS="1",
         SPARK_GRAFT_BENCH_WORKDIR="/dev/shm",
     )
     os.makedirs("/dev/shm/spark_local", exist_ok=True)
@@ -269,6 +272,44 @@ def main() -> None:
             "data scale and are not scaling-relevant; the scalable phases "
             "above are the ones the 10^12-turn design point exercises.\n"
         )
+        # query-path scaling from the controlled harness (shared index,
+        # fresh JVM per level, interleaved pairs) — median of pair
+        # ratios + IQR, so the headline efficiency carries its spread
+        qsec = []
+        for fn in sorted(os.listdir(os.path.join(REPO, "BENCH"))):
+            if fn.startswith("query_scaling") and fn.endswith(".json"):
+                with open(os.path.join(REPO, "BENCH", fn)) as qf:
+                    q = json.load(qf)
+                levels = sorted(
+                    int(k.split("local", 1)[1])
+                    for k in q if k.startswith("query_s_local")
+                )
+                iqr = q.get("efficiency_iqr")
+                qsec.append(
+                    f"| {levels[0]}→{levels[1]} | {q['efficiency']} | "
+                    f"{iqr[0]}–{iqr[1]}"
+                    if iqr
+                    else f"| {levels[0]}→{levels[1]} | {q['efficiency']} | "
+                         f"n/a ({len(q['pair_ratios'])} pairs)"
+                )
+                qsec[-1] += (
+                    f" | {len(q['pair_ratios'])} | "
+                    f"{q['qps'][str(levels[0])]} → "
+                    f"{q['qps'][str(levels[1])]} | {fn} |"
+                )
+        if qsec:
+            f.write(
+                "\n## Query-path scaling (controlled harness, "
+                "scripts/query_scaling.py)\n\n"
+                "Shared on-tmpfs index, fresh JVM per level, INTERLEAVED "
+                "(4N, N) pairs; estimator = median of per-pair time "
+                "ratios (adjacent pair shares the host-noise window, so "
+                "the ratio cancels it), spread = IQR of pair ratios.\n\n"
+                "| cores | efficiency (median) | efficiency IQR | pairs "
+                "| q/s | artifact |\n|---|---|---|---|---|---|\n"
+            )
+            for line in qsec:
+                f.write(line + "\n")
     with open(os.path.join(REPO, "BENCH", "scaling_raw.json"), "w") as f:
         json.dump(
             {f"local{N_CORES}": r8, f"local{N4_CORES}": r32,
