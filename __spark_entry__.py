@@ -193,6 +193,68 @@ def _q_indexed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(root, ignore_errors=True)
 
 
+_ENTRY_IDX: dict[str, object] = {}
+
+
+def _entry_index(spark: SparkSession, sf_dir: str):
+    """Shared committed index over documents for the index-served
+    entries (filtered / conjunctive / snippet): base tables +
+    ``docmeta(lang, source)`` + ``pos_blocks``, built ONCE per sf_dir in
+    a process-lifetime temp dir — the build-once/query-many Idx→Prs
+    shape (idx.py:85-92 ↔ prs.py:27-38) without re-paying the build per
+    entry."""
+    b = _ENTRY_IDX.get(sf_dir)
+    if b is None:
+        import atexit
+        import shutil
+        import tempfile
+
+        from antidb_spark.operators.build import IndexBuilder
+        from antidb_spark.operators.phrase import build_positional_index
+
+        root = tempfile.mkdtemp(prefix="antidb_entry_shared_")
+        atexit.register(shutil.rmtree, root, ignore_errors=True)
+        b = IndexBuilder(spark, root, id_cols=DOC_ID)
+        d = _docs(spark, sf_dir)
+        b.build(d)
+        b.build_doc_meta(d, ["lang", "source"])
+        build_positional_index(b, d)
+        _ENTRY_IDX[sf_dir] = b
+    return b
+
+
+FILTER_WHERE = "lang = 'en'"
+CONJ_QUERY = "spark query"
+
+
+def _q_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Faceted search: top-k BM25 restricted to docs matching a
+    metadata predicate evaluated on the committed ``docmeta`` table
+    (late materialization; ranking stats stay corpus-global). The
+    unfiltered flagship top-10 is language-mixed, so the predicate
+    provably changes the result set."""
+    return _entry_index(spark, sf_dir).query_filtered(
+        FLAGSHIP_QUERY, FILTER_WHERE, k=10
+    )
+
+
+def _q_conjunctive_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boolean AND mode: only docs containing EVERY query term rank
+    (309 matching docs at sf0.01 — non-vacuous)."""
+    return _entry_index(spark, sf_dir).query_pinned(
+        CONJ_QUERY, k=10, require_all=True
+    )
+
+
+def _q_snippet_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Highlight positions for the flagship top-10, served from the
+    committed positional index (what a result-snippet renderer
+    consumes): (doc_id, term, first_pos, n_hits)."""
+    from antidb_spark.operators.phrase import term_positions
+
+    return term_positions(_entry_index(spark, sf_dir), FLAGSHIP_QUERY, k=10)
+
+
 def _q_keyed_persisted(spark: SparkSession, sf_dir: str, op: str) -> DataFrame:
     """Persisted covering index over document tokens (KeyedIndexStore
     build → reopen → query; the Idx→Prs .adb round-trip, idx.py:41-92 ↔
@@ -562,6 +624,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_stats": _q_corpus_stats,
         "topk_bm25": _q_topk_bm25,
         "indexed_topk": _q_indexed_topk,
+        "filtered_topk": _q_filtered_topk,
+        "conjunctive_topk": _q_conjunctive_topk,
+        "snippet_hits": _q_snippet_hits,
         "eq_lookup": _q_eq_lookup,
         "rng_lookup": _q_rng_lookup,
         "keyed_eq_persisted": _q_keyed_eq_persisted,
@@ -593,7 +658,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # --- oracle SQL ---------------------------------------------------------
 
 
-def _topk_oracle(query: str, k: int) -> str:
+def _topk_oracle(
+    query: str, k: int, where: str | None = None, require_all: bool = False
+) -> str:
+    """BM25 top-k oracle; ``where`` restricts the RESULT docs via a
+    predicate over the documents row (alias ``doc``) while df/avgdl/N
+    stay corpus-global (mirrors ``IndexBuilder.query_filtered``);
+    ``require_all`` keeps only docs containing every query term
+    (mirrors ``require_all=True``)."""
     terms = sorted(set(py_tokens(query)))
     in_list = ", ".join(f"'{t}'" for t in terms)
     contrib = sql_contribution(tf="p.tf", df="d.df", dl="l.dl",
@@ -601,6 +673,13 @@ def _topk_oracle(query: str, k: int) -> str:
     per_term_sums = " + ".join(
         f"coalesce(sum(CASE WHEN p.term = '{t}' THEN {contrib} END), 0.0)"
         for t in terms
+    )
+    doc_join = (
+        "JOIN documents doc ON doc.doc_id = p.doc_id" if where else ""
+    )
+    where_clause = f"WHERE {where}" if where else ""
+    having = (
+        f"HAVING count(DISTINCT p.term) = {len(terms)}" if require_all else ""
     )
     return f"""
 WITH {TOK_CTE}, {POST_CTE}, {DL_CTE},
@@ -612,9 +691,32 @@ FROM post p
 JOIN dfs d ON p.term = d.term
 JOIN dl l ON p.doc_id = l.doc_id
 CROSS JOIN st s
+{doc_join}
+{where_clause}
 GROUP BY p.doc_id
+{having}
 ORDER BY score DESC, doc_id ASC
 LIMIT {k}
+"""
+
+
+def _snippet_oracle(query: str, k: int) -> str:
+    """Per-(top-k doc, query term) first position + hit count, from the
+    same token stream as the phrase oracle; the top-k subquery is the
+    unfiltered ``_topk_oracle`` SQL nested as a CTE."""
+    terms = sorted(set(py_tokens(query)))
+    uniq = ", ".join(f"'{t}'" for t in terms)
+    inner = _topk_oracle(query, k).strip()
+    return f"""
+WITH {TOKARR_CTE},
+pos AS (SELECT doc_id, i.i - 1 AS p, toks[i.i] AS term
+        FROM tokarr, unnest(generate_series(1, len(toks))) AS i(i)),
+topk AS ({inner})
+SELECT pos.doc_id AS doc_id, pos.term AS term,
+       min(pos.p)::BIGINT AS first_pos, count(*)::BIGINT AS n_hits
+FROM pos JOIN topk ON pos.doc_id = topk.doc_id
+WHERE pos.term IN ({uniq})
+GROUP BY 1, 2
 """
 
 
@@ -960,6 +1062,9 @@ FROM orders, unnest(generate_series(
 GROUP BY d::date
 """,
         "indexed_topk": _topk_oracle(FLAGSHIP_QUERY, 10),
+        "filtered_topk": _topk_oracle(FLAGSHIP_QUERY, 10, where=FILTER_WHERE),
+        "conjunctive_topk": _topk_oracle(CONJ_QUERY, 10, require_all=True),
+        "snippet_hits": _snippet_oracle(FLAGSHIP_QUERY, 10),
         "fingerprints": f"SELECT doc_id, {SQL_FP} AS fp FROM documents",
         "exact_dup_groups": f"""
 WITH {AUG_DOCS_CTE}

@@ -1344,31 +1344,23 @@ class IndexBuilder:
             .drop("doc_ord")
         )
 
-    def query_pinned(self, query: str, k: int = 10) -> DataFrame:
-        """Cross-engine-deterministic top-k over the physical index:
-        per-term contributions summed in sorted-term fixed order, score
-        rounded to 4dp before ranking (same discipline as
-        ``topk.bm25_topk_pinned`` — see its docstring), sourcing
-        tf/df/dl from the committed index tables."""
+    def _pinned_doc_scores(self, q_terms: Sequence[str]) -> DataFrame:
+        """Per-doc deterministic BM25 scores from the committed index:
+        (doc_ord, c0..c{n-1}, score) where c{i} is term i's summed
+        contribution (NULL ⟺ the doc lacks term i) and score is the
+        sorted-term fixed-order sum rounded to 4dp — the shared scoring
+        core of ``query_pinned`` / ``query_filtered`` (same float
+        discipline as ``topk.bm25_topk_pinned``)."""
         import operator as _op
         from functools import reduce
 
-        from antidb_spark.functions.analyze import py_tokens
-
-        q_terms = sorted(set(py_tokens(query)))
-        if not q_terms:
-            dm = self.catalog.read("docmap")
-            schema = ", ".join(
-                f"{c} {dm.schema[c].dataType.simpleString()}"
-                for c in self.id_cols
-            ) + ", score double"
-            return self.spark.createDataFrame([], schema)
         blocks = self.catalog.read_pruned("blocks", "term", q_terms).filter(
-            F.col("term").isin(q_terms)
+            F.col("term").isin(list(q_terms))
         )
         post = self._decoded_postings(blocks)
-        dfs = self.catalog.read("terms").filter(F.col("term").isin(q_terms))
-        docmap = self.catalog.read("docmap")
+        dfs = self.catalog.read("terms").filter(
+            F.col("term").isin(list(q_terms))
+        )
         stats = self.catalog.read("stats")
         per_term = (
             post.join(F.broadcast(dfs), "term")
@@ -1387,17 +1379,25 @@ class IndexBuilder:
             F.coalesce(F.col(f"c{i}"), F.lit(0.0)) for i in range(len(q_terms))
         ]
         score = F.round(reduce(_op.add, parts), 4)
-        # take the top-k BEFORE resolving ids: doc_ord IS the (*id_cols)
-        # tiebreak order, so TakeOrdered runs on the narrow relation and
-        # only k rows meet the docmap (broadcast the k side)
-        top = (
-            per_term.groupBy("doc_ord")
-            .agg(*aggs)
-            .withColumn("score", score)
-            .select("doc_ord", "score")
-            .orderBy(F.desc("score"), F.asc("doc_ord"))
-            .limit(k)
+        return per_term.groupBy("doc_ord").agg(*aggs).withColumn(
+            "score", score
         )
+
+    def _empty_topk(self) -> DataFrame:
+        dm = self.catalog.read("docmap")
+        schema = ", ".join(
+            f"{c} {dm.schema[c].dataType.simpleString()}"
+            for c in self.id_cols
+        ) + ", score double"
+        return self.spark.createDataFrame([], schema)
+
+    def _resolve_topk(self, top: DataFrame, k: int) -> DataFrame:
+        """(doc_ord, score) → (*id_cols, score): take the top-k BEFORE
+        resolving ids — doc_ord IS the (*id_cols) tiebreak order, so
+        TakeOrdered runs on the narrow relation and only k rows meet the
+        docmap (broadcast the k side)."""
+        top = top.orderBy(F.desc("score"), F.asc("doc_ord")).limit(k)
+        docmap = self.catalog.read("docmap")
         return (
             docmap.select("doc_ord", *self.id_cols)
             .join(F.broadcast(top), "doc_ord")
@@ -1405,3 +1405,102 @@ class IndexBuilder:
             .orderBy(F.desc("score"), F.asc("doc_ord"))
             .drop("doc_ord")
         )
+
+    def query_pinned(
+        self, query: str, k: int = 10, require_all: bool = False
+    ) -> DataFrame:
+        """Cross-engine-deterministic top-k over the physical index:
+        per-term contributions summed in sorted-term fixed order, score
+        rounded to 4dp before ranking (same discipline as
+        ``topk.bm25_topk_pinned`` — see its docstring), sourcing
+        tf/df/dl from the committed index tables.
+
+        ``require_all=True`` switches disjunctive (OR) ranking to
+        conjunctive (AND): only docs containing EVERY query term rank —
+        the per-term partial c{i} being NULL is exactly "doc lacks term
+        i", so the boolean mode is a filter on the already-computed
+        aggregate, no extra pass."""
+        from antidb_spark.functions.analyze import py_tokens
+
+        q_terms = sorted(set(py_tokens(query)))
+        if not q_terms:
+            return self._empty_topk()
+        scored = self._pinned_doc_scores(q_terms)
+        if require_all:
+            for i in range(len(q_terms)):
+                scored = scored.filter(F.col(f"c{i}").isNotNull())
+        return self._resolve_topk(scored.select("doc_ord", "score"), k)
+
+    # -- metadata-filtered search (late materialization) -----------------
+
+    def build_doc_meta(
+        self, corpus: DataFrame, meta_cols: Sequence[str]
+    ) -> dict:
+        """Commit a ``docmeta`` table (doc_ord, *meta_cols): per-doc
+        metadata re-keyed to index ordinals for FILTERED search (the
+        late-materialization side table every search engine keeps beside
+        the postings). One id_cols join at build time buys predicate
+        evaluation on a narrow doc_ord-sorted table at query time — the
+        filter never touches the corpus or the postings. Resumable like
+        every build stage; returns the manifest."""
+        if not self.ckpt.is_done("docmap"):
+            raise ValueError("build the base index (docmap) before docmeta")
+        if self.ckpt.is_done("docmeta"):
+            return self.catalog.manifest("docmeta")
+        n_part = self.spark.sparkContext.defaultParallelism
+        with self.timer.phase("docmeta"):
+            docmap = self.catalog.read("docmap")
+            meta = corpus.select(*self.id_cols, *meta_cols)
+            out = (
+                docmap.select("doc_ord", *self.id_cols)
+                .join(meta, list(self.id_cols))
+                .select("doc_ord", *meta_cols)
+                .repartitionByRange(n_part, "doc_ord")
+                .sortWithinPartitions("doc_ord")
+            )
+            man = self.catalog.write(
+                out, "docmeta", stats_cols=["doc_ord"],
+                row_group_bytes=LEAF_ROW_GROUP_BYTES,
+            )
+        self.ckpt.mark_done(
+            "docmeta", rows=sum(e["rows"] for e in man["files"]),
+            snapshot=man["snapshot_id"],
+            seconds=self.timer.phases[-1]["seconds"],
+        )
+        return man
+
+    def query_filtered(
+        self, query: str, where: str, k: int = 10,
+        require_all: bool = False,
+    ) -> DataFrame:
+        """Top-k BM25 restricted to docs whose ``docmeta`` row satisfies
+        the SQL predicate ``where`` (e.g. ``"lang = 'en'"``). Corpus
+        statistics (df/avgdl/N) stay GLOBAL — the filter restricts the
+        result set, not the ranking model (the standard faceted-search
+        contract). Scores are identical to ``query_pinned`` on the
+        surviving docs.
+
+        Plan: per-doc scores from pruned blocks (candidates = docs
+        containing ≥1 query term) semi-joined on doc_ord with the
+        predicate-filtered docmeta scan — the predicate is pushed into
+        the narrow docmeta parquet scan, the join key is the dense
+        ordinal, and top-k runs AFTER the filter so exactly k matching
+        docs resolve ids."""
+        from antidb_spark.functions.analyze import py_tokens
+
+        if not self.ckpt.is_done("docmeta"):
+            raise ValueError(
+                "docmeta not built (build_doc_meta(corpus, meta_cols))"
+            )
+        q_terms = sorted(set(py_tokens(query)))
+        if not q_terms:
+            return self._empty_topk()
+        scored = self._pinned_doc_scores(q_terms)
+        if require_all:
+            for i in range(len(q_terms)):
+                scored = scored.filter(F.col(f"c{i}").isNotNull())
+        keep = self.catalog.read("docmeta").filter(F.expr(where))
+        filtered = scored.join(
+            keep.select("doc_ord"), "doc_ord", "left_semi"
+        )
+        return self._resolve_topk(filtered.select("doc_ord", "score"), k)

@@ -408,6 +408,60 @@ def phrase_query(builder, phrase: str) -> DataFrame:
     )
 
 
+def term_positions(builder, query: str, k: int = 10) -> DataFrame:
+    """Highlight/snippet support served ENTIRELY from committed index
+    tables: for the top-k BM25 docs of ``query`` (disjunctive,
+    ``query_pinned`` ranking), each matching query term's positions —
+    (*id_cols, term, first_pos, n_hits), ordered (*id_cols, term).
+
+    This is what a search UI needs to render result snippets with the
+    hits bolded; serving it from ``pos_blocks`` means the corpus text is
+    never re-tokenized. Plan: per-doc scores from pruned tf blocks →
+    top-k doc_ords (a k-row relation, broadcast) → semi-join into the
+    decoded pruned positional stream → per-(doc, term) min/count agg →
+    pruned docmap resolve. Both block scans prune on ``term`` via the
+    manifest; the broadcast join prunes positions to k docs before any
+    shuffle, so the agg moves O(k · positions-per-doc) rows no matter
+    the corpus size."""
+    terms = sorted(set(py_tokens(query)))
+    if not builder.ckpt.is_done("pos_blocks"):
+        raise ValueError("positional index not built (build_positional_index)")
+    dm = builder.catalog.read("docmap")
+    if not terms:
+        schema = ", ".join(
+            [f"{c} {dm.schema[c].dataType.simpleString()}"
+             for c in builder.id_cols]
+            + ["term string", "first_pos long", "n_hits long"]
+        )
+        return builder.spark.createDataFrame([], schema)
+    scored = builder._pinned_doc_scores(terms)
+    top = (
+        scored.select("doc_ord", "score")
+        .orderBy(F.desc("score"), F.asc("doc_ord"))
+        .limit(k)
+        .select("doc_ord")
+    )
+    blocks = builder.catalog.read_pruned("pos_blocks", "term", terms).filter(
+        F.col("term").isin(terms)
+    )
+    decoded = blocks.select(
+        "term", "n_docs", "docs_packed", "tfs_packed", "pos_packed"
+    ).mapInPandas(_decode_pos_blocks, schema=_DECODED_POS)
+    hits = (
+        decoded.join(F.broadcast(top), "doc_ord")
+        .groupBy("doc_ord", "term")
+        .agg(
+            F.min("pos").alias("first_pos"),
+            F.count(F.lit(1)).alias("n_hits"),
+        )
+    )
+    return (
+        hits.join(dm.select("doc_ord", *builder.id_cols), "doc_ord")
+        .select(*builder.id_cols, "term", "first_pos", "n_hits")
+        .orderBy(*[F.asc(c) for c in builder.id_cols], F.asc("term"))
+    )
+
+
 # anchors are keyed doc-locally: dense candidate-doc index * 2^33 +
 # adjusted position (positions < 2^33 per doc; the dense index keeps the
 # key in int64 regardless of global doc_ord magnitude)

@@ -1,0 +1,183 @@
+"""Metadata-filtered / conjunctive top-k and positional highlights,
+served from the committed index, against brute-force references.
+
+The scoring core (`_pinned_doc_scores`) is already pinned by the
+`indexed_topk` DuckDB oracle; these tests pin the NEW result-set
+semantics layered on it: the docmeta predicate restricts results
+without changing scores, `require_all` keeps exactly the docs
+containing every term, and `term_positions` returns the true first
+position / hit count per (top doc, term).
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from antidb_spark.operators.build import IndexBuilder
+from antidb_spark.operators.phrase import (
+    build_positional_index,
+    positional_postings,
+    term_positions,
+)
+from antidb_spark.operators.stats import build_postings
+from antidb_spark.synth import synth_transcripts, vocabulary
+
+_V = vocabulary(2000)
+# stopword + mid + rare — mixed-selectivity, all guaranteed in-vocab
+QUERY = f"the {_V[200]} {_V[1000]}"
+
+
+@pytest.fixture(scope="module")
+def built(spark, tmp_path_factory):
+    corpus = synth_transcripts(spark, n_convs=40, seed=7).cache()
+    corpus.count()
+    b = IndexBuilder(spark, str(tmp_path_factory.mktemp("fidx")))
+    b.build(corpus)
+    b.build_doc_meta(corpus, ["role"])
+    build_positional_index(b, corpus)
+    yield b, corpus
+    corpus.unpersist()
+
+
+def _all_scores(b):
+    """(conv_id, turn_idx, score) for every candidate doc, via the
+    oracle-pinned scoring path with k = everything."""
+    return b.query_pinned(QUERY, k=1_000_000).toPandas()
+
+
+def test_filtered_matches_bruteforce_filter(spark, built):
+    b, corpus = built
+    meta = corpus.select("conv_id", "turn_idx", "role").toPandas()
+    allsc = _all_scores(b).merge(meta, on=["conv_id", "turn_idx"])
+    want = (
+        allsc[allsc["role"] == "assistant"]
+        .sort_values(["score", "conv_id", "turn_idx"],
+                     ascending=[False, True, True])
+        .head(10)[["conv_id", "turn_idx", "score"]]
+    )
+    got = b.query_filtered(QUERY, "role = 'assistant'", k=10).toPandas()
+    assert got.values.tolist() == want.values.tolist()
+    assert len(got) == 10
+    # non-vacuous: the unfiltered top-10 must differ, else the corpus
+    # seed stopped exercising the filter
+    unfiltered = b.query_pinned(QUERY, k=10).toPandas()
+    assert got.values.tolist() != unfiltered.values.tolist()
+
+
+def test_filtered_true_predicate_equals_pinned(built):
+    b, _ = built
+    got = b.query_filtered(QUERY, "role IS NOT NULL", k=10).toPandas()
+    want = b.query_pinned(QUERY, k=10).toPandas()
+    assert got.values.tolist() == want.values.tolist()
+
+
+def test_filtered_no_match_is_empty(built):
+    b, _ = built
+    assert b.query_filtered(QUERY, "role = 'nobody'", k=10).count() == 0
+
+
+def test_filtered_requires_docmeta(spark, built, tmp_path):
+    _, corpus = built
+    b2 = IndexBuilder(spark, str(tmp_path / "nometa"))
+    b2.build(corpus.limit(50))
+    with pytest.raises(ValueError, match="docmeta"):
+        b2.query_filtered(QUERY, "role = 'user'")
+
+
+def _conj_pair(corpus):
+    """Find ("will", B) where B is a mid-frequency word whose doc set
+    both intersects and escapes will's doc set — so the conjunctive
+    result is non-empty AND differs from the disjunctive one. Discovered
+    from the corpus (seed-robust) instead of hard-coded."""
+    post = build_postings(corpus)
+    pdf = post.select("term", "conv_id", "turn_idx").toPandas()
+    docs_by_term = pdf.groupby("term")[["conv_id", "turn_idx"]].apply(
+        lambda g: set(zip(g["conv_id"], g["turn_idx"]))
+    )
+    will = docs_by_term["will"]
+    for t in sorted(docs_by_term.index):
+        if t == "will" or t in QUERY.split():
+            continue
+        d = docs_by_term[t]
+        if 3 <= len(d) <= 60 and (d & will) and (d - will):
+            return f"will {t}", d & will
+    raise AssertionError("no conjunctive pair found in corpus")
+
+
+def test_require_all_conjunctive_semantics(spark, built):
+    b, corpus = built
+    q, have_both = _conj_pair(corpus)
+    assert have_both, "seed must give conjunctive matches"
+    allsc = b.query_pinned(q, k=1_000_000).toPandas()
+    mask = [
+        (r.conv_id, r.turn_idx) in have_both for r in allsc.itertuples()
+    ]
+    want = (
+        allsc[mask]
+        .sort_values(["score", "conv_id", "turn_idx"],
+                     ascending=[False, True, True])
+        .head(10)
+    )
+    got = b.query_pinned(q, k=10, require_all=True).toPandas()
+    assert got.values.tolist() == want.values.tolist()
+    # disjunctive top-10 must differ (docs with only one term outrank
+    # some conjunctive docs on this corpus) for the test to bite
+    assert got.values.tolist() != b.query_pinned(q, k=10).toPandas().values.tolist()
+
+
+def test_filtered_and_conjunctive_compose(built):
+    b, corpus = built
+    # two stopwords co-occur in most turns → conjunctive ∩ role-filter
+    # is guaranteed non-empty at this corpus size
+    got = b.query_filtered(
+        "the will", "role = 'user'", k=10, require_all=True
+    ).toPandas()
+    assert len(got) > 0
+    meta = corpus.select("conv_id", "turn_idx", "role").toPandas()
+    merged = got.merge(meta, on=["conv_id", "turn_idx"])
+    assert (merged["role"] == "user").all()
+    post = build_postings(corpus).filter(
+        F.col("term").isin(["the", "will"])
+    ).toPandas()
+    per_doc = post.groupby(["conv_id", "turn_idx"])["term"].nunique()
+    for r in merged.itertuples():
+        assert per_doc[(r.conv_id, r.turn_idx)] == 2
+
+
+def test_term_positions_matches_positional_postings(spark, built):
+    b, corpus = built
+    got = term_positions(b, QUERY, k=10).toPandas()
+    top = b.query_pinned(QUERY, k=10).toPandas()
+    top_ids = set(map(tuple, top[["conv_id", "turn_idx"]].values.tolist()))
+    # exactly the top-k docs appear, each with ≥1 matching term
+    assert set(map(tuple, got[["conv_id", "turn_idx"]].values.tolist())) \
+        == top_ids
+    pp = (
+        positional_postings(corpus)
+        .filter(F.col("term").isin(sorted(set(QUERY.split()))))
+        .toPandas()
+    )
+    want = {}
+    for r in pp.itertuples():
+        if (r.conv_id, r.turn_idx) in top_ids:
+            want[(r.conv_id, r.turn_idx, r.term)] = (
+                min(r.positions), len(r.positions)
+            )
+    got_map = {
+        (r.conv_id, r.turn_idx, r.term): (r.first_pos, r.n_hits)
+        for r in got.itertuples()
+    }
+    assert got_map == want
+    # ordered (conv_id, turn_idx, term)
+    key = got[["conv_id", "turn_idx", "term"]].values.tolist()
+    assert key == sorted(key)
+
+
+def test_term_positions_empty_query(built):
+    b, _ = built
+    out = term_positions(b, "", k=10)
+    assert out.count() == 0
+    assert [f.name for f in out.schema.fields] == [
+        "conv_id", "turn_idx", "term", "first_pos", "n_hits"
+    ]
