@@ -246,6 +246,19 @@ def _q_conjunctive_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+NOT_TERM = "join"
+
+
+def _q_not_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boolean NOT: flagship ranking with docs containing an excluded
+    term anti-joined out ("spark query performance -join"); excluded
+    docs sit in the unfiltered top-10, so the exclusion provably
+    changes the result."""
+    return _entry_index(spark, sf_dir).query_pinned(
+        FLAGSHIP_QUERY, k=10, exclude=NOT_TERM
+    )
+
+
 def _q_snippet_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Highlight positions for the flagship top-10, served from the
     committed positional index (what a result-snippet renderer
@@ -626,6 +639,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "indexed_topk": _q_indexed_topk,
         "filtered_topk": _q_filtered_topk,
         "conjunctive_topk": _q_conjunctive_topk,
+        "not_topk": _q_not_topk,
         "snippet_hits": _q_snippet_hits,
         "eq_lookup": _q_eq_lookup,
         "rng_lookup": _q_rng_lookup,
@@ -659,13 +673,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def _topk_oracle(
-    query: str, k: int, where: str | None = None, require_all: bool = False
+    query: str, k: int, where: str | None = None,
+    require_all: bool = False, exclude: str | None = None,
 ) -> str:
     """BM25 top-k oracle; ``where`` restricts the RESULT docs via a
     predicate over the documents row (alias ``doc``) while df/avgdl/N
     stay corpus-global (mirrors ``IndexBuilder.query_filtered``);
     ``require_all`` keeps only docs containing every query term
-    (mirrors ``require_all=True``)."""
+    (mirrors ``require_all=True``); ``exclude`` removes docs containing
+    any excluded term (mirrors ``exclude=...``)."""
     terms = sorted(set(py_tokens(query)))
     in_list = ", ".join(f"'{t}'" for t in terms)
     contrib = sql_contribution(tf="p.tf", df="d.df", dl="l.dl",
@@ -677,7 +693,18 @@ def _topk_oracle(
     doc_join = (
         "JOIN documents doc ON doc.doc_id = p.doc_id" if where else ""
     )
-    where_clause = f"WHERE {where}" if where else ""
+    preds = []
+    if where:
+        preds.append(f"({where})")
+    if exclude:
+        ex_list = ", ".join(
+            f"'{t}'" for t in sorted(set(py_tokens(exclude)))
+        )
+        preds.append(
+            "p.doc_id NOT IN "
+            f"(SELECT doc_id FROM post WHERE term IN ({ex_list}))"
+        )
+    where_clause = f"WHERE {' AND '.join(preds)}" if preds else ""
     having = (
         f"HAVING count(DISTINCT p.term) = {len(terms)}" if require_all else ""
     )
@@ -1064,6 +1091,7 @@ GROUP BY d::date
         "indexed_topk": _topk_oracle(FLAGSHIP_QUERY, 10),
         "filtered_topk": _topk_oracle(FLAGSHIP_QUERY, 10, where=FILTER_WHERE),
         "conjunctive_topk": _topk_oracle(CONJ_QUERY, 10, require_all=True),
+        "not_topk": _topk_oracle(FLAGSHIP_QUERY, 10, exclude=NOT_TERM),
         "snippet_hits": _snippet_oracle(FLAGSHIP_QUERY, 10),
         "fingerprints": f"SELECT doc_id, {SQL_FP} AS fp FROM documents",
         "exact_dup_groups": f"""

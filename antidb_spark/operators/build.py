@@ -1406,8 +1406,21 @@ class IndexBuilder:
             .drop("doc_ord")
         )
 
+    def _excluded_ords(self, ex_terms: Sequence[str]) -> DataFrame:
+        """Distinct doc_ords containing ANY of ``ex_terms`` (the NOT
+        side), from manifest-pruned blocks — an anti-join input sized by
+        the excluded terms' postings, never the corpus."""
+        blocks = self.catalog.read_pruned("blocks", "term", ex_terms).filter(
+            F.col("term").isin(list(ex_terms))
+        )
+        return self._decoded_postings(blocks).select("doc_ord").distinct()
+
     def query_pinned(
-        self, query: str, k: int = 10, require_all: bool = False
+        self,
+        query: str,
+        k: int = 10,
+        require_all: bool = False,
+        exclude: str | None = None,
     ) -> DataFrame:
         """Cross-engine-deterministic top-k over the physical index:
         per-term contributions summed in sorted-term fixed order, score
@@ -1415,11 +1428,16 @@ class IndexBuilder:
         ``topk.bm25_topk_pinned`` — see its docstring), sourcing
         tf/df/dl from the committed index tables.
 
-        ``require_all=True`` switches disjunctive (OR) ranking to
-        conjunctive (AND): only docs containing EVERY query term rank —
-        the per-term partial c{i} being NULL is exactly "doc lacks term
-        i", so the boolean mode is a filter on the already-computed
-        aggregate, no extra pass."""
+        Boolean modes over the same scored aggregate:
+
+        - ``require_all=True``: disjunctive (OR) → conjunctive (AND) —
+          only docs containing EVERY query term rank; the per-term
+          partial c{i} being NULL is exactly "doc lacks term i", so AND
+          is a filter on the already-computed aggregate, no extra pass.
+        - ``exclude="..."``: NOT — docs containing ANY excluded term are
+          anti-joined out (before top-k, so exactly k surviving docs
+          resolve). Excluded terms don't affect surviving docs' scores.
+        """
         from antidb_spark.functions.analyze import py_tokens
 
         q_terms = sorted(set(py_tokens(query)))
@@ -1429,6 +1447,11 @@ class IndexBuilder:
         if require_all:
             for i in range(len(q_terms)):
                 scored = scored.filter(F.col(f"c{i}").isNotNull())
+        ex_terms = sorted(set(py_tokens(exclude))) if exclude else []
+        if ex_terms:
+            scored = scored.join(
+                self._excluded_ords(ex_terms), "doc_ord", "left_anti"
+            )
         return self._resolve_topk(scored.select("doc_ord", "score"), k)
 
     # -- metadata-filtered search (late materialization) -----------------
@@ -1460,6 +1483,7 @@ class IndexBuilder:
             )
             man = self.catalog.write(
                 out, "docmeta", stats_cols=["doc_ord"],
+                props={"meta_cols": list(meta_cols)},
                 row_group_bytes=LEAF_ROW_GROUP_BYTES,
             )
         self.ckpt.mark_done(
@@ -1471,7 +1495,7 @@ class IndexBuilder:
 
     def query_filtered(
         self, query: str, where: str, k: int = 10,
-        require_all: bool = False,
+        require_all: bool = False, exclude: str | None = None,
     ) -> DataFrame:
         """Top-k BM25 restricted to docs whose ``docmeta`` row satisfies
         the SQL predicate ``where`` (e.g. ``"lang = 'en'"``). Corpus
@@ -1499,6 +1523,11 @@ class IndexBuilder:
         if require_all:
             for i in range(len(q_terms)):
                 scored = scored.filter(F.col(f"c{i}").isNotNull())
+        ex_terms = sorted(set(py_tokens(exclude))) if exclude else []
+        if ex_terms:
+            scored = scored.join(
+                self._excluded_ords(ex_terms), "doc_ord", "left_anti"
+            )
         keep = self.catalog.read("docmeta").filter(F.expr(where))
         filtered = scored.join(
             keep.select("doc_ord"), "doc_ord", "left_semi"

@@ -64,17 +64,33 @@ def stream_postings(
 
 
 class PostingsDeltaSink:
-    """Exactly-once foreachBatch sink for postings deltas."""
+    """Exactly-once foreachBatch sink for postings deltas.
 
-    def __init__(self, root: str, id_cols=DOC_ID_COLS, text_col: str = "text"):
+    ``meta_cols`` (e.g. ``["role", "ts"]``) additionally persists
+    per-doc metadata rows each batch, which is what lets
+    ``compact_incremental`` append the ``docmeta`` filtered-search
+    table O(delta); without them a compaction INVALIDATES docmeta
+    (filtered queries raise until ``build_doc_meta`` re-runs) rather
+    than silently serving filtered results that miss appended docs."""
+
+    def __init__(
+        self,
+        root: str,
+        id_cols=DOC_ID_COLS,
+        text_col: str = "text",
+        meta_cols=None,
+    ):
         self.root = root
         self.id_cols = list(id_cols)
         self.text_col = text_col
+        self.meta_cols = list(meta_cols) if meta_cols else []
         self.delta_dir = os.path.join(root, "postings_delta")
         self.pos_dir = os.path.join(root, "positions_delta")
+        self.meta_dir = os.path.join(root, "meta_delta")
         self.ledger = os.path.join(root, "_delta_ledger.json")
         os.makedirs(self.delta_dir, exist_ok=True)
         os.makedirs(self.pos_dir, exist_ok=True)
+        os.makedirs(self.meta_dir, exist_ok=True)
 
     def _ledger(self) -> dict:
         if not os.path.exists(self.ledger):
@@ -123,6 +139,14 @@ class PostingsDeltaSink:
         posd.write.mode("overwrite").option("compression", "zstd").parquet(
             pout
         )
+        if self.meta_cols:
+            meta = batch_df.select(
+                *self.id_cols, *self.meta_cols
+            ).dropDuplicates(self.id_cols)
+            mout = os.path.join(self.meta_dir, f"batch_id={batch_id}")
+            meta.write.mode("overwrite").option(
+                "compression", "zstd"
+            ).parquet(mout)
         post = (
             batch_df.select(
                 *self.id_cols, F.explode(tokens(self.text_col)).alias("term")
@@ -174,6 +198,27 @@ class PostingsDeltaSink:
             os.path.join(self.pos_dir, f"batch_id={b}") for b in sorted(want)
         ]
         return spark.read.parquet(*dirs).select("term", *self.id_cols, "pos")
+
+    def meta_deltas(
+        self, spark: SparkSession, batch_ids: set[int] | None = None
+    ) -> DataFrame | None:
+        """Committed per-doc metadata deltas (*id_cols, *meta_cols) for
+        ``batch_ids``; None when ANY requested batch lacks one (same
+        all-or-invalidate contract as ``pos_deltas``). Deduplicated on
+        id_cols across batches — a doc re-delivered in a later batch
+        keeps its first metadata row (metadata is per-doc-constant)."""
+        want = batch_ids if batch_ids is not None else self.committed_batches()
+        have = {
+            int(d.split("=", 1)[1])
+            for d in os.listdir(self.meta_dir)
+            if d.startswith("batch_id=")
+        }
+        if not want or not want <= have:
+            return None
+        dirs = [
+            os.path.join(self.meta_dir, f"batch_id={b}") for b in sorted(want)
+        ]
+        return spark.read.parquet(*dirs).dropDuplicates(self.id_cols)
 
 
 def run_ingestion(
@@ -299,8 +344,11 @@ def compact_incremental(
         # full rebuild in place: localCheckpoint pins the merged relation
         # before its source tables are dropped out from under it
         merged = merged.localCheckpoint()
+        # docmeta drops too: a full rebuild renumbers doc ordinals, and
+        # metadata for pre-existing docs is not in the sink — filtered
+        # queries raise until build_doc_meta re-runs over the corpus
         for tbl in ("postings", "docmap", "stats", "terms", "blocks",
-                    "pos_blocks"):
+                    "pos_blocks", "docmeta"):
             b.catalog.drop(tbl)
         b.ckpt.reset()
         man = b.catalog.write(merged, "postings")
@@ -416,6 +464,33 @@ def compact_incremental(
                 row_group_bytes=LEAF_ROW_GROUP_BYTES,
             )
             pos_mode = "append"
+    # docmeta: append the new docs' metadata rows (keyed to their fresh
+    # ordinals) when the sink persisted them for every consumed batch;
+    # otherwise invalidate — filtered search must never silently serve a
+    # result set that excludes appended docs.
+    meta_mode = None
+    if b.ckpt.is_done("docmeta"):
+        want_cols = (
+            b.catalog.manifest("docmeta").get("props", {}).get("meta_cols")
+        )
+        meta_delta = (
+            sink.meta_deltas(spark, todo) if want_cols else None
+        )
+        if meta_delta is None or not set(want_cols) <= set(
+            meta_delta.columns
+        ):
+            b.catalog.drop("docmeta")
+            b.ckpt.unmark("docmeta")
+            meta_mode = "invalidated"
+        else:
+            new_meta = meta_delta.join(new_docmap, sink.id_cols).select(
+                "doc_ord", *want_cols
+            )
+            b.catalog.write(
+                new_meta, "docmeta", stats_cols=["doc_ord"], mode="append",
+                row_group_bytes=LEAF_ROW_GROUP_BYTES,
+            )
+            meta_mode = "append"
     if src is not None:
         src.unpersist()
     b.ckpt.mark_done(
@@ -426,7 +501,7 @@ def compact_incremental(
     sink.mark_compacted(todo)
     return {
         "mode": "append", "batches": sorted(todo), "run": n_runs,
-        "pos_mode": pos_mode,
+        "pos_mode": pos_mode, "meta_mode": meta_mode,
     }
 
 

@@ -108,6 +108,35 @@ def main() -> None:
             plan_of(chain),
         ))
 
+        b.build_doc_meta(t, ["role"])
+        sections.append((
+            "metadata-filtered BM25 (docmeta late materialization)",
+            "The predicate must appear as PushedFilters on the NARROW "
+            "docmeta parquet scan (doc_ord + meta cols only — never the "
+            "corpus); candidates semi-join docmeta on the dense ordinal "
+            "(shuffle sized by candidates + matching docs, broadcast "
+            "would be wrong at 10^12 docs); the final docmap resolve "
+            "broadcasts only the k winners.",
+            plan_of(b.query_filtered("the kemuba0 data", "role = 'user'",
+                                     k=5)),
+        ))
+
+        from antidb_spark.operators.phrase import (
+            build_positional_index,
+            term_positions,
+        )
+
+        build_positional_index(b, t)
+        sections.append((
+            "snippet highlights (term_positions from pos_blocks)",
+            "Both block scans prune on term (manifest path list + "
+            "In(term,…) row-group pushdown); the top-k doc set is a "
+            "k-row BroadcastExchange into the decoded position stream, "
+            "so the per-(doc, term) agg moves O(k · positions/doc) rows "
+            "regardless of corpus size.",
+            plan_of(term_positions(b, "the kemuba0 data", k=5)),
+        ))
+
         from antidb_spark.operators.keyed import KeyedIndexStore
 
         st = KeyedIndexStore(spark, os.path.join(root, "keyed"))
@@ -189,6 +218,21 @@ def main() -> None:
         mh_plan = by_title["minhash signatures (JVM aggregate path)"]
         checks.append(("minhash: no Python eval in plan",
                        "Python" not in mh_plan and "ArrowEval" not in mh_plan))
+        filt_plan = by_title[
+            "metadata-filtered BM25 (docmeta late materialization)"
+        ]
+        checks.append(("filtered: predicate pushed into docmeta scan",
+                       "EqualTo(role,user)" in filt_plan))
+        checks.append(("filtered: k-row docmap resolve broadcasts",
+                       "BroadcastExchange" in filt_plan))
+        snip_plan = by_title[
+            "snippet highlights (term_positions from pos_blocks)"
+        ]
+        checks.append(("snippet: term pushdown on pos_blocks scan",
+                       "In(term" in snip_plan
+                       or "EqualTo(term" in snip_plan))
+        checks.append(("snippet: top-k doc set broadcast into positions",
+                       "BroadcastExchange" in snip_plan))
         f.write("## Property checks\n\n")
         for name, ok in checks:
             f.write(f"- {'PASS' if ok else 'FAIL'}: {name}\n")

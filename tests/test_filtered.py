@@ -145,6 +145,54 @@ def test_filtered_and_conjunctive_compose(built):
         assert per_doc[(r.conv_id, r.turn_idx)] == 2
 
 
+def test_exclude_not_semantics(spark, built):
+    b, corpus = built
+    ex = "will"
+    post = build_postings(corpus).filter(F.col("term") == ex)
+    ex_docs = set(
+        map(tuple, post.select("conv_id", "turn_idx").toPandas().values)
+    )
+    assert ex_docs, "exclude term must occur"
+    allsc = _all_scores(b)
+    mask = [
+        (r.conv_id, r.turn_idx) not in ex_docs for r in allsc.itertuples()
+    ]
+    want = (
+        allsc[mask]
+        .sort_values(["score", "conv_id", "turn_idx"],
+                     ascending=[False, True, True])
+        .head(10)
+    )
+    got = b.query_pinned(QUERY, k=10, exclude=ex).toPandas()
+    assert got.values.tolist() == want.values.tolist()
+    # must differ from the unexcluded ranking (the stopword sits in
+    # most docs, so some top-10 docs get knocked out)
+    assert got.values.tolist() != b.query_pinned(QUERY, k=10).toPandas().values.tolist()
+    # excluded docs never appear even deeper in the ranking
+    deep = b.query_pinned(QUERY, k=1_000, exclude=ex).toPandas()
+    assert all(
+        (r.conv_id, r.turn_idx) not in ex_docs for r in deep.itertuples()
+    )
+
+
+def test_exclude_composes_with_filter(built):
+    b, corpus = built
+    got = b.query_filtered(
+        QUERY, "role = 'assistant'", k=10, exclude="will"
+    ).toPandas()
+    assert len(got) > 0
+    meta = corpus.select("conv_id", "turn_idx", "role").toPandas()
+    merged = got.merge(meta, on=["conv_id", "turn_idx"])
+    assert (merged["role"] == "assistant").all()
+    post = build_postings(corpus).filter(F.col("term") == "will")
+    ex_docs = set(
+        map(tuple, post.select("conv_id", "turn_idx").toPandas().values)
+    )
+    assert all(
+        (r.conv_id, r.turn_idx) not in ex_docs for r in got.itertuples()
+    )
+
+
 def test_term_positions_matches_positional_postings(spark, built):
     b, corpus = built
     got = term_positions(b, QUERY, k=10).toPandas()
