@@ -1221,25 +1221,22 @@ class IndexBuilder:
             self._post_cache_n -= int(old[0].size)
         return out
 
-    def query_warm(self, query: str, k: int = 10) -> pd.DataFrame:
-        """Interactive single-query BM25 with NO Spark job — the warm
-        path matching the reference's hundredths-of-a-second class
-        (README.md:43,47): manifest-pruned pyarrow block reads, numpy
-        decode + scoring, driver-side top-k, pyarrow docmap resolve.
-        Used when the query's candidate blocks fit one core
-        (≤ WARM_MAX_BLOCKS, i.e. rare/mid terms — the interactive
-        regime); stopword-heavy queries fall back to the distributed
-        ``query_batch``. Returns pandas (*id_cols, score), rank- and
-        value-identical to the batch path (pinned by tests)."""
+    def _warm_top_ords(
+        self, query: str, k: int
+    ) -> tuple[np.ndarray, np.ndarray] | None:
+        """Driver-side top-k (doc_ords, scores) for one query — the
+        shared scoring core of ``query_warm`` and the warm snippet tier
+        (``phrase.term_positions_warm``). Returns None when the query
+        exceeds the warm block budget (caller falls back to the
+        distributed path); empty arrays when nothing matches."""
         plan = self._plan_queries([query])
         if self._dm_schema_cache is None:
             self._dm_schema_cache = self.catalog.read("docmap").schema
-        cols = [*self.id_cols, "score"]
+        empty = (np.array([], dtype=np.int64), np.array([], dtype=np.float64))
         if plan is None:
-            return pd.DataFrame(columns=cols)
+            return empty
         if plan["est_blocks"] > self.WARM_MAX_BLOCKS:
-            out = self.query_batch([query], k=k).toPandas()
-            return out.drop(columns=["query_id"]).reset_index(drop=True)
+            return None
         # per-term decoded postings from the LRU cache (one pruned read
         # for the misses); concatenation in plan["terms"] order is the
         # same term-ascending order the direct batch read produced, so
@@ -1250,7 +1247,7 @@ class IndexBuilder:
             [cached[t][0].size for t in plan["terms"]], dtype=np.int64
         )
         if not sizes.sum():
-            return pd.DataFrame(columns=cols)
+            return empty
         ords = np.concatenate([cached[t][0] for t in plan["terms"]])
         tfw = np.concatenate([cached[t][1] for t in plan["terms"]])
         idf_map = plan["idf"]
@@ -1280,6 +1277,26 @@ class IndexBuilder:
             sel = np.lexsort((uniq, -scores))[:k]
             top = uniq[sel]
             top_scores = scores[sel]
+        return top.astype(np.int64), top_scores
+
+    def query_warm(self, query: str, k: int = 10) -> pd.DataFrame:
+        """Interactive single-query BM25 with NO Spark job — the warm
+        path matching the reference's hundredths-of-a-second class
+        (README.md:43,47): manifest-pruned pyarrow block reads, numpy
+        decode + scoring, driver-side top-k, pyarrow docmap resolve.
+        Used when the query's candidate blocks fit one core
+        (≤ WARM_MAX_BLOCKS, i.e. rare/mid terms — the interactive
+        regime); stopword-heavy queries fall back to the distributed
+        ``query_batch``. Returns pandas (*id_cols, score), rank- and
+        value-identical to the batch path (pinned by tests)."""
+        cols = [*self.id_cols, "score"]
+        r = self._warm_top_ords(query, k)
+        if r is None:
+            out = self.query_batch([query], k=k).toPandas()
+            return out.drop(columns=["query_id"]).reset_index(drop=True)
+        top, top_scores = r
+        if top.size == 0:
+            return pd.DataFrame(columns=cols)
         out = self._resolve_ords(
             [int(o) for o in top]
         )[list(self.id_cols)].copy()

@@ -462,6 +462,73 @@ def term_positions(builder, query: str, k: int = 10) -> DataFrame:
     )
 
 
+def term_positions_warm(builder, query: str, k: int = 10) -> pd.DataFrame:
+    """Warm snippet highlights with NO Spark job (the interactive tier
+    beside ``phrase_warm`` / ``query_warm``): top-k doc_ords from the
+    shared driver-side scorer, positions from manifest-pruned pyarrow
+    ``pos_blocks`` reads (whole-batch vectorized decode), per-(doc,
+    term) min/count as one numpy lexsort + segment pass, pruned docmap
+    resolve. Row/value-identical to ``term_positions`` (pinned by
+    tests); stopword-heavy queries fall back to the distributed path
+    under the same block budgets."""
+    terms = sorted(set(py_tokens(query)))
+    cols = [*builder.id_cols, "term", "first_pos", "n_hits"]
+    if not builder.ckpt.is_done("pos_blocks"):
+        raise ValueError("positional index not built (build_positional_index)")
+    if not terms:
+        return pd.DataFrame(columns=cols)
+    dfs = builder.catalog.read_pruned_arrow(
+        "terms", "term", terms, columns=["term", "df"]
+    )
+    est_blocks = sum(
+        (int(d) + POS_BLOCK_SIZE - 1) // POS_BLOCK_SIZE
+        for d in dfs.column("df").to_pylist()
+    )
+    r = (
+        None
+        if est_blocks > PHRASE_WARM_MAX_BLOCKS
+        else builder._warm_top_ords(query, k)
+    )
+    if r is None:
+        out = term_positions(builder, query, k=k).toPandas()
+        return out.reset_index(drop=True)
+    top, _scores = r
+    if top.size == 0:
+        return pd.DataFrame(columns=cols)
+    tbl = builder.catalog.read_pruned_arrow(
+        "pos_blocks", "term", terms,
+        columns=["term", "n_docs", "docs_packed", "tfs_packed", "pos_packed"],
+    ).to_pandas()
+    if not len(tbl):
+        return pd.DataFrame(columns=cols)
+    uniq_terms, tids, ords, pos = _decode_pos_batch(tbl)
+    # pruned files can carry neighbor terms from the same row group —
+    # keep only the query's terms, then only the top-k docs
+    keep_tid = np.isin(uniq_terms, terms)
+    sel = keep_tid[tids] & np.isin(ords, top)
+    if not sel.any():
+        return pd.DataFrame(columns=cols)
+    o, t, p = ords[sel], tids[sel], pos[sel]
+    order = np.lexsort((p, t, o))
+    o, t, p = o[order], t[order], p[order]
+    new = np.flatnonzero(
+        np.r_[True, (o[1:] != o[:-1]) | (t[1:] != t[:-1])]
+    )
+    first_pos = p[new]
+    n_hits = np.diff(np.r_[new, o.size])
+    g_ord, g_tid = o[new], t[new]
+    ids = builder._resolve_ords([int(x) for x in g_ord])[
+        list(builder.id_cols)
+    ].reset_index(drop=True)
+    out = ids.copy()
+    out["term"] = uniq_terms[g_tid]
+    out["first_pos"] = first_pos.astype(np.int64)
+    out["n_hits"] = n_hits.astype(np.int64)
+    return out.sort_values(
+        [*builder.id_cols, "term"]
+    ).reset_index(drop=True)
+
+
 # anchors are keyed doc-locally: dense candidate-doc index * 2^33 +
 # adjusted position (positions < 2^33 per doc; the dense index keeps the
 # key in int64 regardless of global doc_ord magnitude)

@@ -106,7 +106,7 @@ def run_suite(spark, docs, transcripts, n_turns):
 
     # --- index build over synthetic transcripts (north-rule flagship) ---
     index_phases = ("index_build", "bm25_batch", "bm25_warm", "pos_build",
-                    "phrase_warm")
+                    "phrase_warm", "snippet_warm")
     builder = None
     if any(phase_on(p) for p in index_phases):
         builder = IndexBuilder(spark, os.path.join(work_root, "idx"))
@@ -128,10 +128,12 @@ def run_suite(spark, docs, transcripts, n_turns):
         warm_median("bm25_warm", warm_qs, lambda q: builder.query_warm(q, k=10))
 
     # --- persisted positional index: build + warm phrase queries --------
-    if phase_on("pos_build") or phase_on("phrase_warm"):
+    if (phase_on("pos_build") or phase_on("phrase_warm")
+            or phase_on("snippet_warm")):
         from antidb_spark.operators.phrase import (
             build_positional_index,
             phrase_warm,
+            term_positions_warm,
         )
 
         if phase_on("pos_build"):
@@ -149,6 +151,11 @@ def run_suite(spark, docs, transcripts, n_turns):
             ]
             warm_median("phrase_warm", phrases,
                         lambda p: phrase_warm(builder, p))
+        if phase_on("snippet_warm"):
+            v = vocabulary(2000)
+            snip_qs = [f"{v[i]} {v[i + 53]}" for i in range(400, 410)] * 2
+            warm_median("snippet_warm", snip_qs,
+                        lambda q: term_positions_warm(builder, q, k=10))
 
     # --- flagship documents query ---------------------------------------
     if phase_on("topk_docs"):
@@ -235,7 +242,7 @@ def main() -> None:
 
     transcripts, n_turns = None, 0
     index_phases = ("index_build", "bm25_batch", "bm25_warm", "pos_build",
-                    "phrase_warm")
+                    "phrase_warm", "snippet_warm")
     if any(phase_on(p) for p in index_phases):
         transcripts = synth_transcripts(spark, n_convs=N_CONVS).cache()
         n_turns = transcripts.count()  # materialize outside any timer
@@ -276,6 +283,8 @@ def main() -> None:
         extras["bm25_warm_ms"] = round(1000 * timings["bm25_warm"], 2)
     if "phrase_warm" in timings:
         extras["phrase_warm_ms"] = round(1000 * timings["phrase_warm"], 2)
+    if "snippet_warm" in timings:
+        extras["snippet_warm_ms"] = round(1000 * timings["snippet_warm"], 2)
     if "eq_batch_1000" in timings:
         extras["point_lookups_per_sec_spark"] = round(
             1000 / timings["eq_batch_1000"], 1

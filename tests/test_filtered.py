@@ -222,6 +222,19 @@ def test_term_positions_matches_positional_postings(spark, built):
     assert key == sorted(key)
 
 
+def test_term_positions_warm_matches_distributed(built):
+    from antidb_spark.operators.phrase import term_positions_warm
+
+    b, _ = built
+    want = term_positions(b, QUERY, k=10).toPandas()
+    got = term_positions_warm(b, QUERY, k=10)
+    assert got.values.tolist() == want.values.tolist()
+    assert len(got) > 0
+    # empty / miss queries
+    assert term_positions_warm(b, "", k=5).empty
+    assert term_positions_warm(b, "zzznotaword0", k=5).empty
+
+
 def test_term_positions_empty_query(built):
     b, _ = built
     out = term_positions(b, "", k=10)
