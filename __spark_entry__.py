@@ -174,23 +174,10 @@ def _q_interval_days(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _q_indexed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full Idx→Prs analog: build the packed posting-block index over
-    documents, then answer the flagship query from the index tables.
+    documents (shared committed build, the build-once/query-many
+    shape), then answer the flagship query from the index tables.
     Must be value-identical to `topk_bm25` (same oracle)."""
-    import shutil
-    import tempfile
-
-    from antidb_spark.operators.build import IndexBuilder
-
-    root = tempfile.mkdtemp(prefix="antidb_entry_idx_")
-    try:
-        b = IndexBuilder(spark, root, id_cols=DOC_ID)
-        b.build(_docs(spark, sf_dir))
-        out = b.query_pinned(FLAGSHIP_QUERY, k=10)
-        out = out.cache()
-        out.count()  # materialize before the temp dir is removed
-        return out
-    finally:
-        shutil.rmtree(root, ignore_errors=True)
+    return _entry_index(spark, sf_dir).query_pinned(FLAGSHIP_QUERY, k=10)
 
 
 _ENTRY_IDX: dict[str, object] = {}
@@ -312,30 +299,15 @@ PHRASE_QUERY = "table hash"
 
 
 def _q_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Positional phrase search SERVED FROM THE COMMITTED INDEX: build
-    the docmap + positional-blocks tables once, then answer from
-    manifest-pruned ``pos_blocks`` files (build-once/query-many,
-    idx.py:85-92 ↔ prs.py:27-38) — the corpus is never re-tokenized at
-    query time. Same oracle as the ad-hoc ``phrase_search`` definition."""
-    import shutil
-    import tempfile
+    """Positional phrase search SERVED FROM THE COMMITTED INDEX: the
+    shared build commits docmap + positional-blocks once, queries
+    answer from manifest-pruned ``pos_blocks`` files (build-once/
+    query-many, idx.py:85-92 ↔ prs.py:27-38) — the corpus is never
+    re-tokenized at query time. Same oracle as the ad-hoc
+    ``phrase_search`` definition."""
+    from antidb_spark.operators.phrase import phrase_query
 
-    from antidb_spark.operators.build import IndexBuilder
-    from antidb_spark.operators.phrase import (
-        build_positional_index,
-        phrase_query,
-    )
-
-    root = tempfile.mkdtemp(prefix="antidb_entry_pos_")
-    try:
-        b = IndexBuilder(spark, root, id_cols=DOC_ID)
-        b.build(_docs(spark, sf_dir))
-        build_positional_index(b, _docs(spark, sf_dir))
-        out = phrase_query(b, PHRASE_QUERY).cache()
-        out.count()  # materialize before the temp dir is removed
-        return out
-    finally:
-        shutil.rmtree(root, ignore_errors=True)
+    return phrase_query(_entry_index(spark, sf_dir), PHRASE_QUERY)
 
 
 def _q_phrase_adhoc(spark: SparkSession, sf_dir: str) -> DataFrame:
