@@ -255,6 +255,30 @@ def _q_snippet_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     return term_positions(_entry_index(spark, sf_dir), FLAGSHIP_QUERY, k=10)
 
 
+PREFIX_PAT = "s"  # expands to scan/slow/small/sort/spark/stream at test SF
+
+
+def _q_prefix_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prefix/wildcard search ("s*"): driver-side expansion from the
+    range-pruned terms table (B+tree-descent analog), each expansion
+    scored with its own idf — multi-term disjunct over the committed
+    index."""
+    return _entry_index(spark, sf_dir).query_prefix(PREFIX_PAT, k=10)
+
+
+NEAR_A, NEAR_B, NEAR_W = "table", "hash", 5
+
+
+def _q_near_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Proximity NEAR(table, hash, 5) from the committed positional
+    index — strictly contains the exact-phrase "table hash" result set
+    (window 1, ordered ⊂ window 5, unordered), so the window provably
+    matters."""
+    from antidb_spark.operators.phrase import near_query
+
+    return near_query(_entry_index(spark, sf_dir), NEAR_A, NEAR_B, NEAR_W)
+
+
 def _q_keyed_persisted(spark: SparkSession, sf_dir: str, op: str) -> DataFrame:
     """Persisted covering index over document tokens (KeyedIndexStore
     build → reopen → query; the Idx→Prs .adb round-trip, idx.py:41-92 ↔
@@ -612,6 +636,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "filtered_topk": _q_filtered_topk,
         "conjunctive_topk": _q_conjunctive_topk,
         "not_topk": _q_not_topk,
+        "prefix_topk": _q_prefix_topk,
+        "near_search": _q_near_search,
         "snippet_hits": _q_snippet_hits,
         "eq_lookup": _q_eq_lookup,
         "rng_lookup": _q_rng_lookup,
@@ -696,6 +722,49 @@ GROUP BY p.doc_id
 {having}
 ORDER BY score DESC, doc_id ASC
 LIMIT {k}
+"""
+
+
+def _prefix_oracle(prefix: str, k: int, max_terms: int = 128) -> str:
+    """Prefix-expansion BM25 oracle: term set = index terms LIKE
+    'prefix%' (lexicographically-first ``max_terms`` — the operator's
+    deterministic cap), score = contributions summed ORDER BY term (one
+    posting row per (doc, term), so DuckDB's ordered aggregate
+    reproduces ``_pinned_doc_scores``' sorted-term float fold
+    exactly)."""
+    contrib = sql_contribution(tf="p.tf", df="d.df", dl="l.dl",
+                               avgdl="s.avgdl", n="s.n_docs")
+    return f"""
+WITH {TOK_CTE}, {POST_CTE}, {DL_CTE},
+st AS (SELECT count(*)::BIGINT AS n_docs, avg(dl) AS avgdl FROM dl),
+dfs AS (SELECT term, count(*)::BIGINT AS df FROM post
+        WHERE term LIKE '{prefix}%' GROUP BY term
+        ORDER BY term LIMIT {max_terms})
+SELECT p.doc_id AS doc_id, round(sum({contrib} ORDER BY p.term), 4) AS score
+FROM post p
+JOIN dfs d ON p.term = d.term
+JOIN dl l ON p.doc_id = l.doc_id
+CROSS JOIN st s
+GROUP BY p.doc_id
+ORDER BY score DESC, doc_id ASC
+LIMIT {k}
+"""
+
+
+def _near_oracle(term_a: str, term_b: str, window: int) -> str:
+    """NEAR/w oracle: all qualifying occurrence pairs from the same
+    0-based token-position stream as the phrase oracle."""
+    return f"""
+WITH {TOKARR_CTE},
+pos AS (SELECT doc_id, i.i - 1 AS p, toks[i.i] AS term
+        FROM tokarr, unnest(generate_series(1, len(toks))) AS i(i)),
+pa AS (SELECT doc_id, p FROM pos WHERE term = '{term_a}'),
+pb AS (SELECT doc_id, p FROM pos WHERE term = '{term_b}')
+SELECT pa.doc_id AS doc_id, min(abs(pa.p - pb.p))::BIGINT AS min_dist,
+       count(*)::BIGINT AS n_pairs
+FROM pa JOIN pb ON pa.doc_id = pb.doc_id
+WHERE abs(pa.p - pb.p) <= {window}
+GROUP BY 1
 """
 
 
@@ -1064,6 +1133,8 @@ GROUP BY d::date
         "filtered_topk": _topk_oracle(FLAGSHIP_QUERY, 10, where=FILTER_WHERE),
         "conjunctive_topk": _topk_oracle(CONJ_QUERY, 10, require_all=True),
         "not_topk": _topk_oracle(FLAGSHIP_QUERY, 10, exclude=NOT_TERM),
+        "prefix_topk": _prefix_oracle(PREFIX_PAT, 10),
+        "near_search": _near_oracle(NEAR_A, NEAR_B, NEAR_W),
         "snippet_hits": _snippet_oracle(FLAGSHIP_QUERY, 10),
         "fingerprints": f"SELECT doc_id, {SQL_FP} AS fp FROM documents",
         "exact_dup_groups": f"""

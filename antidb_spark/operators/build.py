@@ -1471,6 +1471,53 @@ class IndexBuilder:
             )
         return self._resolve_topk(scored.select("doc_ord", "score"), k)
 
+    # -- prefix (wildcard) search -----------------------------------------
+
+    # 'a*' over a web-scale vocabulary can match millions of terms; the
+    # expansion is capped DETERMINISTICALLY (lexicographically first) so
+    # two engines computing the same query score the same disjunct.
+    MAX_PREFIX_EXPANSIONS = 128
+
+    def expand_prefix(
+        self, prefix: str, max_terms: int | None = None
+    ) -> list[str]:
+        """Index terms starting with ``prefix`` (analyzer-lowercased),
+        lexicographically first ``max_terms``. Served by a manifest
+        RANGE prune on the term-sorted terms table ([prefix,
+        prefix+U+10FFFF] — the B+tree-descent analog, prs.py:57-77) plus
+        a driver-side pyarrow read: no Spark job, no full-vocabulary
+        scan."""
+        prefix = prefix.lower()
+        if not prefix:
+            return []
+        if max_terms is None:
+            max_terms = self.MAX_PREFIX_EXPANSIONS
+        tbl = self.catalog.read_pruned_arrow(
+            "terms", "term", lo=prefix, hi=prefix + chr(0x10FFFF),
+            columns=["term"],
+        )
+        terms = sorted(
+            t for t in tbl.column("term").to_pylist()
+            if t is not None and t.startswith(prefix)
+        )
+        return terms[:max_terms]
+
+    def query_prefix(
+        self, prefix: str, k: int = 10, max_terms: int | None = None
+    ) -> DataFrame:
+        """Prefix/wildcard top-k ("s*"): every index term starting with
+        ``prefix`` joins the disjunct with its OWN df→idf (multi-term
+        expansion, the same scored-OR semantics as ``query_pinned`` on
+        the expanded set), pinned float discipline. Expansion is
+        driver-side from the range-pruned terms table; scoring reads
+        only the expansions' manifest-pruned blocks."""
+        exp = self.expand_prefix(prefix, max_terms)
+        if not exp:
+            return self._empty_topk()
+        return self._resolve_topk(
+            self._pinned_doc_scores(exp).select("doc_ord", "score"), k
+        )
+
     # -- metadata-filtered search (late materialization) -----------------
 
     def build_doc_meta(

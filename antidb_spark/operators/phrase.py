@@ -408,6 +408,62 @@ def phrase_query(builder, phrase: str) -> DataFrame:
     )
 
 
+def near_query(
+    builder, term_a: str, term_b: str, window: int
+) -> DataFrame:
+    """Proximity (NEAR/w) search served from the committed positional
+    index: docs where ``term_a`` and ``term_b`` co-occur within
+    ``window`` token positions, in either order — (*id_cols, min_dist,
+    n_pairs) with n_pairs = count of qualifying (pos_a, pos_b)
+    occurrence pairs and min_dist = the closest distance, ordered
+    (min_dist asc, *id_cols). The classic unordered NEAR operator
+    between exact phrase (window = 1, ordered) and boolean AND
+    (window = ∞).
+
+    Plan: manifest-pruned ``pos_blocks`` decode for the two terms → one
+    equi-join of the two per-doc position streams on ``doc_ord`` with
+    the |pa − pb| ≤ window band filter (per-doc cost tf_a·tf_b, the
+    occurrence product every positional engine pays for NEAR; the join
+    key is the doc — as fine-grained as the data, no skew beyond a
+    single doc's occurrence list) → per-doc agg → docmap resolve. The
+    corpus is never re-tokenized."""
+    toks_a, toks_b = py_tokens(term_a), py_tokens(term_b)
+    if len(toks_a) != 1 or len(toks_b) != 1:
+        raise ValueError("near_query takes exactly one term per side")
+    ta, tb = toks_a[0], toks_b[0]
+    if ta == tb:
+        raise ValueError("near_query terms must differ")
+    if not builder.ckpt.is_done("pos_blocks"):
+        raise ValueError("positional index not built (build_positional_index)")
+    blocks = builder.catalog.read_pruned(
+        "pos_blocks", "term", [ta, tb]
+    ).filter(F.col("term").isin([ta, tb]))
+    decoded = blocks.select(
+        "term", "n_docs", "docs_packed", "tfs_packed", "pos_packed"
+    ).mapInPandas(_decode_pos_blocks, schema=_DECODED_POS)
+    pa_ = decoded.filter(F.col("term") == ta).select(
+        "doc_ord", F.col("pos").alias("pa")
+    )
+    pb_ = decoded.filter(F.col("term") == tb).select(
+        "doc_ord", F.col("pos").alias("pb")
+    )
+    pairs = (
+        pa_.join(pb_, "doc_ord")
+        .withColumn("dist", F.abs(F.col("pa") - F.col("pb")))
+        .filter(F.col("dist") <= window)
+    )
+    per_doc = pairs.groupBy("doc_ord").agg(
+        F.min("dist").cast("long").alias("min_dist"),
+        F.count(F.lit(1)).alias("n_pairs"),
+    )
+    dm = builder.catalog.read("docmap")
+    return (
+        per_doc.join(dm.select("doc_ord", *builder.id_cols), "doc_ord")
+        .select(*builder.id_cols, "min_dist", "n_pairs")
+        .orderBy(F.asc("min_dist"), *[F.asc(c) for c in builder.id_cols])
+    )
+
+
 def term_positions(builder, query: str, k: int = 10) -> DataFrame:
     """Highlight/snippet support served ENTIRELY from committed index
     tables: for the top-k BM25 docs of ``query`` (disjunctive,

@@ -1,0 +1,148 @@
+"""Prefix/wildcard search and NEAR proximity, against brute-force
+references computed from the corpus token stream.
+
+`query_prefix` must equal `query_pinned` run over the literal expansion
+set (same scoring core), and the expansion itself must equal the
+brute-force vocabulary filter. `near_query` must equal a pandas
+pairwise reference over per-doc positions, and must strictly contain
+the exact-phrase result set for the same term pair.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from antidb_spark.functions.analyze import py_tokens
+from antidb_spark.operators.build import IndexBuilder
+from antidb_spark.operators.phrase import (
+    build_positional_index,
+    near_query,
+    phrase_search,
+)
+
+
+@pytest.fixture(scope="module")
+def built(spark, tmp_path_factory):
+    from antidb_spark.synth import synth_transcripts
+
+    corpus = synth_transcripts(spark, n_convs=40, seed=11).cache()
+    corpus.count()
+    b = IndexBuilder(spark, str(tmp_path_factory.mktemp("pnidx")))
+    b.build(corpus)
+    build_positional_index(b, corpus)
+    yield b, corpus
+    corpus.unpersist()
+
+
+def _vocab(corpus) -> list[str]:
+    return [
+        r["t"]
+        for r in corpus.select(
+            F.explode(F.expr(
+                "filter(split(regexp_replace(lower(text), "
+                "'[^a-z0-9]+', ' '), ' '), x -> x <> '')"
+            )).alias("t")
+        ).distinct().collect()
+    ]
+
+
+def test_expand_prefix_matches_vocabulary(built):
+    b, corpus = built
+    vocab = _vocab(corpus)
+    for prefix in ("s", "th", "zzz"):
+        want = sorted(t for t in vocab if t.startswith(prefix))
+        assert b.expand_prefix(prefix) == want
+
+
+def test_expand_prefix_cap_is_lexicographic(built):
+    b, _ = built
+    full = b.expand_prefix("s")
+    assert len(full) > 2
+    assert b.expand_prefix("s", max_terms=2) == full[:2]
+
+
+def test_expand_prefix_normalizes_case_and_empty(built):
+    b, _ = built
+    assert b.expand_prefix("S") == b.expand_prefix("s")
+    assert b.expand_prefix("") == []
+
+
+def test_query_prefix_equals_pinned_over_expansion(built):
+    b, _ = built
+    exp = b.expand_prefix("s")
+    got = b.query_prefix("s", k=10).toPandas()
+    want = b.query_pinned(" ".join(exp), k=10).toPandas()
+    assert got.values.tolist() == want.values.tolist()
+
+
+def test_query_prefix_no_match_is_empty(built):
+    b, _ = built
+    out = b.query_prefix("qqqxyz", k=10)
+    assert out.count() == 0
+    assert [f.name for f in out.schema] == [*b.id_cols, "score"]
+
+
+def _positions(corpus, term: str) -> pd.DataFrame:
+    toks = corpus.select(
+        "conv_id", "turn_idx",
+        F.posexplode(F.expr(
+            "filter(split(regexp_replace(lower(text), "
+            "'[^a-z0-9]+', ' '), ' '), x -> x <> '')"
+        )).alias("pos", "t"),
+    )
+    return toks.filter(F.col("t") == term).select(
+        "conv_id", "turn_idx", "pos"
+    ).toPandas()
+
+
+def test_near_matches_bruteforce_pairs(built):
+    b, corpus = built
+    ta, tb, w = "from", "has", 4  # co-occur in 6 docs at this seed/scale
+    pa = _positions(corpus, ta).rename(columns={"pos": "pa"})
+    pb = _positions(corpus, tb).rename(columns={"pos": "pb"})
+    pairs = pa.merge(pb, on=["conv_id", "turn_idx"])
+    pairs["dist"] = (pairs["pa"] - pairs["pb"]).abs()
+    pairs = pairs[pairs["dist"] <= w]
+    want = (
+        pairs.groupby(["conv_id", "turn_idx"], as_index=False)
+        .agg(min_dist=("dist", "min"), n_pairs=("dist", "size"))
+        .sort_values(["min_dist", "conv_id", "turn_idx"])
+        .reset_index(drop=True)
+    )
+    got = near_query(b, ta, tb, w).toPandas()
+    assert got["min_dist"].is_monotonic_increasing
+    assert (
+        got.sort_values(["min_dist", "conv_id", "turn_idx"])
+        .reset_index(drop=True)
+        .astype({"min_dist": "int64", "n_pairs": "int64"})
+        .values.tolist()
+        == want.astype({"min_dist": "int64", "n_pairs": "int64"})
+        .values.tolist()
+    )
+    assert len(got) > 0
+
+
+def test_near_contains_exact_phrase(built):
+    b, corpus = built
+    phrase = phrase_search(
+        corpus, "from has", id_cols=("conv_id", "turn_idx")
+    ).toPandas()
+    near = near_query(b, "from", "has", 1).toPandas()
+    pk = set(map(tuple, phrase[["conv_id", "turn_idx"]].values.tolist()))
+    nk = set(map(tuple, near[["conv_id", "turn_idx"]].values.tolist()))
+    assert pk <= nk
+    # wider windows only grow the result set
+    wide = near_query(b, "from", "has", 4).toPandas()
+    wk = set(map(tuple, wide[["conv_id", "turn_idx"]].values.tolist()))
+    assert nk <= wk and len(wk) > 0
+
+
+def test_near_validates_arguments(built):
+    b, _ = built
+    with pytest.raises(ValueError):
+        near_query(b, "table", "table", 3)
+    with pytest.raises(ValueError):
+        near_query(b, "two words", "hash", 3)
+    assert py_tokens("Table!") == ["table"]
