@@ -266,6 +266,13 @@ def _q_prefix_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _entry_index(spark, sf_dir).query_prefix(PREFIX_PAT, k=10)
 
 
+def _q_facet_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Search-facet aggregation: per-language doc counts over every doc
+    matching the flagship query (scoring skipped — candidates from
+    pruned postings, facet values from the committed docmeta table)."""
+    return _entry_index(spark, sf_dir).facet_counts(FLAGSHIP_QUERY, "lang")
+
+
 NEAR_A, NEAR_B, NEAR_W = "table", "hash", 5
 
 
@@ -638,6 +645,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "not_topk": _q_not_topk,
         "prefix_topk": _q_prefix_topk,
         "near_search": _q_near_search,
+        "facet_counts": _q_facet_counts,
         "snippet_hits": _q_snippet_hits,
         "eq_lookup": _q_eq_lookup,
         "rng_lookup": _q_rng_lookup,
@@ -748,6 +756,21 @@ CROSS JOIN st s
 GROUP BY p.doc_id
 ORDER BY score DESC, doc_id ASC
 LIMIT {k}
+"""
+
+
+def _facet_oracle(query: str, facet_col: str) -> str:
+    """Facet-count oracle: distinct matching docs joined back to the
+    documents row for the facet value."""
+    terms = sorted(set(py_tokens(query)))
+    in_list = ", ".join(f"'{t}'" for t in terms)
+    return f"""
+WITH {TOK_CTE}, {POST_CTE},
+cand AS (SELECT DISTINCT doc_id FROM post WHERE term IN ({in_list}))
+SELECT doc.{facet_col} AS facet, count(*)::BIGINT AS n_docs
+FROM documents doc JOIN cand ON doc.doc_id = cand.doc_id
+GROUP BY 1
+ORDER BY n_docs DESC, facet ASC
 """
 
 
@@ -1135,6 +1158,7 @@ GROUP BY d::date
         "not_topk": _topk_oracle(FLAGSHIP_QUERY, 10, exclude=NOT_TERM),
         "prefix_topk": _prefix_oracle(PREFIX_PAT, 10),
         "near_search": _near_oracle(NEAR_A, NEAR_B, NEAR_W),
+        "facet_counts": _facet_oracle(FLAGSHIP_QUERY, "lang"),
         "snippet_hits": _snippet_oracle(FLAGSHIP_QUERY, 10),
         "fingerprints": f"SELECT doc_id, {SQL_FP} AS fp FROM documents",
         "exact_dup_groups": f"""

@@ -1557,6 +1557,56 @@ class IndexBuilder:
         )
         return man
 
+    def facet_counts(
+        self, query: str, facet_col: str, require_all: bool = False
+    ) -> DataFrame:
+        """Per-facet-value doc counts over ALL docs matching ``query``
+        (disjunctive by default, conjunctive with ``require_all``) — the
+        aggregation a search UI renders beside results ("lang: en (123),
+        de (41), …"). Returns (facet, n_docs) ordered (n_docs desc,
+        facet asc); NULL facet values count as their own bucket.
+
+        Plan: candidate doc_ords from manifest-pruned blocks (distinct
+        over the query terms' postings — scoring is skipped entirely, a
+        match test needs no tf weighting) → one semi-ish join against
+        the narrow doc_ord-sorted ``docmeta`` table → groupBy facet.
+        The shuffle moves one row per matching doc, never the corpus;
+        the facet agg is a map-side-combinable count."""
+        from antidb_spark.functions.analyze import py_tokens
+
+        if not self.ckpt.is_done("docmeta"):
+            raise ValueError(
+                "docmeta not built (build_doc_meta(corpus, meta_cols))"
+            )
+        meta = self.catalog.read("docmeta")
+        if facet_col not in meta.columns:
+            raise ValueError(f"{facet_col!r} is not a docmeta column")
+        q_terms = sorted(set(py_tokens(query)))
+        if not q_terms:
+            return self.spark.createDataFrame(
+                [], f"facet {meta.schema[facet_col].dataType.simpleString()}"
+                ", n_docs long",
+            )
+        blocks = self.catalog.read_pruned("blocks", "term", q_terms).filter(
+            F.col("term").isin(q_terms)
+        )
+        post = self._decoded_postings(blocks).select("term", "doc_ord")
+        if require_all:
+            cand = (
+                post.groupBy("doc_ord")
+                .agg(F.count_distinct("term").alias("_nt"))
+                .filter(F.col("_nt") == len(q_terms))
+                .select("doc_ord")
+            )
+        else:
+            cand = post.select("doc_ord").distinct()
+        return (
+            meta.join(cand, "doc_ord", "left_semi")
+            .groupBy(F.col(facet_col).alias("facet"))
+            .agg(F.count(F.lit(1)).alias("n_docs"))
+            .orderBy(F.desc("n_docs"), F.asc("facet"))
+        )
+
     def query_filtered(
         self, query: str, where: str, k: int = 10,
         require_all: bool = False, exclude: str | None = None,

@@ -464,6 +464,93 @@ def near_query(
     )
 
 
+def near_warm(
+    builder, term_a: str, term_b: str, window: int
+) -> pd.DataFrame:
+    """Interactive NEAR/w with NO Spark job (the warm tier beside
+    ``phrase_warm``): manifest-pruned pyarrow reads of the two terms'
+    positional blocks, vectorized pair counting via searchsorted over
+    a (doc, pos) composite key, pruned docmap resolve. Row/value-
+    identical to ``near_query`` (pinned by tests); stopword-grade term
+    pairs (candidate blocks > ``PHRASE_WARM_MAX_BLOCKS``) transparently
+    fall back to the distributed path."""
+    toks_a, toks_b = py_tokens(term_a), py_tokens(term_b)
+    if len(toks_a) != 1 or len(toks_b) != 1:
+        raise ValueError("near_warm takes exactly one term per side")
+    ta, tb = toks_a[0], toks_b[0]
+    if ta == tb:
+        raise ValueError("near_warm terms must differ")
+    if not builder.ckpt.is_done("pos_blocks"):
+        raise ValueError("positional index not built (build_positional_index)")
+    cols = [*builder.id_cols, "min_dist", "n_pairs"]
+    dfs = builder.catalog.read_pruned_arrow(
+        "terms", "term", [ta, tb], columns=["term", "df"]
+    )
+    est_blocks = sum(
+        (int(d) + POS_BLOCK_SIZE - 1) // POS_BLOCK_SIZE
+        for d in dfs.column("df").to_pylist()
+    )
+    if est_blocks > PHRASE_WARM_MAX_BLOCKS:
+        out = near_query(builder, ta, tb, window).toPandas()
+        return out.reset_index(drop=True)
+    tbl = builder.catalog.read_pruned_arrow(
+        "pos_blocks", "term", [ta, tb],
+        columns=["term", "n_docs", "docs_packed", "tfs_packed", "pos_packed"],
+    ).to_pandas()
+    if not len(tbl):
+        return pd.DataFrame(columns=cols)
+    uniq_terms, tids, ords, pos = _decode_pos_batch(tbl)
+    tindex = {t: i for i, t in enumerate(uniq_terms)}
+    if ta not in tindex or tb not in tindex:
+        return pd.DataFrame(columns=cols)
+    sel_a, sel_b = tids == tindex[ta], tids == tindex[tb]
+    da, pa = ords[sel_a], pos[sel_a]
+    db, pb = ords[sel_b], pos[sel_b]
+    if da.size == 0 or db.size == 0:
+        return pd.DataFrame(columns=cols)
+    # composite (doc, pos) keys — positions < 2^33 per doc, docs dense
+    kb = np.sort((db.astype(np.int64) << _WARM_SHIFT) + pb)
+    base = da.astype(np.int64) << _WARM_SHIFT
+    lo = np.searchsorted(kb, base + np.maximum(pa - window, 0))
+    hi = np.searchsorted(kb, base + pa + window, side="right")
+    n_occ = hi - lo  # qualifying b-occurrences per a-occurrence
+    # nearest-b distance per a-occurrence (only meaningful when n_occ>0:
+    # then the nearest in-doc neighbor is inside the window by def.)
+    j = np.searchsorted(kb, base + pa)
+    rd = np.full(da.size, np.iinfo(np.int64).max)
+    m = j < kb.size
+    rj = np.minimum(j, kb.size - 1)
+    same = m & ((kb[rj] >> _WARM_SHIFT) == da)
+    rd[same] = ((kb[rj] & ((1 << _WARM_SHIFT) - 1)) - pa)[same]
+    ld = np.full(da.size, np.iinfo(np.int64).max)
+    lj = np.maximum(j - 1, 0)
+    samel = (j > 0) & ((kb[lj] >> _WARM_SHIFT) == da)
+    ld[samel] = (pa - (kb[lj] & ((1 << _WARM_SHIFT) - 1)))[samel]
+    nn = np.minimum(rd, ld)
+    hit = n_occ > 0
+    if not hit.any():
+        return pd.DataFrame(columns=cols)
+    hd, hn, hnn = da[hit], n_occ[hit], nn[hit]
+    u, inv = np.unique(hd, return_inverse=True)
+    n_pairs = np.bincount(inv, weights=hn).astype(np.int64)
+    min_dist = np.full(u.size, np.iinfo(np.int64).max)
+    np.minimum.at(min_dist, inv, hnn)
+    dm = (
+        builder.catalog.read_pruned_arrow(
+            "docmap", "doc_ord", values=[int(o) for o in u],
+            columns=["doc_ord", *builder.id_cols],
+        )
+        .to_pandas()
+        .set_index("doc_ord")
+    )
+    out = dm.loc[u, list(builder.id_cols)].reset_index(drop=True)
+    out["min_dist"] = min_dist
+    out["n_pairs"] = n_pairs
+    return out.sort_values(
+        ["min_dist", *builder.id_cols]
+    ).reset_index(drop=True)
+
+
 def term_positions(builder, query: str, k: int = 10) -> DataFrame:
     """Highlight/snippet support served ENTIRELY from committed index
     tables: for the top-k BM25 docs of ``query`` (disjunctive,

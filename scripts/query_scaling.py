@@ -49,21 +49,33 @@ ROOT = os.environ.get("SPARK_GRAFT_QSCALE_ROOT", "/dev/shm/qscale_idx")
 PROBE_QUIET_FRAC = 0.8
 
 
-def mem_probe_gbps(n_bytes: int = 512 * 1024 * 1024) -> float:
-    """Streaming DRAM bandwidth right now (GB/s): one triad pass over
-    ``n_bytes`` of float64. Single-threaded numpy — measures the bus
-    share a sequential reader gets in the current noise window."""
+_PROBE_BUFS = None
+
+
+def mem_probe_gbps(n_bytes: int = 256 * 1024 * 1024) -> float:
+    """Streaming DRAM bandwidth right now (GB/s): triad passes over
+    PREALLOCATED, pre-touched float64 buffers (``np.add(a, b, out=c)``)
+    — single-threaded, no allocation in the timed region. Fresh
+    allocation must stay out of the loop: first-touch page-fault
+    throughput on this VM intermittently drops to ~10 MB/s (measured: a
+    512 MB ``np.ones`` triad took >75 s on an otherwise idle box), so a
+    probe that allocates measures the fault path, not the bus. Best of
+    2 passes (contention only ever slows a pass down)."""
+    global _PROBE_BUFS
     import numpy as np
 
     n = n_bytes // 8
-    a = np.ones(n)
-    b = np.ones(n)
-    t0 = time.perf_counter()
-    c = a + b
-    dt = time.perf_counter() - t0
-    moved = 3 * n * 8  # read a, read b, write c
-    del c
-    return round(moved / dt / 1e9, 2)
+    if _PROBE_BUFS is None:
+        a, b, c = np.ones(n), np.ones(n), np.zeros(n)
+        c[:] = 1.0  # pre-touch every page of the output buffer
+        _PROBE_BUFS = (a, b, c)
+    a, b, c = _PROBE_BUFS
+    best = float("inf")
+    for _ in range(2):
+        t0 = time.perf_counter()
+        np.add(a, b, out=c)
+        best = min(best, time.perf_counter() - t0)
+    return round(3 * n * 8 / best / 1e9, 2)
 
 
 def _stage_task_time_ms(spark, after_stage: int) -> tuple[int, int]:
@@ -137,10 +149,19 @@ def main() -> None:
     import shutil
     import statistics
 
-    shutil.rmtree(ROOT, ignore_errors=True)
-    print(f"building shared index at {ROOT} ...", file=sys.stderr)
-    b = run_child("build", N4_CORES)
-    print(json.dumps(b), file=sys.stderr)
+    # SPARK_GRAFT_QSCALE_KEEP=1 reuses an index a previous invocation
+    # built at ROOT (the corpus is deterministic for a given N_CONVS)
+    keep = os.environ.get("SPARK_GRAFT_QSCALE_KEEP") == "1"
+    if keep and os.path.exists(
+        os.path.join(ROOT, "blocks", "_manifest.json")
+    ):
+        b = {"n_turns": None, "reused": True}
+        print(f"reusing index at {ROOT}", file=sys.stderr)
+    else:
+        shutil.rmtree(ROOT, ignore_errors=True)
+        print(f"building shared index at {ROOT} ...", file=sys.stderr)
+        b = run_child("build", N4_CORES)
+        print(json.dumps(b), file=sys.stderr)
 
     reps = int(os.environ.get("SPARK_GRAFT_QSCALE_REPEATS", "12"))
     pairs: list[dict] = []
@@ -187,7 +208,7 @@ def main() -> None:
     walls = {str(c): [p[str(c)]["seconds"] for p in pairs]
              for c in (N_CORES, N4_CORES)}
     out = {
-        "n_turns": b["n_turns"],
+        "n_turns": b.get("n_turns"),
         "n_queries": N_QUERIES,
         "levels": [N_CORES, N4_CORES],
         "pairs": pairs,
@@ -210,7 +231,8 @@ def main() -> None:
     )
     with open(os.path.join(REPO, "BENCH", name), "w") as f:
         json.dump(out, f, indent=1)
-    shutil.rmtree(ROOT, ignore_errors=True)
+    if not keep:
+        shutil.rmtree(ROOT, ignore_errors=True)
     print(json.dumps({k: out[k] for k in
                       ("all_pairs", "quiet_pairs", "task_time_ratio_median",
                        "wall_floors_s", "qps_at_floor")}))

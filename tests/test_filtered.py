@@ -242,3 +242,46 @@ def test_term_positions_empty_query(built):
     assert [f.name for f in out.schema.fields] == [
         "conv_id", "turn_idx", "term", "first_pos", "n_hits"
     ]
+
+
+def test_facet_counts_match_bruteforce(spark, built):
+    b, corpus = built
+    from antidb_spark.functions.analyze import py_tokens
+
+    terms = sorted(set(py_tokens(QUERY)))
+    toks = corpus.select(
+        "conv_id", "turn_idx", "role",
+        F.explode(F.expr(
+            "filter(split(regexp_replace(lower(text), "
+            "'[^a-z0-9]+', ' '), ' '), x -> x <> '')"
+        )).alias("t"),
+    ).toPandas()
+    m = toks[toks["t"].isin(terms)]
+    cand = m[["conv_id", "turn_idx", "role"]].drop_duplicates()
+    want = (
+        cand.groupby("role", as_index=False).size()
+        .rename(columns={"role": "facet", "size": "n_docs"})
+        .sort_values(["n_docs", "facet"], ascending=[False, True])
+        .reset_index(drop=True)
+    )
+    got = b.facet_counts(QUERY, "role").toPandas()
+    assert got.astype({"n_docs": "int64"}).values.tolist() == \
+        want.astype({"n_docs": "int64"}).values.tolist()
+    assert len(got) > 1  # both roles appear — the facet is non-vacuous
+
+
+def test_facet_counts_require_all_shrinks(built):
+    b, _ = built
+    dis = b.facet_counts(QUERY, "role").toPandas()
+    con = b.facet_counts(QUERY, "role", require_all=True).toPandas()
+    assert con["n_docs"].sum() <= dis["n_docs"].sum()
+
+
+def test_facet_counts_validates(built):
+    b, _ = built
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        b.facet_counts(QUERY, "nope_col")
+    assert b.facet_counts("", "role").count() == 0
+    assert b.facet_counts("zzznotaword0", "role").count() == 0

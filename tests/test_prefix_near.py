@@ -139,10 +139,43 @@ def test_near_contains_exact_phrase(built):
     assert nk <= wk and len(wk) > 0
 
 
+def test_near_warm_matches_distributed(built):
+    from antidb_spark.operators import phrase as ph
+
+    b, _ = built
+    for w in (1, 4, 9):
+        want = ph.near_query(b, "from", "has", w).toPandas()
+        got = ph.near_warm(b, "from", "has", w)
+        assert got.astype({"min_dist": "int64", "n_pairs": "int64"}) \
+            .values.tolist() == want.astype(
+            {"min_dist": "int64", "n_pairs": "int64"}).values.tolist()
+    assert len(ph.near_warm(b, "from", "has", 4)) > 0
+    # miss term → empty with the right columns
+    empty = ph.near_warm(b, "from", "zzznotaword0", 4)
+    assert empty.empty and list(empty.columns) == [
+        "conv_id", "turn_idx", "min_dist", "n_pairs"
+    ]
+
+
+def test_near_warm_fallback_path(built, monkeypatch):
+    from antidb_spark.operators import phrase as ph
+
+    b, _ = built
+    want = ph.near_warm(b, "from", "has", 4)
+    monkeypatch.setattr(ph, "PHRASE_WARM_MAX_BLOCKS", 0)
+    got = ph.near_warm(b, "from", "has", 4)  # forced distributed fallback
+    assert got.astype({"min_dist": "int64", "n_pairs": "int64"}) \
+        .values.tolist() == want.astype(
+        {"min_dist": "int64", "n_pairs": "int64"}).values.tolist()
+
+
 def test_near_validates_arguments(built):
     b, _ = built
-    with pytest.raises(ValueError):
-        near_query(b, "table", "table", 3)
-    with pytest.raises(ValueError):
-        near_query(b, "two words", "hash", 3)
+    from antidb_spark.operators.phrase import near_warm
+
+    for fn in (near_query, near_warm):
+        with pytest.raises(ValueError):
+            fn(b, "table", "table", 3)
+        with pytest.raises(ValueError):
+            fn(b, "two words", "hash", 3)
     assert py_tokens("Table!") == ["table"]
