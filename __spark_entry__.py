@@ -266,6 +266,19 @@ def _q_prefix_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _entry_index(spark, sf_dir).query_prefix(PREFIX_PAT, k=10)
 
 
+def _q_paged_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Search-after paging: page 2 of the flagship ranking, requested
+    with the (score, doc_id) cursor of page 1's last row — the
+    deep-pagination contract (no OFFSET recompute). Oracle = the same
+    ranking with OFFSET 10, proving cursor == offset semantics."""
+    b = _entry_index(spark, sf_dir)
+    page1 = b.query_pinned(FLAGSHIP_QUERY, k=10).collect()
+    last = page1[-1]
+    return b.query_pinned(
+        FLAGSHIP_QUERY, k=10, after=(last["score"], last["doc_id"])
+    )
+
+
 def _q_facet_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Search-facet aggregation: per-language doc counts over every doc
     matching the flagship query (scoring skipped — candidates from
@@ -646,6 +659,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "prefix_topk": _q_prefix_topk,
         "near_search": _q_near_search,
         "facet_counts": _q_facet_counts,
+        "paged_topk": _q_paged_topk,
         "snippet_hits": _q_snippet_hits,
         "eq_lookup": _q_eq_lookup,
         "rng_lookup": _q_rng_lookup,
@@ -681,6 +695,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def _topk_oracle(
     query: str, k: int, where: str | None = None,
     require_all: bool = False, exclude: str | None = None,
+    offset: int = 0,
 ) -> str:
     """BM25 top-k oracle; ``where`` restricts the RESULT docs via a
     predicate over the documents row (alias ``doc``) while df/avgdl/N
@@ -729,7 +744,7 @@ CROSS JOIN st s
 GROUP BY p.doc_id
 {having}
 ORDER BY score DESC, doc_id ASC
-LIMIT {k}
+LIMIT {k}{f" OFFSET {offset}" if offset else ""}
 """
 
 
@@ -1159,6 +1174,7 @@ GROUP BY d::date
         "prefix_topk": _prefix_oracle(PREFIX_PAT, 10),
         "near_search": _near_oracle(NEAR_A, NEAR_B, NEAR_W),
         "facet_counts": _facet_oracle(FLAGSHIP_QUERY, "lang"),
+        "paged_topk": _topk_oracle(FLAGSHIP_QUERY, 10, offset=10),
         "snippet_hits": _snippet_oracle(FLAGSHIP_QUERY, 10),
         "fingerprints": f"SELECT doc_id, {SQL_FP} AS fp FROM documents",
         "exact_dup_groups": f"""

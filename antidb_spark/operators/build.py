@@ -612,7 +612,12 @@ class IndexBuilder:
 
         from antidb_spark.functions.analyze import py_tokens
 
-        per_query = [sorted(set(py_tokens(q))) for q in queries]
+        # a query is a string (tokenized here) or a pre-expanded term
+        # list (prefix/wildcard expansion — already analyzer-normal)
+        per_query = [
+            sorted(set(q if isinstance(q, (list, tuple)) else py_tokens(q)))
+            for q in queries
+        ]
         q_terms = sorted({t for ts in per_query for t in ts})
         if not q_terms:
             return None
@@ -1222,10 +1227,11 @@ class IndexBuilder:
         return out
 
     def _warm_top_ords(
-        self, query: str, k: int
+        self, query: str | Sequence[str], k: int
     ) -> tuple[np.ndarray, np.ndarray] | None:
-        """Driver-side top-k (doc_ords, scores) for one query — the
-        shared scoring core of ``query_warm`` and the warm snippet tier
+        """Driver-side top-k (doc_ords, scores) for one query (a string,
+        or a pre-expanded term list) — the shared scoring core of
+        ``query_warm`` / ``query_prefix_warm`` and the warm snippet tier
         (``phrase.term_positions_warm``). Returns None when the query
         exceeds the warm block budget (caller falls back to the
         distributed path); empty arrays when nothing matches."""
@@ -1293,6 +1299,34 @@ class IndexBuilder:
         r = self._warm_top_ords(query, k)
         if r is None:
             out = self.query_batch([query], k=k).toPandas()
+            return out.drop(columns=["query_id"]).reset_index(drop=True)
+        top, top_scores = r
+        if top.size == 0:
+            return pd.DataFrame(columns=cols)
+        out = self._resolve_ords(
+            [int(o) for o in top]
+        )[list(self.id_cols)].copy()
+        out["score"] = top_scores
+        return out
+
+    def query_prefix_warm(
+        self, prefix: str, k: int = 10, max_terms: int | None = None
+    ) -> pd.DataFrame:
+        """Interactive prefix/wildcard top-k with NO Spark job: the
+        expansion comes from the range-pruned terms table (pyarrow) and
+        scoring runs through the shared warm core over the expanded
+        disjunct — value-identical to ``query_batch`` on the expansion
+        set and rank-identical to ``query_prefix`` (pinned by tests).
+        Stopword-grade prefixes ("t*") exceed the warm block budget and
+        fall back to the distributed batch path on the same
+        expansion."""
+        cols = [*self.id_cols, "score"]
+        exp = self.expand_prefix(prefix, max_terms)
+        if not exp:
+            return pd.DataFrame(columns=cols)
+        r = self._warm_top_ords(exp, k)
+        if r is None:
+            out = self.query_batch([exp], k=k).toPandas()
             return out.drop(columns=["query_id"]).reset_index(drop=True)
         top, top_scores = r
         if top.size == 0:
@@ -1408,11 +1442,44 @@ class IndexBuilder:
         ) + ", score double"
         return self.spark.createDataFrame([], schema)
 
-    def _resolve_topk(self, top: DataFrame, k: int) -> DataFrame:
+    def _resolve_topk(
+        self, top: DataFrame, k: int,
+        after: tuple | None = None,
+    ) -> DataFrame:
         """(doc_ord, score) → (*id_cols, score): take the top-k BEFORE
         resolving ids — doc_ord IS the (*id_cols) tiebreak order, so
         TakeOrdered runs on the narrow relation and only k rows meet the
-        docmap (broadcast the k side)."""
+        docmap (broadcast the k side).
+
+        ``after`` = (score, *id_vals) of the last row already delivered
+        (search-after paging): keep strictly-later rows in the total
+        (score desc, *id_cols asc) order. Docs below the score need no
+        id resolution; only score-TIED docs join the docmap for the
+        lexicographic id comparison — a handful of rows, never the
+        candidate set."""
+        if after is not None:
+            s_after, *ids_after = after
+            if len(ids_after) != len(self.id_cols):
+                raise ValueError(
+                    f"after must be (score, {', '.join(self.id_cols)})"
+                )
+            docmap_ids = self.catalog.read("docmap").select(
+                "doc_ord", *self.id_cols
+            )
+            lex = F.lit(False)
+            prefix_eq = F.lit(True)
+            for c, v in zip(self.id_cols, ids_after):
+                lex = lex | (prefix_eq & (F.col(c) > F.lit(v)))
+                prefix_eq = prefix_eq & (F.col(c) == F.lit(v))
+            tied = (
+                top.filter(F.col("score") == F.lit(float(s_after)))
+                .join(docmap_ids, "doc_ord")
+                .filter(lex)
+                .select("doc_ord", "score")
+            )
+            top = top.filter(
+                F.col("score") < F.lit(float(s_after))
+            ).unionByName(tied)
         top = top.orderBy(F.desc("score"), F.asc("doc_ord")).limit(k)
         docmap = self.catalog.read("docmap")
         return (
@@ -1438,6 +1505,7 @@ class IndexBuilder:
         k: int = 10,
         require_all: bool = False,
         exclude: str | None = None,
+        after: tuple | None = None,
     ) -> DataFrame:
         """Cross-engine-deterministic top-k over the physical index:
         per-term contributions summed in sorted-term fixed order, score
@@ -1454,6 +1522,12 @@ class IndexBuilder:
         - ``exclude="..."``: NOT — docs containing ANY excluded term are
           anti-joined out (before top-k, so exactly k surviving docs
           resolve). Excluded terms don't affect surviving docs' scores.
+        - ``after=(score, *id_vals)``: search-after paging — return the
+          next k results strictly after that row in the (score desc,
+          *id_cols asc) total order; equivalent to OFFSET past it but
+          O(k), stable across pages, and never recomputes earlier
+          pages (the deep-pagination contract search engines expose
+          instead of OFFSET).
         """
         from antidb_spark.functions.analyze import py_tokens
 
@@ -1469,7 +1543,9 @@ class IndexBuilder:
             scored = scored.join(
                 self._excluded_ords(ex_terms), "doc_ord", "left_anti"
             )
-        return self._resolve_topk(scored.select("doc_ord", "score"), k)
+        return self._resolve_topk(
+            scored.select("doc_ord", "score"), k, after=after
+        )
 
     # -- prefix (wildcard) search -----------------------------------------
 

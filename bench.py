@@ -106,7 +106,8 @@ def run_suite(spark, docs, transcripts, n_turns):
 
     # --- index build over synthetic transcripts (north-rule flagship) ---
     index_phases = ("index_build", "bm25_batch", "bm25_warm", "pos_build",
-                    "phrase_warm", "snippet_warm")
+                    "phrase_warm", "snippet_warm", "near_warm",
+                    "prefix_warm")
     builder = None
     if any(phase_on(p) for p in index_phases):
         builder = IndexBuilder(spark, os.path.join(work_root, "idx"))
@@ -129,9 +130,11 @@ def run_suite(spark, docs, transcripts, n_turns):
 
     # --- persisted positional index: build + warm phrase queries --------
     if (phase_on("pos_build") or phase_on("phrase_warm")
-            or phase_on("snippet_warm")):
+            or phase_on("snippet_warm") or phase_on("near_warm")
+            or phase_on("prefix_warm")):
         from antidb_spark.operators.phrase import (
             build_positional_index,
+            near_warm,
             phrase_warm,
             term_positions_warm,
         )
@@ -156,6 +159,16 @@ def run_suite(spark, docs, transcripts, n_turns):
             snip_qs = [f"{v[i]} {v[i + 53]}" for i in range(400, 410)] * 2
             warm_median("snippet_warm", snip_qs,
                         lambda q: term_positions_warm(builder, q, k=10))
+        if phase_on("near_warm"):
+            v = vocabulary(2000)
+            near_pairs = [(v[i], v[i + 101]) for i in range(500, 510)] * 2
+            warm_median("near_warm", near_pairs,
+                        lambda p: near_warm(builder, p[0], p[1], 5))
+        if phase_on("prefix_warm"):
+            v = vocabulary(2000)
+            prefs = [v[i][:4] for i in range(600, 610)] * 2
+            warm_median("prefix_warm", prefs,
+                        lambda p: builder.query_prefix_warm(p, k=10))
 
     # --- flagship documents query ---------------------------------------
     if phase_on("topk_docs"):
@@ -242,7 +255,8 @@ def main() -> None:
 
     transcripts, n_turns = None, 0
     index_phases = ("index_build", "bm25_batch", "bm25_warm", "pos_build",
-                    "phrase_warm", "snippet_warm")
+                    "phrase_warm", "snippet_warm", "near_warm",
+                    "prefix_warm")
     if any(phase_on(p) for p in index_phases):
         transcripts = synth_transcripts(spark, n_convs=N_CONVS).cache()
         n_turns = transcripts.count()  # materialize outside any timer
@@ -285,6 +299,10 @@ def main() -> None:
         extras["phrase_warm_ms"] = round(1000 * timings["phrase_warm"], 2)
     if "snippet_warm" in timings:
         extras["snippet_warm_ms"] = round(1000 * timings["snippet_warm"], 2)
+    if "near_warm" in timings:
+        extras["near_warm_ms"] = round(1000 * timings["near_warm"], 2)
+    if "prefix_warm" in timings:
+        extras["prefix_warm_ms"] = round(1000 * timings["prefix_warm"], 2)
     if "eq_batch_1000" in timings:
         extras["point_lookups_per_sec_spark"] = round(
             1000 / timings["eq_batch_1000"], 1

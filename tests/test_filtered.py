@@ -285,3 +285,27 @@ def test_facet_counts_validates(built):
         b.facet_counts(QUERY, "nope_col")
     assert b.facet_counts("", "role").count() == 0
     assert b.facet_counts("zzznotaword0", "role").count() == 0
+
+
+def test_search_after_paging(built):
+    b, _ = built
+    full = b.query_pinned(QUERY, k=20).toPandas()
+    assert len(full) == 20
+    p1 = full.head(10)
+    last = p1.iloc[-1]
+    p2 = b.query_pinned(
+        QUERY, k=10, after=(float(last["score"]),
+                            last["conv_id"], int(last["turn_idx"]))
+    ).toPandas()
+    assert p2.values.tolist() == full.tail(10).values.tolist()
+    # cursor past the end → empty
+    tail = full.iloc[-1]
+    beyond = b.query_pinned(
+        QUERY, k=10, after=(-1.0, tail["conv_id"], int(tail["turn_idx"]))
+    ).toPandas()
+    assert beyond.empty
+    # malformed cursor arity → error
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        b.query_pinned(QUERY, k=10, after=(1.0, "x")).collect()

@@ -77,6 +77,19 @@ def test_query_prefix_equals_pinned_over_expansion(built):
     assert got.values.tolist() == want.values.tolist()
 
 
+def test_query_prefix_warm_matches_batch_and_ranks(built):
+    b, _ = built
+    exp = b.expand_prefix("s")
+    warm = b.query_prefix_warm("s", k=10)
+    batch = b.query_batch([exp], k=10).toPandas().drop(columns=["query_id"])
+    assert warm.values.tolist() == batch.values.tolist()  # bit-identical
+    pinned = b.query_prefix("s", k=10).toPandas()
+    assert warm[["conv_id", "turn_idx"]].values.tolist() == \
+        pinned[["conv_id", "turn_idx"]].values.tolist()  # rank-identical
+    assert len(warm) == 10
+    assert b.query_prefix_warm("qqqxyz", k=10).empty
+
+
 def test_query_prefix_no_match_is_empty(built):
     b, _ = built
     out = b.query_prefix("qqqxyz", k=10)
