@@ -266,6 +266,24 @@ def _q_prefix_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _entry_index(spark, sf_dir).query_prefix(PREFIX_PAT, k=10)
 
 
+MLT_DOC, MLT_M = 7, 3
+
+
+def _q_more_like_this(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Query-by-document: the m most characteristic terms of doc 7
+    (source tf × corpus idf, Lucene MLT selection) become the ranking
+    disjunct. Term selection is driver-side from the committed terms/
+    stats tables; the oracle recomputes the selection in SQL."""
+    b = _entry_index(spark, sf_dir)
+    text = (
+        _docs(spark, sf_dir)
+        .filter(F.col("doc_id") == MLT_DOC)
+        .select("text")
+        .collect()[0]["text"]
+    )
+    return b.more_like_this(text, m=MLT_M, k=10)
+
+
 def _q_paged_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Search-after paging: page 2 of the flagship ranking, requested
     with the (score, doc_id) cursor of page 1's last row — the
@@ -660,6 +678,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "near_search": _q_near_search,
         "facet_counts": _q_facet_counts,
         "paged_topk": _q_paged_topk,
+        "more_like_this": _q_more_like_this,
         "snippet_hits": _q_snippet_hits,
         "eq_lookup": _q_eq_lookup,
         "rng_lookup": _q_rng_lookup,
@@ -763,6 +782,35 @@ st AS (SELECT count(*)::BIGINT AS n_docs, avg(dl) AS avgdl FROM dl),
 dfs AS (SELECT term, count(*)::BIGINT AS df FROM post
         WHERE term LIKE '{prefix}%' GROUP BY term
         ORDER BY term LIMIT {max_terms})
+SELECT p.doc_id AS doc_id, round(sum({contrib} ORDER BY p.term), 4) AS score
+FROM post p
+JOIN dfs d ON p.term = d.term
+JOIN dl l ON p.doc_id = l.doc_id
+CROSS JOIN st s
+GROUP BY p.doc_id
+ORDER BY score DESC, doc_id ASC
+LIMIT {k}
+"""
+
+
+def _mlt_oracle(doc_id: int, m: int, k: int) -> str:
+    """More-like-this oracle: recompute the m-term selection (source
+    tf × idf, ties term-asc) and the pinned-float ranking entirely in
+    SQL — both engines derive the query from the data, so the hash
+    check covers selection AND scoring."""
+    contrib = sql_contribution(tf="p.tf", df="d.df", dl="l.dl",
+                               avgdl="s.avgdl", n="s.n_docs")
+    return f"""
+WITH {TOK_CTE}, {POST_CTE}, {DL_CTE},
+st AS (SELECT count(*)::BIGINT AS n_docs, avg(dl) AS avgdl FROM dl),
+src AS (SELECT term, count(*)::DOUBLE AS qtf FROM tok
+        WHERE doc_id = {doc_id} GROUP BY term),
+alldf AS (SELECT term, count(*)::BIGINT AS df FROM post GROUP BY term),
+dfs AS (SELECT s.term, a.df
+        FROM src s JOIN alldf a ON s.term = a.term CROSS JOIN st
+        ORDER BY s.qtf * ln(1.0 + (st.n_docs - a.df + 0.5) / (a.df + 0.5))
+                 DESC, s.term ASC
+        LIMIT {m})
 SELECT p.doc_id AS doc_id, round(sum({contrib} ORDER BY p.term), 4) AS score
 FROM post p
 JOIN dfs d ON p.term = d.term
@@ -1175,6 +1223,7 @@ GROUP BY d::date
         "near_search": _near_oracle(NEAR_A, NEAR_B, NEAR_W),
         "facet_counts": _facet_oracle(FLAGSHIP_QUERY, "lang"),
         "paged_topk": _topk_oracle(FLAGSHIP_QUERY, 10, offset=10),
+        "more_like_this": _mlt_oracle(MLT_DOC, MLT_M, 10),
         "snippet_hits": _snippet_oracle(FLAGSHIP_QUERY, 10),
         "fingerprints": f"SELECT doc_id, {SQL_FP} AS fp FROM documents",
         "exact_dup_groups": f"""

@@ -1594,6 +1594,42 @@ class IndexBuilder:
             self._pinned_doc_scores(exp).select("doc_ord", "score"), k
         )
 
+    def more_like_this(
+        self, text: str, m: int = 5, k: int = 10
+    ) -> DataFrame:
+        """Query-by-document ("more like this"): select the ``m`` most
+        characteristic terms of ``text`` — source term frequency ×
+        corpus idf (Lucene MLT's selection heuristic), ties broken
+        term-ascending — then rank the corpus with the standard pinned
+        disjunct over that term set. Selection is pure driver-side
+        planning: tf from the shared analyzer, df from the
+        manifest-pruned terms table, corpus stats from the committed
+        stats row — no Spark job before the final scoring read, which
+        prunes to the selected terms' block files."""
+        import math
+        from collections import Counter
+
+        from antidb_spark.functions.analyze import py_tokens
+
+        tf = Counter(py_tokens(text))
+        if not tf:
+            return self._empty_topk()
+        dfs = self._term_dfs(sorted(tf))
+        if not dfs:
+            return self._empty_topk()
+        n_docs, _ = self._corpus_stats()
+        weighted = sorted(
+            (
+                (t, tf[t] * math.log(1.0 + (n_docs - d + 0.5) / (d + 0.5)))
+                for t, d in dfs.items()
+            ),
+            key=lambda kv: (-kv[1], kv[0]),
+        )
+        sel = sorted(t for t, _ in weighted[:m])
+        return self._resolve_topk(
+            self._pinned_doc_scores(sel).select("doc_ord", "score"), k
+        )
+
     # -- metadata-filtered search (late materialization) -----------------
 
     def build_doc_meta(

@@ -106,7 +106,30 @@ def child(mode: str, cpus: int) -> None:
         master=f"local[{cpus}]", extra_conf={"spark.ui.enabled": "true"}
     )
     b = IndexBuilder(spark, ROOT)
-    if mode == "build":
+    if mode == "build_timed":
+        # build-scaling child: cache+materialize the corpus (untimed),
+        # build into a FRESH work root, report wall + task-time
+        import shutil as _sh
+        import tempfile as _tmp
+
+        t = synth_transcripts(spark, n_convs=N_CONVS).cache()
+        n = t.count()
+        root = _tmp.mkdtemp(prefix="qscale_build_", dir="/dev/shm")
+        try:
+            bb = IndexBuilder(spark, root)
+            _, last = _stage_task_time_ms(spark, -1)  # exclude the count
+            t0 = time.time()
+            bb.build(t)
+            wall = round(time.time() - t0, 2)
+            task_ms, _ = _stage_task_time_ms(spark, last)
+            print(json.dumps({
+                "mode": "build_timed", "cpus": cpus, "n_turns": n,
+                "seconds": wall,
+                "task_time_s": round(task_ms / 1000, 2),
+            }))
+        finally:
+            _sh.rmtree(root, ignore_errors=True)
+    elif mode == "build":
         t = synth_transcripts(spark, n_convs=N_CONVS).cache()
         n = t.count()
         t0 = time.time()
@@ -149,10 +172,14 @@ def main() -> None:
     import shutil
     import statistics
 
-    # SPARK_GRAFT_QSCALE_KEEP=1 reuses an index a previous invocation
-    # built at ROOT (the corpus is deterministic for a given N_CONVS)
+    # SPARK_GRAFT_QSCALE_MODE=build measures INDEX-BUILD scaling with
+    # the same probe-tagged alternating-pair protocol (each child builds
+    # into a fresh tmpfs root; the shared query index is not touched)
+    child_mode = os.environ.get("SPARK_GRAFT_QSCALE_MODE", "query")
     keep = os.environ.get("SPARK_GRAFT_QSCALE_KEEP") == "1"
-    if keep and os.path.exists(
+    if child_mode == "build":
+        b = {"n_turns": None, "mode": "build"}
+    elif keep and os.path.exists(
         os.path.join(ROOT, "blocks", "_manifest.json")
     ):
         b = {"n_turns": None, "reused": True}
@@ -172,7 +199,9 @@ def main() -> None:
             gbps = mem_probe_gbps()
             print(f"rep {rep}: probe {gbps} GB/s, query at local[{cpus}] ...",
                   file=sys.stderr)
-            r = run_child("query", cpus)
+            r = run_child(
+                "build_timed" if child_mode == "build" else "query", cpus
+            )
             print(json.dumps(r), file=sys.stderr)
             pair[str(cpus)] = {**r, "probe_gbps": gbps}
         pair["ratio"] = round(
@@ -207,7 +236,10 @@ def main() -> None:
 
     walls = {str(c): [p[str(c)]["seconds"] for p in pairs]
              for c in (N_CORES, N4_CORES)}
+    if b.get("n_turns") is None and pairs:
+        b["n_turns"] = pairs[0][str(N_CORES)].get("n_turns")
     out = {
+        "mode": child_mode,
         "n_turns": b.get("n_turns"),
         "n_queries": N_QUERIES,
         "levels": [N_CORES, N4_CORES],
@@ -220,14 +252,21 @@ def main() -> None:
             statistics.median(p["task_time_ratio"] for p in pairs), 3
         ),
         "wall_floors_s": {c: min(v) for c, v in walls.items()},
-        "qps_at_floor": {c: round(N_QUERIES / min(v), 2)
-                         for c, v in walls.items()},
+        "qps_at_floor": (
+            {c: round(N_QUERIES / min(v), 2) for c, v in walls.items()}
+            if child_mode != "build" else None
+        ),
+        "turns_per_sec_at_floor": (
+            {c: round(b["n_turns"] / min(v), 1) for c, v in walls.items()}
+            if child_mode == "build" and b.get("n_turns") else None
+        ),
     }
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
+    stem = "build_scaling" if child_mode == "build" else "query_scaling"
     name = (
-        "query_scaling.json"
-        if N_CORES == 4
-        else f"query_scaling_{N_CORES}to{N4_CORES}.json"
+        f"{stem}.json"
+        if N_CORES == 4 and child_mode != "build"
+        else f"{stem}_{N_CORES}to{N4_CORES}.json"
     )
     with open(os.path.join(REPO, "BENCH", name), "w") as f:
         json.dump(out, f, indent=1)

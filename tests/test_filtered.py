@@ -309,3 +309,29 @@ def test_search_after_paging(built):
 
     with _pytest.raises(ValueError):
         b.query_pinned(QUERY, k=10, after=(1.0, "x")).collect()
+
+
+def test_more_like_this_matches_pinned_over_selection(built):
+    import math
+    from collections import Counter
+
+    from antidb_spark.functions.analyze import py_tokens
+
+    b, corpus = built
+    text = corpus.orderBy("conv_id", "turn_idx").limit(1).collect()[0]["text"]
+    tf = Counter(py_tokens(text))
+    dfs = b._term_dfs(sorted(tf))
+    n_docs, _ = b._corpus_stats()
+    w = sorted(
+        ((t, tf[t] * math.log(1.0 + (n_docs - d + 0.5) / (d + 0.5)))
+         for t, d in dfs.items()),
+        key=lambda kv: (-kv[1], kv[0]),
+    )
+    sel = sorted(t for t, _ in w[:4])
+    got = b.more_like_this(text, m=4, k=10).toPandas()
+    want = b.query_pinned(" ".join(sel), k=10).toPandas()
+    assert got.values.tolist() == want.values.tolist()
+    # characteristic (rare) terms select few-but-nonzero matching docs
+    assert 1 <= len(got) <= 10
+    assert b.more_like_this("", m=4).count() == 0
+    assert b.more_like_this("zzznotaword0 qqq", m=4).count() == 0
