@@ -317,6 +317,46 @@ def _q_near_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return near_query(_entry_index(spark, sf_dir), NEAR_A, NEAR_B, NEAR_W)
 
 
+FUZZY_TERM, FUZZY_EDITS = "pat", 2  # expands to a/data/fast/part at test SF
+
+
+def _q_fuzzy_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy search ("pat"~2): distributed Levenshtein expansion over
+    the committed terms table (4 expansions at test SF, none equal to
+    the probe itself — pure fuzzy matches), each scored with its own
+    idf in the pinned disjunct."""
+    return _entry_index(spark, sf_dir).query_fuzzy(
+        FUZZY_TERM, k=10, max_edits=FUZZY_EDITS
+    )
+
+
+REGEX_PAT = "s.*a.*"  # expands to scan/small/spark/stream at test SF
+
+
+def _q_regex_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex term search: anchored vocabulary match (4 expansions at
+    test SF, a strict superset of no single prefix) ranked as the
+    pinned multi-term disjunct."""
+    return _entry_index(spark, sf_dir).query_regex(REGEX_PAT, k=10)
+
+
+# weights chosen so the boosted top-10 provably reorders the flagship
+# ranking (spark demoted, join promoted)
+BOOST_WEIGHTS = {"spark": 0.25, "query": 1.0, "join": 3.0}
+
+
+def _q_boosted_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Query-time boosting ("spark^0.25 query join^3"): per-term BM25
+    contributions scaled before the pinned sorted-term sum."""
+    return _entry_index(spark, sf_dir).query_boosted(BOOST_WEIGHTS, k=10)
+
+
+def _q_hit_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Total-hits header for the flagship query: count of distinct
+    matching docs over pruned postings, scoring skipped."""
+    return _entry_index(spark, sf_dir).hit_count(FLAGSHIP_QUERY)
+
+
 def _q_keyed_persisted(spark: SparkSession, sf_dir: str, op: str) -> DataFrame:
     """Persisted covering index over document tokens (KeyedIndexStore
     build → reopen → query; the Idx→Prs .adb round-trip, idx.py:41-92 ↔
@@ -679,6 +719,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "facet_counts": _q_facet_counts,
         "paged_topk": _q_paged_topk,
         "more_like_this": _q_more_like_this,
+        "fuzzy_topk": _q_fuzzy_topk,
+        "regex_topk": _q_regex_topk,
+        "boosted_topk": _q_boosted_topk,
+        "hit_count": _q_hit_count,
         "snippet_hits": _q_snippet_hits,
         "eq_lookup": _q_eq_lookup,
         "rng_lookup": _q_rng_lookup,
@@ -790,6 +834,104 @@ CROSS JOIN st s
 GROUP BY p.doc_id
 ORDER BY score DESC, doc_id ASC
 LIMIT {k}
+"""
+
+
+def _fuzzy_oracle(term: str, max_edits: int, k: int,
+                  max_terms: int = 64) -> str:
+    """Fuzzy-expansion BM25 oracle: term set = index terms within
+    ``max_edits`` Levenshtein distance (DuckDB's ``levenshtein`` and
+    Spark's ``F.levenshtein`` both compute the standard edit distance),
+    capped (distance asc, term asc) — the operator's deterministic cap
+    — then the same ordered-aggregate float fold as the prefix
+    oracle."""
+    contrib = sql_contribution(tf="p.tf", df="d.df", dl="l.dl",
+                               avgdl="s.avgdl", n="s.n_docs")
+    q = term.lower().strip()
+    return f"""
+WITH {TOK_CTE}, {POST_CTE}, {DL_CTE},
+st AS (SELECT count(*)::BIGINT AS n_docs, avg(dl) AS avgdl FROM dl),
+dfs AS (SELECT term, count(*)::BIGINT AS df FROM post
+        WHERE length(term) BETWEEN {len(q) - max_edits}
+                                AND {len(q) + max_edits}
+          AND levenshtein(term, '{q}') <= {max_edits}
+        GROUP BY term
+        ORDER BY levenshtein(term, '{q}'), term LIMIT {max_terms})
+SELECT p.doc_id AS doc_id, round(sum({contrib} ORDER BY p.term), 4) AS score
+FROM post p
+JOIN dfs d ON p.term = d.term
+JOIN dl l ON p.doc_id = l.doc_id
+CROSS JOIN st s
+GROUP BY p.doc_id
+ORDER BY score DESC, doc_id ASC
+LIMIT {k}
+"""
+
+
+def _regex_oracle(pattern: str, k: int, max_terms: int = 128) -> str:
+    """Regex-expansion BM25 oracle: anchored full-term match
+    (``regexp_full_match`` ↔ Spark's ``rlike('^(?:pat)$')`` on the
+    shared literal/class/quantifier subset), lexicographic cap, ordered
+    float fold."""
+    contrib = sql_contribution(tf="p.tf", df="d.df", dl="l.dl",
+                               avgdl="s.avgdl", n="s.n_docs")
+    return f"""
+WITH {TOK_CTE}, {POST_CTE}, {DL_CTE},
+st AS (SELECT count(*)::BIGINT AS n_docs, avg(dl) AS avgdl FROM dl),
+dfs AS (SELECT term, count(*)::BIGINT AS df FROM post
+        WHERE regexp_full_match(term, '{pattern}') GROUP BY term
+        ORDER BY term LIMIT {max_terms})
+SELECT p.doc_id AS doc_id, round(sum({contrib} ORDER BY p.term), 4) AS score
+FROM post p
+JOIN dfs d ON p.term = d.term
+JOIN dl l ON p.doc_id = l.doc_id
+CROSS JOIN st s
+GROUP BY p.doc_id
+ORDER BY score DESC, doc_id ASC
+LIMIT {k}
+"""
+
+
+def _boosted_oracle(weights: dict[str, float], k: int) -> str:
+    """Boosted BM25 oracle: per-row contribution scaled by the term's
+    weight inside the ordered aggregate. Each (doc, term) has exactly
+    one posting row, so the per-row multiply is bit-identical to
+    Spark's aggregate-then-scale (weight 1.0 multiplies exactly)."""
+    norm: dict[str, float] = {}
+    for key, w in weights.items():
+        for tok in py_tokens(key):
+            norm[tok] = float(w)
+    terms = sorted(norm)
+    in_list = ", ".join(f"'{t}'" for t in terms)
+    w_case = "CASE p.term " + " ".join(
+        f"WHEN '{t}' THEN {norm[t]!r}" for t in terms
+    ) + " END"
+    contrib = sql_contribution(tf="p.tf", df="d.df", dl="l.dl",
+                               avgdl="s.avgdl", n="s.n_docs")
+    return f"""
+WITH {TOK_CTE}, {POST_CTE}, {DL_CTE},
+st AS (SELECT count(*)::BIGINT AS n_docs, avg(dl) AS avgdl FROM dl),
+dfs AS (SELECT term, count(*)::BIGINT AS df FROM post
+        WHERE term IN ({in_list}) GROUP BY term)
+SELECT p.doc_id AS doc_id,
+       round(sum({contrib} * {w_case} ORDER BY p.term), 4) AS score
+FROM post p
+JOIN dfs d ON p.term = d.term
+JOIN dl l ON p.doc_id = l.doc_id
+CROSS JOIN st s
+GROUP BY p.doc_id
+ORDER BY score DESC, doc_id ASC
+LIMIT {k}
+"""
+
+
+def _hitcount_oracle(query: str) -> str:
+    terms = sorted(set(py_tokens(query)))
+    in_list = ", ".join(f"'{t}'" for t in terms)
+    return f"""
+WITH {TOK_CTE}, {POST_CTE}
+SELECT count(DISTINCT doc_id)::BIGINT AS n_docs
+FROM post WHERE term IN ({in_list})
 """
 
 
@@ -1224,6 +1366,10 @@ GROUP BY d::date
         "facet_counts": _facet_oracle(FLAGSHIP_QUERY, "lang"),
         "paged_topk": _topk_oracle(FLAGSHIP_QUERY, 10, offset=10),
         "more_like_this": _mlt_oracle(MLT_DOC, MLT_M, 10),
+        "fuzzy_topk": _fuzzy_oracle(FUZZY_TERM, FUZZY_EDITS, 10),
+        "regex_topk": _regex_oracle(REGEX_PAT, 10),
+        "boosted_topk": _boosted_oracle(BOOST_WEIGHTS, 10),
+        "hit_count": _hitcount_oracle(FLAGSHIP_QUERY),
         "snippet_hits": _snippet_oracle(FLAGSHIP_QUERY, 10),
         "fingerprints": f"SELECT doc_id, {SQL_FP} AS fp FROM documents",
         "exact_dup_groups": f"""

@@ -1395,13 +1395,23 @@ class IndexBuilder:
             .drop("doc_ord")
         )
 
-    def _pinned_doc_scores(self, q_terms: Sequence[str]) -> DataFrame:
+    def _pinned_doc_scores(
+        self, q_terms: Sequence[str],
+        weights: Sequence[float] | None = None,
+    ) -> DataFrame:
         """Per-doc deterministic BM25 scores from the committed index:
         (doc_ord, c0..c{n-1}, score) where c{i} is term i's summed
         contribution (NULL ⟺ the doc lacks term i) and score is the
         sorted-term fixed-order sum rounded to 4dp — the shared scoring
         core of ``query_pinned`` / ``query_filtered`` (same float
-        discipline as ``topk.bm25_topk_pinned``)."""
+        discipline as ``topk.bm25_topk_pinned``).
+
+        ``weights`` (aligned to ``q_terms``) scales term i's
+        contribution by w{i} BEFORE the fixed-order sum — query-time
+        boosting. Each doc has at most one posting row per term, so
+        c{i} is a single contribution value and ``c{i} * w{i}`` is
+        bit-identical to a per-row multiply (the form a SQL ordered
+        aggregate reproduces)."""
         import operator as _op
         from functools import reduce
 
@@ -1426,8 +1436,12 @@ class IndexBuilder:
             F.sum(F.when(F.col("term") == t, F.col("contrib"))).alias(f"c{i}")
             for i, t in enumerate(q_terms)
         ]
+        if weights is None:
+            weights = [1.0] * len(q_terms)
         parts = [
-            F.coalesce(F.col(f"c{i}"), F.lit(0.0)) for i in range(len(q_terms))
+            F.coalesce(F.col(f"c{i}"), F.lit(0.0)) * F.lit(float(w))
+            if w != 1.0 else F.coalesce(F.col(f"c{i}"), F.lit(0.0))
+            for i, w in enumerate(weights)
         ]
         score = F.round(reduce(_op.add, parts), 4)
         return per_term.groupBy("doc_ord").agg(*aggs).withColumn(
@@ -1628,6 +1642,134 @@ class IndexBuilder:
         sel = sorted(t for t, _ in weighted[:m])
         return self._resolve_topk(
             self._pinned_doc_scores(sel).select("doc_ord", "score"), k
+        )
+
+    # -- fuzzy (edit-distance) and regex term search ----------------------
+
+    # Deterministic expansion caps (same rationale as
+    # MAX_PREFIX_EXPANSIONS: two engines computing the same query must
+    # score the same disjunct).
+    MAX_FUZZY_EXPANSIONS = 64
+    MAX_REGEX_EXPANSIONS = 128
+
+    def expand_fuzzy(
+        self, term: str, max_edits: int = 1, max_terms: int | None = None
+    ) -> list[str]:
+        """Index terms within ``max_edits`` Levenshtein distance of
+        ``term`` (analyzer-lowercased). An edit at position 0 defeats
+        any sort-order prune, so — unlike prefixes — the vocabulary
+        pass is inherent; it runs as a DISTRIBUTED length-banded scan
+        of the committed terms table (O(vocabulary) ≪ corpus; the
+        classical alternative, a SymSpell deletion-neighborhood side
+        table, trades this scan for index space). Deterministic cap:
+        (distance asc, term asc). Reference analog: prs.py's eq over
+        user-normalized keys, with the normalization relaxed to an
+        edit-distance ball."""
+        q = term.lower().strip()
+        if not q:
+            return []
+        if max_terms is None:
+            max_terms = self.MAX_FUZZY_EXPANSIONS
+        dist = F.levenshtein(F.col("term"), F.lit(q))
+        rows = (
+            self.catalog.read("terms")
+            .filter(
+                F.length("term").between(
+                    len(q) - max_edits, len(q) + max_edits
+                )
+            )
+            .filter(dist <= max_edits)
+            .select("term", dist.alias("dist"))
+            .orderBy("dist", "term")
+            .limit(max_terms)
+            .collect()
+        )
+        return sorted(r["term"] for r in rows)
+
+    def query_fuzzy(
+        self, term: str, k: int = 10, max_edits: int = 1,
+        max_terms: int | None = None,
+    ) -> DataFrame:
+        """Fuzzy top-k ("spark~1"): every index term within
+        ``max_edits`` of ``term`` joins the disjunct with its OWN
+        df→idf — the same scored-OR semantics as ``query_prefix`` on
+        the edit-distance expansion, pinned float discipline. Scoring
+        reads only the expansions' manifest-pruned blocks."""
+        exp = self.expand_fuzzy(term, max_edits, max_terms)
+        if not exp:
+            return self._empty_topk()
+        return self._resolve_topk(
+            self._pinned_doc_scores(exp).select("doc_ord", "score"), k
+        )
+
+    def expand_regex(
+        self, pattern: str, max_terms: int | None = None
+    ) -> list[str]:
+        """Index terms FULLY matching ``pattern`` (anchored). Runs as a
+        distributed scan of the committed terms table; keep patterns to
+        the common literal/class/quantifier subset so Java regex and
+        other engines agree. Deterministic lexicographic cap."""
+        if not pattern:
+            return []
+        if max_terms is None:
+            max_terms = self.MAX_REGEX_EXPANSIONS
+        rows = (
+            self.catalog.read("terms")
+            .filter(F.col("term").rlike(f"^(?:{pattern})$"))
+            .select("term")
+            .orderBy("term")
+            .limit(max_terms)
+            .collect()
+        )
+        return [r["term"] for r in rows]
+
+    def query_regex(
+        self, pattern: str, k: int = 10, max_terms: int | None = None
+    ) -> DataFrame:
+        """Regex term top-k: the anchored-match expansion scored as a
+        multi-term disjunct (per-expansion idf, pinned floats)."""
+        exp = self.expand_regex(pattern, max_terms)
+        if not exp:
+            return self._empty_topk()
+        return self._resolve_topk(
+            self._pinned_doc_scores(exp).select("doc_ord", "score"), k
+        )
+
+    def query_boosted(
+        self, weights: dict[str, float], k: int = 10
+    ) -> DataFrame:
+        """Query-time per-term boosting ("spark^2 join^0.5"): term i's
+        BM25 contribution is scaled by its weight before the pinned
+        sorted-term sum. Keys run through the shared analyzer (a key
+        analyzing to several tokens gives each that weight); terms
+        absent from the index contribute nothing, as in
+        ``query_pinned``."""
+        from antidb_spark.functions.analyze import py_tokens
+
+        norm: dict[str, float] = {}
+        for key, w in weights.items():
+            for tok in py_tokens(key):
+                norm[tok] = float(w)
+        if not norm:
+            return self._empty_topk()
+        q_terms = sorted(norm)
+        scored = self._pinned_doc_scores(
+            q_terms, weights=[norm[t] for t in q_terms]
+        )
+        return self._resolve_topk(scored.select("doc_ord", "score"), k)
+
+    def hit_count(self, query: str) -> DataFrame:
+        """Total matching docs for a disjunctive query (the result-count
+        header beside every search box): count of DISTINCT doc_ords over
+        the terms' manifest-pruned postings — scoring skipped, one
+        narrow aggregate."""
+        from antidb_spark.functions.analyze import py_tokens
+
+        q_terms = sorted(set(py_tokens(query)))
+        if not q_terms:
+            return self.spark.createDataFrame([(0,)], "n_docs bigint")
+        return self._excluded_ords(q_terms).agg(
+            F.count(F.lit(1)).alias("n_docs")
         )
 
     # -- metadata-filtered search (late materialization) -----------------
