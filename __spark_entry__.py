@@ -357,6 +357,35 @@ def _q_hit_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _entry_index(spark, sf_dir).hit_count(FLAGSHIP_QUERY)
 
 
+def _q_merged_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Segment merge (Lucene-style): the corpus split into two id-range
+    segments, indexed independently, then folded together O(src) with a
+    head-varint ordinal remap — no re-tokenization, no touched
+    destination file. The merged index answers the flagship query with
+    the SAME oracle as `indexed_topk`, proving
+    merge(build(A), build(B)) ≡ build(A ∪ B) end-to-end."""
+    import shutil
+    import tempfile
+
+    from antidb_spark.operators.build import IndexBuilder
+    from antidb_spark.operators.merge import merge_index
+
+    docs = _docs(spark, sf_dir)
+    mid = docs.agg(F.max("doc_id")).collect()[0][0] // 2
+    root = tempfile.mkdtemp(prefix="antidb_entry_merge_")
+    try:
+        dst = IndexBuilder(spark, os.path.join(root, "a"), id_cols=DOC_ID)
+        dst.build(docs.filter(F.col("doc_id") <= mid))
+        src = IndexBuilder(spark, os.path.join(root, "b"), id_cols=DOC_ID)
+        src.build(docs.filter(F.col("doc_id") > mid))
+        merge_index(spark, dst, src)
+        out = dst.query_pinned(FLAGSHIP_QUERY, k=10).cache()
+        out.count()  # materialize before the temp dir is removed
+        return out
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def _q_keyed_persisted(spark: SparkSession, sf_dir: str, op: str) -> DataFrame:
     """Persisted covering index over document tokens (KeyedIndexStore
     build → reopen → query; the Idx→Prs .adb round-trip, idx.py:41-92 ↔
@@ -723,6 +752,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "regex_topk": _q_regex_topk,
         "boosted_topk": _q_boosted_topk,
         "hit_count": _q_hit_count,
+        "merged_topk": _q_merged_topk,
         "snippet_hits": _q_snippet_hits,
         "eq_lookup": _q_eq_lookup,
         "rng_lookup": _q_rng_lookup,
@@ -1370,6 +1400,7 @@ GROUP BY d::date
         "regex_topk": _regex_oracle(REGEX_PAT, 10),
         "boosted_topk": _boosted_oracle(BOOST_WEIGHTS, 10),
         "hit_count": _hitcount_oracle(FLAGSHIP_QUERY),
+        "merged_topk": _topk_oracle(FLAGSHIP_QUERY, 10),
         "snippet_hits": _snippet_oracle(FLAGSHIP_QUERY, 10),
         "fingerprints": f"SELECT doc_id, {SQL_FP} AS fp FROM documents",
         "exact_dup_groups": f"""

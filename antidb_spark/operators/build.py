@@ -589,6 +589,21 @@ class IndexBuilder:
                     total -= v[1].size
         return {t: cache[t] for t in terms if cache[t] is not None}
 
+    def invalidate_caches(self) -> None:
+        """Drop every driver-side cache so the next query re-reads the
+        committed tables. Compactions and merges rewrite index tables
+        out from under a live builder; a builder that served queries
+        BEFORE would otherwise score with stale stats (wrong
+        idf/avgdl) afterwards. (Snapshot-keyed caches — warm postings,
+        term fronts — self-invalidate, but clearing them here frees
+        their memory too.)"""
+        self._stats_cache = None
+        self._dm_schema_cache = None
+        self._scan_cache.clear()
+        self._df_cache = None
+        self._front_cache = None
+        self._docmap_pdf = None
+
     def _corpus_stats(self) -> tuple[int, float]:
         """(n_docs, avgdl) from the committed stats table — driver-side
         single-row pyarrow read, cached per builder (no Spark job)."""

@@ -320,16 +320,8 @@ def compact_incremental(
 
     def _invalidate(builder: IndexBuilder) -> None:
         """Every compaction path rewrites index tables out from under a
-        live builder: drop its driver-side caches so the next query
-        re-reads committed (n_docs, avgdl) / schemas / scan plans — a
-        builder that served queries BEFORE compacting would otherwise
-        score with stale stats (wrong idf/avgdl) afterwards."""
-        builder._stats_cache = None
-        builder._dm_schema_cache = None
-        builder._scan_cache.clear()
-        builder._df_cache = None
-        builder._front_cache = None
-        builder._docmap_pdf = None
+        live builder — see ``IndexBuilder.invalidate_caches``."""
+        builder.invalidate_caches()
 
     docmap = b.catalog.read("docmap")
     delta_ids = delta_post.select(*sink.id_cols).distinct()
