@@ -246,6 +246,24 @@ def _q_not_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# must/should/must_not chosen so every clause provably bites at
+# sf0.01 (verified against the oracle): the rare high-IDF "dup"
+# (df=25) dominates the disjunctive ranking, so requiring the dense
+# "spark" drops dup-docs lacking it from the top-10, and excluding
+# "join" knocks out further survivors — plain, must-only, and full
+# bool top-10s are pairwise distinct, and the result still has 10 rows.
+BOOL_MUST, BOOL_SHOULD, BOOL_NOT = "spark", "dup query", "join"
+
+
+def _q_bool_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed bool query (the search-DSL must/should/must_not shape):
+    docs MUST contain 'spark', 'dup query' only adds score, docs with
+    'join' are excluded."""
+    return _entry_index(spark, sf_dir).query_bool(
+        must=BOOL_MUST, should=BOOL_SHOULD, must_not=BOOL_NOT, k=10
+    )
+
+
 def _q_snippet_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Highlight positions for the flagship top-10, served from the
     committed positional index (what a result-snippet renderer
@@ -743,6 +761,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "filtered_topk": _q_filtered_topk,
         "conjunctive_topk": _q_conjunctive_topk,
         "not_topk": _q_not_topk,
+        "bool_topk": _q_bool_topk,
         "prefix_topk": _q_prefix_topk,
         "near_search": _q_near_search,
         "facet_counts": _q_facet_counts,
@@ -788,13 +807,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def _topk_oracle(
     query: str, k: int, where: str | None = None,
     require_all: bool = False, exclude: str | None = None,
-    offset: int = 0,
+    offset: int = 0, must: str | None = None,
 ) -> str:
     """BM25 top-k oracle; ``where`` restricts the RESULT docs via a
     predicate over the documents row (alias ``doc``) while df/avgdl/N
     stay corpus-global (mirrors ``IndexBuilder.query_filtered``);
     ``require_all`` keeps only docs containing every query term
-    (mirrors ``require_all=True``); ``exclude`` removes docs containing
+    (mirrors ``require_all=True``); ``must`` keeps only docs containing
+    every term of THAT subset while the rest of ``query`` merely scores
+    (mirrors ``query_bool``); ``exclude`` removes docs containing
     any excluded term (mirrors ``exclude=...``)."""
     terms = sorted(set(py_tokens(query)))
     in_list = ", ".join(f"'{t}'" for t in terms)
@@ -822,6 +843,13 @@ def _topk_oracle(
     having = (
         f"HAVING count(DISTINCT p.term) = {len(terms)}" if require_all else ""
     )
+    if must:
+        must_terms = sorted(set(py_tokens(must)))
+        must_list = ", ".join(f"'{t}'" for t in must_terms)
+        having = (
+            "HAVING count(DISTINCT CASE WHEN p.term IN "
+            f"({must_list}) THEN p.term END) = {len(must_terms)}"
+        )
     return f"""
 WITH {TOK_CTE}, {POST_CTE}, {DL_CTE},
 st AS (SELECT count(*)::BIGINT AS n_docs, avg(dl) AS avgdl FROM dl),
@@ -1391,6 +1419,10 @@ GROUP BY d::date
         "filtered_topk": _topk_oracle(FLAGSHIP_QUERY, 10, where=FILTER_WHERE),
         "conjunctive_topk": _topk_oracle(CONJ_QUERY, 10, require_all=True),
         "not_topk": _topk_oracle(FLAGSHIP_QUERY, 10, exclude=NOT_TERM),
+        "bool_topk": _topk_oracle(
+            f"{BOOL_MUST} {BOOL_SHOULD}", 10,
+            must=BOOL_MUST, exclude=BOOL_NOT,
+        ),
         "prefix_topk": _prefix_oracle(PREFIX_PAT, 10),
         "near_search": _near_oracle(NEAR_A, NEAR_B, NEAR_W),
         "facet_counts": _facet_oracle(FLAGSHIP_QUERY, "lang"),

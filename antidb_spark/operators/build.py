@@ -1576,6 +1576,37 @@ class IndexBuilder:
             scored.select("doc_ord", "score"), k, after=after
         )
 
+    def query_bool(
+        self, must: str = "", should: str = "", must_not: str = "",
+        k: int = 10,
+    ) -> DataFrame:
+        """Composed boolean ranking (the search-DSL bool-query shape):
+        docs must contain EVERY ``must`` term; ``should`` terms add
+        score without being required; ``must_not`` terms exclude.
+        Score = the pinned disjunct over must ∪ should (required terms
+        contribute to the score too — standard bool-query semantics),
+        so ``must_not``/``should`` empty degrades exactly to
+        ``query_pinned(must, require_all=True)`` and ``must`` empty to
+        ``query_pinned(should)``."""
+        from antidb_spark.functions.analyze import py_tokens
+
+        must_t = set(py_tokens(must))
+        q_terms = sorted(must_t | set(py_tokens(should)))
+        if not q_terms:
+            return self._empty_topk()
+        scored = self._pinned_doc_scores(q_terms)
+        for i, t in enumerate(q_terms):
+            if t in must_t:
+                scored = scored.filter(F.col(f"c{i}").isNotNull())
+        ex_terms = sorted(set(py_tokens(must_not))) if must_not else []
+        if ex_terms:
+            scored = scored.join(
+                self._excluded_ords(ex_terms), "doc_ord", "left_anti"
+            )
+        return self._resolve_topk(
+            scored.select("doc_ord", "score"), k
+        )
+
     # -- prefix (wildcard) search -----------------------------------------
 
     # 'a*' over a web-scale vocabulary can match millions of terms; the

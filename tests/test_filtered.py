@@ -335,3 +335,65 @@ def test_more_like_this_matches_pinned_over_selection(built):
     assert 1 <= len(got) <= 10
     assert b.more_like_this("", m=4).count() == 0
     assert b.more_like_this("zzznotaword0 qqq", m=4).count() == 0
+
+
+def _docs_with(corpus, term):
+    post = build_postings(corpus).filter(F.col("term") == term)
+    return set(
+        map(tuple, post.select("conv_id", "turn_idx").toPandas().values)
+    )
+
+
+def test_query_bool_semantics(built):
+    """bool(must, should, must_not) == pinned scores over must ∪ should,
+    filtered to docs containing every must term and no must_not term."""
+    b, corpus = built
+    must, must_not = "the", "will"
+    should = " ".join(QUERY.split()[1:])  # the mid + rare words
+    combined = f"{must} {should}"
+    allsc = b.query_pinned(combined, k=1_000_000).toPandas()
+    must_docs = _docs_with(corpus, must)
+    ex_docs = _docs_with(corpus, must_not)
+    assert must_docs and ex_docs
+    mask = [
+        (r.conv_id, r.turn_idx) in must_docs
+        and (r.conv_id, r.turn_idx) not in ex_docs
+        for r in allsc.itertuples()
+    ]
+    want = (
+        allsc[mask]
+        .sort_values(["score", "conv_id", "turn_idx"],
+                     ascending=[False, True, True])
+        .head(10)
+    )
+    got = b.query_bool(
+        must=must, should=should, must_not=must_not, k=10
+    ).toPandas()
+    assert got.values.tolist() == want.values.tolist()
+    assert len(got) > 0
+    # non-vacuous: each clause must change the plain disjunctive top-10
+    assert got.values.tolist() != b.query_pinned(combined, k=10).toPandas().values.tolist()
+
+
+def test_query_bool_degenerate_forms(built):
+    b, _ = built
+    # must only == require_all; should only == plain pinned
+    q = "the will"
+    assert (
+        b.query_bool(must=q, k=10).toPandas().values.tolist()
+        == b.query_pinned(q, k=10, require_all=True).toPandas().values.tolist()
+    )
+    assert (
+        b.query_bool(should=QUERY, k=10).toPandas().values.tolist()
+        == b.query_pinned(QUERY, k=10).toPandas().values.tolist()
+    )
+    # must_not without any positive clause → empty, not an error
+    assert b.query_bool(must_not="the").count() == 0
+    assert b.query_bool().count() == 0
+    # overlap: a term in both must and should counts once
+    assert (
+        b.query_bool(must="the", should="the will", k=10)
+        .toPandas().values.tolist()
+        == b.query_bool(must="the", should="will", k=10)
+        .toPandas().values.tolist()
+    )
