@@ -264,6 +264,46 @@ def _q_bool_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_DEL_IDX: dict[str, object] = {}
+N_DELETED = 3  # the flagship top-3 get tombstoned in the delete entry
+
+
+def _entry_deleted_index(spark: SparkSession, sf_dir: str):
+    """A COPY of the shared entry index with the flagship query's top-3
+    docs tombstoned (O(delta) deletes, build.py delete_docs): built once
+    per process so the shared index other entries use stays pristine."""
+    b = _DEL_IDX.get(sf_dir)
+    if b is None:
+        import atexit
+        import shutil
+        import tempfile
+
+        from antidb_spark.operators.build import IndexBuilder
+
+        src = _entry_index(spark, sf_dir)
+        root = tempfile.mkdtemp(prefix="antidb_entry_del_")
+        atexit.register(shutil.rmtree, root, ignore_errors=True)
+        shutil.rmtree(root)
+        shutil.copytree(src.root, root)
+        b = IndexBuilder(spark, root, id_cols=DOC_ID)
+        top = src.query_pinned(FLAGSHIP_QUERY, k=N_DELETED).toPandas()
+        n = b.delete_docs([(int(d),) for d in top["doc_id"]])
+        assert n == N_DELETED
+        _DEL_IDX[sf_dir] = b
+    return b
+
+
+def _q_deleted_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tombstone deletes: the flagship ranking after its own top-3 docs
+    are deleted (segment-style visibility — results exclude them
+    instantly, ranking statistics stay as-built until purge, which is
+    exactly what the oracle recomputes: full-corpus df/avgdl/N with the
+    deleted ids filtered from the result set)."""
+    return _entry_deleted_index(spark, sf_dir).query_pinned(
+        FLAGSHIP_QUERY, k=10
+    )
+
+
 def _q_snippet_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Highlight positions for the flagship top-10, served from the
     committed positional index (what a result-snippet renderer
@@ -762,6 +802,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "conjunctive_topk": _q_conjunctive_topk,
         "not_topk": _q_not_topk,
         "bool_topk": _q_bool_topk,
+        "deleted_topk": _q_deleted_topk,
         "prefix_topk": _q_prefix_topk,
         "near_search": _q_near_search,
         "facet_counts": _q_facet_counts,
@@ -807,7 +848,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def _topk_oracle(
     query: str, k: int, where: str | None = None,
     require_all: bool = False, exclude: str | None = None,
-    offset: int = 0, must: str | None = None,
+    offset: int = 0, must: str | None = None, delete_top: int = 0,
 ) -> str:
     """BM25 top-k oracle; ``where`` restricts the RESULT docs via a
     predicate over the documents row (alias ``doc``) while df/avgdl/N
@@ -816,7 +857,10 @@ def _topk_oracle(
     (mirrors ``require_all=True``); ``must`` keeps only docs containing
     every term of THAT subset while the rest of ``query`` merely scores
     (mirrors ``query_bool``); ``exclude`` removes docs containing
-    any excluded term (mirrors ``exclude=...``)."""
+    any excluded term (mirrors ``exclude=...``); ``delete_top`` removes
+    the query's own top-N docs from the RESULT while df/avgdl/N stay
+    computed over the full corpus (mirrors tombstone deletes' stale-
+    statistics visibility contract — ``delete_docs`` + requery)."""
     terms = sorted(set(py_tokens(query)))
     in_list = ", ".join(f"'{t}'" for t in terms)
     contrib = sql_contribution(tf="p.tf", df="d.df", dl="l.dl",
@@ -831,6 +875,11 @@ def _topk_oracle(
     preds = []
     if where:
         preds.append(f"({where})")
+    if delete_top:
+        inner = _topk_oracle(query, delete_top)
+        preds.append(
+            f"p.doc_id NOT IN (SELECT doc_id FROM ({inner}) _deleted)"
+        )
     if exclude:
         ex_list = ", ".join(
             f"'{t}'" for t in sorted(set(py_tokens(exclude)))
@@ -1422,6 +1471,9 @@ GROUP BY d::date
         "bool_topk": _topk_oracle(
             f"{BOOL_MUST} {BOOL_SHOULD}", 10,
             must=BOOL_MUST, exclude=BOOL_NOT,
+        ),
+        "deleted_topk": _topk_oracle(
+            FLAGSHIP_QUERY, 10, delete_top=N_DELETED
         ),
         "prefix_topk": _prefix_oracle(PREFIX_PAT, 10),
         "near_search": _near_oracle(NEAR_A, NEAR_B, NEAR_W),

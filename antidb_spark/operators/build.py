@@ -271,6 +271,21 @@ def _decode_batch(batch: pd.DataFrame) -> tuple[np.ndarray, ...]:
     return term_rep, ords, tfs, dls
 
 
+def _alive_bits(bits: np.ndarray, ords: np.ndarray) -> np.ndarray:
+    """Boolean mask over ``ords``: True where the ordinal is NOT set in
+    the packed little-endian tombstone bitmap ``bits``. Ordinals past
+    the bitmap's end are alive (the bitmap only spans up to the max
+    deleted ordinal — appended docs need no bitmap growth)."""
+    m = np.ones(ords.size, dtype=bool)
+    if bits.size == 0:
+        return m
+    idx = ords >> 3
+    in_r = idx < bits.size
+    o = ords[in_r]
+    m[in_r] = ((bits[o >> 3] >> (o & 7)) & 1) == 0
+    return m
+
+
 def _decode_blocks(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     """blocks → (term, doc_ord, tf, dl) posting rows, vectorized."""
     for batch in batches:
@@ -340,6 +355,9 @@ class IndexBuilder:
         self._post_cache: OrderedDict[str, tuple] = OrderedDict()
         self._post_cache_snap: str | None = None
         self._post_cache_n = 0
+        # tombstone state (packed delete bitmap + sorted dead ordinals),
+        # keyed by the tombstones-table snapshot — see delete_docs
+        self._tomb_cache: tuple[str, np.ndarray, np.ndarray] | None = None
 
     SCAN_CACHE_MAX = 64
     # posting-list cache ceiling: 8M postings ≈ 130 MB of driver arrays
@@ -372,6 +390,10 @@ class IndexBuilder:
                 raise ValueError(
                     "corpus is required unless the postings stage is committed"
                 )
+            # a from-scratch build renumbers every ordinal: tombstones
+            # from a previous generation would delete arbitrary docs
+            self.catalog.drop("tombstones")
+            self._tomb_cache = None
             with self.timer.phase("postings"):
                 postings = build_postings(
                     corpus, id_cols=self.id_cols, text_col=self.text_col
@@ -603,6 +625,7 @@ class IndexBuilder:
         self._df_cache = None
         self._front_cache = None
         self._docmap_pdf = None
+        self._tomb_cache = None
 
     def _corpus_stats(self) -> tuple[int, float]:
         """(n_docs, avgdl) from the committed stats table — driver-side
@@ -614,6 +637,140 @@ class IndexBuilder:
                 float(t.column("avgdl")[0].as_py()),
             )
         return self._stats_cache
+
+    # -- deletes (tombstones) ----------------------------------------------
+
+    def _n_tombstones(self) -> int:
+        """Committed tombstone count from the manifest alone (the table
+        holds DISTINCT ordinals by construction — delete_docs anti-joins
+        what is already tombstoned before appending)."""
+        if not self.catalog.exists("tombstones"):
+            return 0
+        return sum(
+            e["rows"] for e in self.catalog.manifest("tombstones")["files"]
+        )
+
+    def _tombstones_df(self) -> DataFrame | None:
+        """The deleted-ordinal relation, or None when nothing is deleted
+        (every caller skips its anti-join then — zero plan overhead on
+        an index without deletes)."""
+        if not self._n_tombstones():
+            return None
+        return self.catalog.read("tombstones").select("doc_ord")
+
+    def _drop_tombstones(self, df: DataFrame) -> DataFrame:
+        """Anti-join a doc_ord-bearing relation against the tombstones
+        table (no-op without deletes). The tombstone side is small
+        relative to the corpus, so Catalyst broadcasts it."""
+        tomb = self._tombstones_df()
+        return df if tomb is None else df.join(tomb, "doc_ord", "left_anti")
+
+    def _tomb_state(self) -> tuple[np.ndarray, np.ndarray] | None:
+        """(packed bitmap, sorted dead ordinals) for the numpy-side
+        paths (warm tiers, batch reducer), snapshot-cached. The bitmap
+        is 1 bit per doc up to the MAX deleted ordinal — at 10^9 docs
+        fully riddled with deletes that is 125 MB, a broadcastable
+        payload; with few/low deletes it is proportionally tiny."""
+        if not self._n_tombstones():
+            return None
+        snap = self.catalog.manifest("tombstones")["snapshot_id"]
+        if self._tomb_cache is None or self._tomb_cache[0] != snap:
+            t = self.catalog.read_arrow("tombstones", columns=["doc_ord"])
+            dead = np.unique(t.column("doc_ord").to_numpy())
+            bits = np.zeros((int(dead[-1]) >> 3) + 1, dtype=np.uint8)
+            np.bitwise_or.at(
+                bits, dead >> 3, (1 << (dead & 7)).astype(np.uint8)
+            )
+            self._tomb_cache = (snap, bits, dead)
+        return self._tomb_cache[1], self._tomb_cache[2]
+
+    def delete_docs(self, docs) -> int:
+        """Tombstone documents by id — O(|docs| + tombstones), no index
+        file touched (segment-style deletes): the ordinals land in a
+        committed ``tombstones`` table and every query path drops them
+        before returning results. Ranking statistics (df, avgdl,
+        n_docs) intentionally KEEP counting deleted docs until
+        ``purge_deleted`` or the next full rebuild — the standard
+        delete-visibility contract (deletes are instant, statistics
+        heal at merge), and what keeps the delete O(delta). Block-max
+        pruning disarms while tombstones exist (a threshold fed by
+        deleted docs' scores could prune blocks holding alive results);
+        purging re-arms it.
+
+        ``docs``: a DataFrame carrying ``id_cols`` (extra columns
+        ignored) or an iterable of id tuples. Unknown ids are ignored;
+        re-deleting is a no-op. Returns the number of NEWLY tombstoned
+        docs. Tombstones survive O(delta) appends and merges (committed
+        ordinals never move) and are consumed by full rebuilds.
+
+        Reference analog: none — the reference rebuilds its archive
+        from scratch for any corpus change (idx.py:85-92), the
+        round-trip the 10^12-turn design point cannot afford."""
+        if not isinstance(docs, DataFrame):
+            rows = [
+                tuple(r) if isinstance(r, (tuple, list)) else (r,)
+                for r in docs
+            ]
+            if not rows:
+                return 0
+            dm_schema = self.catalog.read("docmap").schema
+            docs = self.spark.createDataFrame(
+                rows, T.StructType([dm_schema[c] for c in self.id_cols])
+            )
+        ids = docs.select(*self.id_cols).distinct()
+        hits = (
+            self.catalog.read("docmap")
+            .join(ids, list(self.id_cols), "left_semi")
+            .select("doc_ord")
+        )
+        prev = self._tombstones_df()
+        if prev is not None:
+            hits = hits.join(prev, "doc_ord", "left_anti")
+        before = self._n_tombstones()
+        self.catalog.write(
+            hits, "tombstones", stats_cols=["doc_ord"], mode="append",
+            row_group_bytes=LEAF_ROW_GROUP_BYTES,
+        )
+        self._tomb_cache = None
+        return self._n_tombstones() - before
+
+    def purge_deleted(self, n_partitions: int | None = None) -> dict:
+        """Physically remove tombstoned docs: rebuild the index from the
+        committed postings minus the deleted docs' rows (O(total
+        postings) — the merge/expunge step). Exact statistics are
+        restored (df/avgdl/n_docs over the survivors), block-max
+        pruning re-arms, and ordinals renumber densely. The positional
+        and docmeta side layers are DROPPED (renumbering invalidates
+        them; rebuild via build_positional_index / build_doc_meta),
+        mirroring the full-compaction contract in
+        streaming/incremental.py."""
+        tomb = self._tombstones_df()
+        if tomb is None:
+            return {"mode": "noop"}
+        n_part = n_partitions or self.spark.sparkContext.defaultParallelism
+        dead_ids = (
+            self.catalog.read("docmap")
+            .join(tomb, "doc_ord", "left_semi")
+            .select(*self.id_cols)
+        )
+        n_dead = dead_ids.count()
+        merged = (
+            self.catalog.read("postings")
+            .join(dead_ids, list(self.id_cols), "left_anti")
+            .localCheckpoint()
+        )
+        for tbl in ("postings", "docmap", "stats", "terms", "blocks",
+                    "pos_blocks", "docmeta", "tombstones"):
+            self.catalog.drop(tbl)
+        self.ckpt.reset()
+        man = self.catalog.write(merged, "postings")
+        self.ckpt.mark_done(
+            "postings", rows=sum(e["rows"] for e in man["files"]),
+            snapshot=man["snapshot_id"], seconds=0.0,
+        )
+        self.build(corpus=None, n_partitions=n_part)
+        self.invalidate_caches()
+        return {"mode": "purged", "n_purged": n_dead}
 
     def _plan_queries(self, queries: Sequence[str]) -> dict | None:
         """Driver-side query planning, ZERO Spark jobs (this is what
@@ -879,6 +1036,18 @@ class IndexBuilder:
             return self.spark.createDataFrame([], out_schema)
         terms = plan["terms"]
         blocks = self._blocks_scan(terms).filter(F.col("term").isin(terms))
+        # tombstones disarm block-max pruning even when requested: the
+        # θ thresholds estimate the k-th best score from metadata that
+        # still counts deleted docs, so θ can exceed the true alive
+        # k-th best and prune blocks holding alive results. Deletes
+        # trade pruning for instant visibility; purge_deleted re-arms.
+        ts = self._tomb_state()
+        if ts is not None:
+            prune = False
+        tomb_bc = (
+            self.spark.sparkContext.broadcast(ts[0])
+            if ts is not None else None
+        )
         if prune == "auto":
             prune = plan["est_blocks"] >= self.AUTO_PRUNE_MIN_BLOCKS
         if prune and plan["est_blocks"] <= self.META_MAX_BLOCKS:
@@ -969,6 +1138,11 @@ class IndexBuilder:
                 [np.frombuffer(r[3], dtype=np.float64) for r in rows]
             )
             u, doc_inv_post = np.unique(doc_post, return_inverse=True)
+            dead_idx = None
+            if tomb_bc is not None:
+                alive = _alive_bits(tomb_bc.value, u)
+                if not alive.all():
+                    dead_idx = np.flatnonzero(~alive)
             # segment the partition's postings by term id ONCE; a doc
             # appears at most once per term, so per-query accumulation
             # is a direct fancy-indexed add per term — one pass over
@@ -998,6 +1172,8 @@ class IndexBuilder:
                     d, c = seg[t]
                     dense[d] += c
                 row = dense
+                if dead_idx is not None:
+                    row[dead_idx] = 0.0
                 if u.size > 4 * k:
                     cut = np.partition(row, row.size - k)[row.size - k]
                     cand = np.flatnonzero(
@@ -1277,6 +1453,9 @@ class IndexBuilder:
             sizes,
         )
         contrib = idf_post * tfw
+        # tombstoned docs: zero/drop BEFORE the top-k cut (zeroing keeps
+        # the "score 0.0 = no match" invariant — alive hits are > 0)
+        ts = self._tomb_state()
         if plan["n_docs"] <= self.DENSE_WARM_MAX_DOCS:
             # doc ordinals are DENSE → O(postings) bincount scoring, no
             # sort (np.unique was the warm path's dominant cost); a hit
@@ -1284,6 +1463,9 @@ class IndexBuilder:
             scores = np.bincount(
                 ords, weights=contrib, minlength=plan["n_docs"]
             )
+            if ts is not None:
+                dead = ts[1]
+                scores[dead[dead < scores.size]] = 0.0
             cut = (
                 np.partition(scores, scores.size - k)[scores.size - k]
                 if scores.size > k else 0.0
@@ -1295,6 +1477,9 @@ class IndexBuilder:
         else:
             uniq, inv = np.unique(ords, return_inverse=True)
             scores = np.bincount(inv, weights=contrib, minlength=uniq.size)
+            if ts is not None:
+                alive = _alive_bits(ts[0], uniq)
+                uniq, scores = uniq[alive], scores[alive]
             sel = np.lexsort((uniq, -scores))[:k]
             top = uniq[sel]
             top_scores = scores[sel]
@@ -1365,7 +1550,7 @@ class IndexBuilder:
         blocks = self.catalog.read_pruned("blocks", "term", uniq).filter(
             F.col("term").isin(uniq)
         )
-        post = self._decoded_postings(blocks)
+        post = self._drop_tombstones(self._decoded_postings(blocks))
         qdf = self.spark.createDataFrame(
             [(i, t) for i, t in enumerate(terms)], "query_ord int, term string"
         )
@@ -1401,7 +1586,7 @@ class IndexBuilder:
         blocks = blocks.filter(
             (F.col("term") >= start) & (F.col("term") <= end)
         )
-        post = self._decoded_postings(blocks)
+        post = self._drop_tombstones(self._decoded_postings(blocks))
         docmap = self.catalog.read("docmap")
         return (
             post.join(docmap.select("doc_ord", *self.id_cols), "doc_ord")
@@ -1485,7 +1670,13 @@ class IndexBuilder:
         (score desc, *id_cols asc) order. Docs below the score need no
         id resolution; only score-TIED docs join the docmap for the
         lexicographic id comparison — a handful of rows, never the
-        candidate set."""
+        candidate set.
+
+        Tombstoned docs are dropped here, BEFORE the top-k cut — the
+        single chokepoint for the whole pinned query family (plain /
+        filtered / bool / boosted / prefix / fuzzy / regex / MLT /
+        paging)."""
+        top = self._drop_tombstones(top)
         if after is not None:
             s_after, *ids_after = after
             if len(ids_after) != len(self.id_cols):
@@ -1814,7 +2005,7 @@ class IndexBuilder:
         q_terms = sorted(set(py_tokens(query)))
         if not q_terms:
             return self.spark.createDataFrame([(0,)], "n_docs bigint")
-        return self._excluded_ords(q_terms).agg(
+        return self._drop_tombstones(self._excluded_ords(q_terms)).agg(
             F.count(F.lit(1)).alias("n_docs")
         )
 
@@ -1900,6 +2091,7 @@ class IndexBuilder:
             )
         else:
             cand = post.select("doc_ord").distinct()
+        cand = self._drop_tombstones(cand)
         return (
             meta.join(cand, "doc_ord", "left_semi")
             .groupBy(F.col(facet_col).alias("facet"))

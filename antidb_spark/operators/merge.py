@@ -227,10 +227,25 @@ def merge_index(
             dst.ckpt.unmark("docmeta")
             meta_mode = "invalidated"
 
+    # tombstones: dst's stay valid (its ordinals never move); src's
+    # shift by the same offset as its docs — deletes survive the merge
+    tomb_mode = "absent"
+    src_tomb = src._tombstones_df()
+    if src_tomb is not None:
+        dst.catalog.write(
+            src_tomb.withColumn("doc_ord", F.col("doc_ord") + F.lit(offset)),
+            "tombstones", stats_cols=["doc_ord"], mode="append",
+            row_group_bytes=LEAF_ROW_GROUP_BYTES,
+        )
+        tomb_mode = "merged"
+    elif dst._n_tombstones():
+        tomb_mode = "kept"
+
     dst.invalidate_caches()
     return {
         "mode": "merge",
         "offset": offset,
         "pos_blocks": pos_mode,
         "docmeta": meta_mode,
+        "tombstones": tomb_mode,
     }

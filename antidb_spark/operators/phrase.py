@@ -53,6 +53,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from antidb_spark.functions.analyze import py_tokens, tokens
+from antidb_spark.operators.build import _alive_bits
 from antidb_spark.functions.packing import (
     pack_postings,
     varint_decode,
@@ -397,8 +398,10 @@ def phrase_query(builder, phrase: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_slots"))
         .filter(F.col("n_slots") == len(terms))
     )
-    freq = matched.groupBy("doc_ord").agg(
-        F.count(F.lit(1)).alias("phrase_freq")
+    freq = builder._drop_tombstones(
+        matched.groupBy("doc_ord").agg(
+            F.count(F.lit(1)).alias("phrase_freq")
+        )
     )
     docmap = builder.catalog.read("docmap")
     return (
@@ -452,9 +455,11 @@ def near_query(
         .withColumn("dist", F.abs(F.col("pa") - F.col("pb")))
         .filter(F.col("dist") <= window)
     )
-    per_doc = pairs.groupBy("doc_ord").agg(
-        F.min("dist").cast("long").alias("min_dist"),
-        F.count(F.lit(1)).alias("n_pairs"),
+    per_doc = builder._drop_tombstones(
+        pairs.groupBy("doc_ord").agg(
+            F.min("dist").cast("long").alias("min_dist"),
+            F.count(F.lit(1)).alias("n_pairs"),
+        )
     )
     dm = builder.catalog.read("docmap")
     return (
@@ -535,6 +540,12 @@ def near_warm(
     n_pairs = np.bincount(inv, weights=hn).astype(np.int64)
     min_dist = np.full(u.size, np.iinfo(np.int64).max)
     np.minimum.at(min_dist, inv, hnn)
+    ts = builder._tomb_state()
+    if ts is not None:
+        alive = _alive_bits(ts[0], u)
+        u, n_pairs, min_dist = u[alive], n_pairs[alive], min_dist[alive]
+        if u.size == 0:
+            return pd.DataFrame(columns=cols)
     dm = (
         builder.catalog.read_pruned_arrow(
             "docmap", "doc_ord", values=[int(o) for o in u],
@@ -577,7 +588,7 @@ def term_positions(builder, query: str, k: int = 10) -> DataFrame:
             + ["term string", "first_pos long", "n_hits long"]
         )
         return builder.spark.createDataFrame([], schema)
-    scored = builder._pinned_doc_scores(terms)
+    scored = builder._drop_tombstones(builder._pinned_doc_scores(terms))
     top = (
         scored.select("doc_ord", "score")
         .orderBy(F.desc("score"), F.asc("doc_ord"))
@@ -734,6 +745,12 @@ def phrase_warm(builder, phrase: str) -> pd.DataFrame:
             return pd.DataFrame(columns=cols)
     hit_docs, freqs = np.unique(anchors >> _WARM_SHIFT, return_counts=True)
     hit_ords = u_docs[hit_docs]
+    ts = builder._tomb_state()
+    if ts is not None:
+        alive = _alive_bits(ts[0], hit_ords)
+        hit_ords, freqs = hit_ords[alive], freqs[alive]
+        if hit_ords.size == 0:
+            return pd.DataFrame(columns=cols)
     dm = (
         builder.catalog.read_pruned_arrow(
             "docmap", "doc_ord", values=[int(o) for o in hit_ords],

@@ -327,8 +327,18 @@ def compact_incremental(
     delta_ids = delta_post.select(*sink.id_cols).distinct()
     n_updates = delta_ids.join(docmap, sink.id_cols).count()
     if n_updates > 0:
+        old_post = b.catalog.read("postings")
+        # full rebuild PURGES tombstoned docs: their committed postings
+        # are dropped before the merge (a delta that re-writes a deleted
+        # doc re-creates it with the delta's content alone)
+        tomb = b._tombstones_df()
+        if tomb is not None:
+            dead_ids = docmap.join(tomb, "doc_ord", "left_semi").select(
+                *sink.id_cols
+            )
+            old_post = old_post.join(dead_ids, sink.id_cols, "left_anti")
         merged = (
-            b.catalog.read("postings")
+            old_post
             .unionByName(delta_post)
             .groupBy("term", *sink.id_cols)
             .agg(F.sum("tf").alias("tf"))
@@ -340,7 +350,7 @@ def compact_incremental(
         # metadata for pre-existing docs is not in the sink — filtered
         # queries raise until build_doc_meta re-runs over the corpus
         for tbl in ("postings", "docmap", "stats", "terms", "blocks",
-                    "pos_blocks", "docmeta"):
+                    "pos_blocks", "docmeta", "tombstones"):
             b.catalog.drop(tbl)
         b.ckpt.reset()
         man = b.catalog.write(merged, "postings")
