@@ -264,6 +264,26 @@ def _q_bool_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# synonym groups chosen so BOTH sides of the blending contract show at
+# sf0.01: "join" absorbs the dense "merge" (docs matching only via
+# merge join the candidate set — 5 of 10 top-10 positions change vs the
+# plain flagship), while "query" absorbs the rare "dup" (df=25) WITHOUT
+# upsetting the ranking — under per-term scoring dup's inflated idf
+# dominates (see BOOL_SHOULD above); blended df keeps the group's idf
+# at "query" grade, which is exactly what SynonymQuery semantics are
+# for.
+SYNONYMS = {"query": ["dup"], "join": ["merge"]}
+
+
+def _q_synonym_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synonym-group ranking (Lucene SynonymQuery contract): each query
+    token + its synonyms score as ONE logical term — tf summed over
+    members per doc, df = docs containing ANY member."""
+    return _entry_index(spark, sf_dir).query_synonyms(
+        FLAGSHIP_QUERY, synonyms=SYNONYMS, k=10
+    )
+
+
 _DEL_IDX: dict[str, object] = {}
 N_DELETED = 3  # the flagship top-3 get tombstoned in the delete entry
 
@@ -802,6 +822,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "conjunctive_topk": _q_conjunctive_topk,
         "not_topk": _q_not_topk,
         "bool_topk": _q_bool_topk,
+        "synonym_topk": _q_synonym_topk,
         "deleted_topk": _q_deleted_topk,
         "prefix_topk": _q_prefix_topk,
         "near_search": _q_near_search,
@@ -915,6 +936,43 @@ GROUP BY p.doc_id
 {having}
 ORDER BY score DESC, doc_id ASC
 LIMIT {k}{f" OFFSET {offset}" if offset else ""}
+"""
+
+
+def _synonym_oracle(
+    query: str, synonyms: dict[str, list[str]], k: int
+) -> str:
+    """Synonym-group BM25 oracle (blended statistics): member terms map
+    to their group representative, the group's per-doc tf is the summed
+    member tf and its df counts docs containing ANY member; one row per
+    (doc, rep) after grouping, so DuckDB's ordered aggregate reproduces
+    the engine's sorted-rep float fold exactly (``query_synonyms``)."""
+    reps = sorted(set(py_tokens(query)))
+    pairs = []
+    for r in reps:
+        members = {r}
+        for s in synonyms.get(r, ()):
+            members.update(py_tokens(s))
+        pairs.extend((m, r) for m in sorted(members))
+    values = ", ".join(f"('{m}', '{r}')" for m, r in pairs)
+    contrib = sql_contribution(tf="p.tf", df="d.df", dl="l.dl",
+                               avgdl="s.avgdl", n="s.n_docs")
+    return f"""
+WITH {TOK_CTE}, {POST_CTE}, {DL_CTE},
+st AS (SELECT count(*)::BIGINT AS n_docs, avg(dl) AS avgdl FROM dl),
+grp(term, rep) AS (VALUES {values}),
+gp AS (SELECT g.rep AS rep, p.doc_id AS doc_id, sum(p.tf)::BIGINT AS tf
+       FROM post p JOIN grp g ON p.term = g.term
+       GROUP BY g.rep, p.doc_id),
+gdf AS (SELECT rep, count(*)::BIGINT AS df FROM gp GROUP BY rep)
+SELECT p.doc_id AS doc_id, round(sum({contrib} ORDER BY p.rep), 4) AS score
+FROM gp p
+JOIN gdf d ON p.rep = d.rep
+JOIN dl l ON p.doc_id = l.doc_id
+CROSS JOIN st s
+GROUP BY p.doc_id
+ORDER BY score DESC, doc_id ASC
+LIMIT {k}
 """
 
 
@@ -1472,6 +1530,7 @@ GROUP BY d::date
             f"{BOOL_MUST} {BOOL_SHOULD}", 10,
             must=BOOL_MUST, exclude=BOOL_NOT,
         ),
+        "synonym_topk": _synonym_oracle(FLAGSHIP_QUERY, SYNONYMS, 10),
         "deleted_topk": _topk_oracle(
             FLAGSHIP_QUERY, 10, delete_top=N_DELETED
         ),

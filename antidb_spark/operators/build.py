@@ -1798,6 +1798,88 @@ class IndexBuilder:
             scored.select("doc_ord", "score"), k
         )
 
+    def query_synonyms(
+        self, query: str,
+        synonyms: dict[str, Sequence[str]] | None = None,
+        k: int = 10,
+    ) -> DataFrame:
+        """Synonym-group ranking with BLENDED statistics (the Lucene
+        SynonymQuery contract): each query token and its synonyms form
+        ONE logical term whose per-doc tf is the SUM of member tfs and
+        whose df is the number of docs containing ANY member — a rare
+        synonym never gets an inflated idf of its own, and a doc
+        mentioning two members once each ranks like one mentioning the
+        group twice. Score = fixed-order sum over sorted group
+        representatives rounded to 4dp (the pinned float discipline),
+        so ``synonyms`` empty degrades bit-exactly to ``query_pinned``.
+
+        ``synonyms`` maps a query token → its synonym terms; each
+        synonym runs through the shared analyzer (a multi-word synonym
+        contributes each of its tokens). Scoring reads only the member
+        terms' manifest-pruned block files; group df comes from a tiny
+        per-rep aggregate broadcast back onto the candidates (NOT a
+        window over rep — that would funnel a stopword-grade group's
+        postings into one task at scale).
+
+        Reference analog: A1's synonym FALLBACK tries alternate keys
+        only on a miss (lookup.py:146-196; reference README annotation
+        loop) — this is the ranking-level generalization a full-text
+        engine exposes for the same need."""
+        import operator as _op
+        from functools import reduce
+
+        from antidb_spark.functions.analyze import py_tokens
+
+        synonyms = synonyms or {}
+        reps = sorted(set(py_tokens(query)))
+        if not reps:
+            return self._empty_topk()
+        pairs: list[tuple[str, str]] = []
+        for r in reps:
+            members = {r}
+            for s in synonyms.get(r, ()):
+                members.update(py_tokens(s))
+            pairs.extend((m, r) for m in sorted(members))
+        all_terms = sorted({m for m, _ in pairs})
+        mapping = self.spark.createDataFrame(
+            pairs, "term string, rep string"
+        )
+        blocks = self.catalog.read_pruned("blocks", "term", all_terms).filter(
+            F.col("term").isin(all_terms)
+        )
+        post = self._decoded_postings(blocks)
+        # one row per (rep, doc): the group's blended tf; dl is a
+        # per-doc constant so max() just carries it through
+        grouped = (
+            post.join(F.broadcast(mapping), "term")
+            .groupBy("rep", "doc_ord")
+            .agg(F.sum("tf").alias("tf"), F.max("dl").alias("dl"))
+        )
+        gdf = grouped.groupBy("rep").agg(
+            F.count(F.lit(1)).alias("df")
+        )
+        stats = self.catalog.read("stats")
+        scored = (
+            grouped.join(F.broadcast(gdf), "rep")
+            .crossJoin(F.broadcast(stats))
+            .withColumn(
+                "contrib",
+                contribution(F.col("tf"), F.col("df"), F.col("dl"),
+                             F.col("avgdl"), F.col("n_docs")),
+            )
+        )
+        aggs = [
+            F.sum(F.when(F.col("rep") == r, F.col("contrib"))).alias(f"c{i}")
+            for i, r in enumerate(reps)
+        ]
+        parts = [
+            F.coalesce(F.col(f"c{i}"), F.lit(0.0)) for i in range(len(reps))
+        ]
+        top = scored.groupBy("doc_ord").agg(*aggs).withColumn(
+            "score", F.round(reduce(_op.add, parts), 4)
+        )
+        return self._resolve_topk(top.select("doc_ord", "score"), k)
+
     # -- prefix (wildcard) search -----------------------------------------
 
     # 'a*' over a web-scale vocabulary can match millions of terms; the
