@@ -284,6 +284,48 @@ def _q_synonym_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# BM25F over (text, source): "src2" matches ONLY via the source field
+# (the text vocabulary has no srcN tokens), so the fielded blend
+# provably reshapes the flagship ranking — docs from source src2 get a
+# constant pseudo-tf boost saturated through the shared k1, while text
+# terms keep differentiating within them.
+BM25F_FIELDS = ["text", "source"]
+BM25F_WEIGHTS = {"text": 1.0, "source": 1.5}
+BM25F_QUERY = f"{FLAGSHIP_QUERY} src2"
+
+_FIELDED_IDX: dict[str, object] = {}
+
+
+def _entry_fielded(spark: SparkSession, sf_dir: str):
+    """Per-field committed sub-indexes over documents (text + source),
+    built once per process — the multi-index-coexistence shape
+    (idx.py:56-61) lifted to fielded search."""
+    fx = _FIELDED_IDX.get(sf_dir)
+    if fx is None:
+        import atexit
+        import shutil
+        import tempfile
+
+        from antidb_spark.operators.fielded import FieldedIndex
+
+        root = tempfile.mkdtemp(prefix="antidb_entry_fielded_")
+        atexit.register(shutil.rmtree, root, ignore_errors=True)
+        fx = FieldedIndex(spark, root, fields=BM25F_FIELDS, id_cols=DOC_ID)
+        fx.build(_docs(spark, sf_dir))
+        _FIELDED_IDX[sf_dir] = fx
+    return fx
+
+
+def _q_bm25f_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-field BM25F ranking: per-field length-normalized tfs
+    blended into one pseudo-frequency before a single document-level
+    idf (the Lucene/Robertson BM25F contract) — served from per-field
+    committed indexes."""
+    return _entry_fielded(spark, sf_dir).query_bm25f(
+        BM25F_QUERY, weights=BM25F_WEIGHTS, k=10
+    )
+
+
 _DEL_IDX: dict[str, object] = {}
 N_DELETED = 3  # the flagship top-3 get tombstoned in the delete entry
 
@@ -823,6 +865,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "not_topk": _q_not_topk,
         "bool_topk": _q_bool_topk,
         "synonym_topk": _q_synonym_topk,
+        "bm25f_topk": _q_bm25f_topk,
         "deleted_topk": _q_deleted_topk,
         "prefix_topk": _q_prefix_topk,
         "near_search": _q_near_search,
@@ -971,6 +1014,55 @@ JOIN gdf d ON p.rep = d.rep
 JOIN dl l ON p.doc_id = l.doc_id
 CROSS JOIN st s
 GROUP BY p.doc_id
+ORDER BY score DESC, doc_id ASC
+LIMIT {k}
+"""
+
+
+def _bm25f_oracle(query: str, k: int) -> str:
+    """BM25F oracle for the (text, source) fielded entry: per-field
+    token/tf/dl/avgdl CTEs (avgdl over docs HAVING the field — the
+    sub-index stats convention), per-field weighted normalized tf,
+    blended source-then-text (the engine's sorted-field fold), one
+    document-level df per term over the blended candidates, and the
+    ordered per-term float fold rounded at the boundary."""
+    qt = ", ".join(f"('{t}')" for t in sorted(set(py_tokens(query))))
+    w_text, w_src = BM25F_WEIGHTS["text"], BM25F_WEIGHTS["source"]
+    return f"""
+WITH
+tok_t AS (SELECT doc_id, t.term AS term FROM documents,
+          unnest({sql_tokens('text')}) AS t(term) WHERE t.term <> ''),
+post_t AS (SELECT term, doc_id, count(*)::BIGINT AS tf FROM tok_t
+           GROUP BY term, doc_id),
+dl_t AS (SELECT doc_id, sum(tf)::BIGINT AS dl FROM post_t GROUP BY doc_id),
+av_t AS (SELECT avg(dl) AS avgdl FROM dl_t),
+tok_s AS (SELECT doc_id, t.term AS term FROM documents,
+          unnest({sql_tokens('source')}) AS t(term) WHERE t.term <> ''),
+post_s AS (SELECT term, doc_id, count(*)::BIGINT AS tf FROM tok_s
+           GROUP BY term, doc_id),
+dl_s AS (SELECT doc_id, sum(tf)::BIGINT AS dl FROM post_s GROUP BY doc_id),
+av_s AS (SELECT avg(dl) AS avgdl FROM dl_s),
+nn AS (SELECT count(*)::BIGINT AS n_docs FROM documents),
+qt(term) AS (VALUES {qt}),
+wtf_s AS (SELECT p.term, p.doc_id,
+          {w_src} * p.tf / (1.0 - 0.75 + 0.75 * l.dl / a.avgdl) AS wtf
+          FROM post_s p JOIN qt USING (term) JOIN dl_s l USING (doc_id)
+          CROSS JOIN av_s a),
+wtf_t AS (SELECT p.term, p.doc_id,
+          {w_text} * p.tf / (1.0 - 0.75 + 0.75 * l.dl / a.avgdl) AS wtf
+          FROM post_t p JOIN qt USING (term) JOIN dl_t l USING (doc_id)
+          CROSS JOIN av_t a),
+blend AS (SELECT coalesce(s.term, t.term) AS term,
+          coalesce(s.doc_id, t.doc_id) AS doc_id,
+          coalesce(s.wtf, 0.0) + coalesce(t.wtf, 0.0) AS tfn
+          FROM wtf_s s FULL OUTER JOIN wtf_t t
+          ON s.term = t.term AND s.doc_id = t.doc_id),
+gdf AS (SELECT term, count(*)::BIGINT AS df FROM blend GROUP BY term)
+SELECT b.doc_id AS doc_id,
+       round(sum(ln(1.0 + (n.n_docs - g.df + 0.5) / (g.df + 0.5))
+                 * b.tfn / (1.2 + b.tfn) ORDER BY b.term), 4) AS score
+FROM blend b JOIN gdf g USING (term) CROSS JOIN nn n
+GROUP BY b.doc_id
 ORDER BY score DESC, doc_id ASC
 LIMIT {k}
 """
@@ -1531,6 +1623,7 @@ GROUP BY d::date
             must=BOOL_MUST, exclude=BOOL_NOT,
         ),
         "synonym_topk": _synonym_oracle(FLAGSHIP_QUERY, SYNONYMS, 10),
+        "bm25f_topk": _bm25f_oracle(BM25F_QUERY, 10),
         "deleted_topk": _topk_oracle(
             FLAGSHIP_QUERY, 10, delete_top=N_DELETED
         ),
