@@ -52,10 +52,14 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # DuckDB CTE producing the same (doc_id, term) token stream as the Spark
 # analyzer (shared-analyzer invariant).
-TOK_CTE = (
-    "tok AS (SELECT doc_id, t.term AS term FROM documents, "
-    f"unnest({sql_tokens('text')}) AS t(term) WHERE t.term <> '')"
-)
+def _tok_cte(src: str = "documents") -> str:
+    return (
+        f"tok AS (SELECT doc_id, t.term AS term FROM {src}, "
+        f"unnest({sql_tokens('text')}) AS t(term) WHERE t.term <> '')"
+    )
+
+
+TOK_CTE = _tok_cte()
 POST_CTE = (
     "post AS (SELECT term, doc_id, count(*)::BIGINT AS tf FROM tok "
     "GROUP BY term, doc_id)"
@@ -506,6 +510,76 @@ def _q_merged_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(root, ignore_errors=True)
 
 
+UPSERT_SENT = "zzupserted"
+UPSERT_ROWS = [
+    (7, f"{UPSERT_SENT} spark replacement window text"),
+    (13, f"{UPSERT_SENT} query join {UPSERT_SENT} performance"),
+    (900000, f"{UPSERT_SENT} brand new spark doc"),
+]
+# the post-upsert logical corpus: originals minus the replaced ids,
+# plus the upserted generations — what a user who re-ran their pipeline
+# over the mutated corpus would index from scratch
+UPSERT_LOGICAL_SQL = (
+    "SELECT doc_id, text FROM documents WHERE doc_id NOT IN (7, 13) "
+    "UNION ALL SELECT * FROM (VALUES "
+    + ", ".join(f"(CAST({i} AS BIGINT), '{t}')" for i, t in UPSERT_ROWS)
+    + ") v(doc_id, text)"
+)
+
+
+def _upserted_index(spark: SparkSession, sf_dir: str, root: str):
+    """Committed index over documents with one O(delta) upsert applied:
+    docs 7 and 13 replaced (old generations tombstoned, new ones
+    appended as a second blocks run) and one brand-new doc inserted
+    (operators/upsert.py; no reference analog — idx.py:85-92 rebuilds
+    the whole archive for any corpus change)."""
+    from antidb_spark.operators.build import IndexBuilder
+
+    b = IndexBuilder(spark, root, id_cols=DOC_ID)
+    b.build(_docs(spark, sf_dir))
+    b.upsert_docs(
+        spark.createDataFrame(UPSERT_ROWS, "doc_id long, text string")
+    )
+    return b
+
+
+def _q_upsert_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point lookups on the PRE-purge upserted index (multi-run blocks,
+    tombstones live): replaced generations must be invisible, the new
+    generations and the insert must serve — value-identical to the same
+    lookup over the logical corpus."""
+    import shutil
+    import tempfile
+
+    root = tempfile.mkdtemp(prefix="antidb_entry_upsert_")
+    try:
+        b = _upserted_index(spark, sf_dir, root)
+        out = b.eq_terms(UPSERT_SENT, "window").cache()
+        out.count()  # materialize before the temp dir is removed
+        return out
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+def _q_upsert_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Purge-after-upsert: physically drop the superseded generations
+    and recompute exact statistics — the flagship ranking must equal a
+    from-scratch build over the logical corpus (upsert ∘ purge ≡
+    rebuild, the invariant that makes O(delta) updates trustworthy)."""
+    import shutil
+    import tempfile
+
+    root = tempfile.mkdtemp(prefix="antidb_entry_upsertq_")
+    try:
+        b = _upserted_index(spark, sf_dir, root)
+        b.purge_deleted()
+        out = b.query_pinned(FLAGSHIP_QUERY, k=10).cache()
+        out.count()  # materialize before the temp dir is removed
+        return out
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def _q_keyed_persisted(spark: SparkSession, sf_dir: str, op: str) -> DataFrame:
     """Persisted covering index over document tokens (KeyedIndexStore
     build → reopen → query; the Idx→Prs .adb round-trip, idx.py:41-92 ↔
@@ -877,6 +951,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "boosted_topk": _q_boosted_topk,
         "hit_count": _q_hit_count,
         "merged_topk": _q_merged_topk,
+        "upsert_eq": _q_upsert_eq,
+        "upsert_topk": _q_upsert_topk,
         "snippet_hits": _q_snippet_hits,
         "eq_lookup": _q_eq_lookup,
         "rng_lookup": _q_rng_lookup,
@@ -913,6 +989,7 @@ def _topk_oracle(
     query: str, k: int, where: str | None = None,
     require_all: bool = False, exclude: str | None = None,
     offset: int = 0, must: str | None = None, delete_top: int = 0,
+    corpus_sql: str | None = None,
 ) -> str:
     """BM25 top-k oracle; ``where`` restricts the RESULT docs via a
     predicate over the documents row (alias ``doc``) while df/avgdl/N
@@ -963,8 +1040,12 @@ def _topk_oracle(
             "HAVING count(DISTINCT CASE WHEN p.term IN "
             f"({must_list}) THEN p.term END) = {len(must_terms)}"
         )
+    lead = (
+        f"logical AS ({corpus_sql}), {_tok_cte('logical')}"
+        if corpus_sql else TOK_CTE
+    )
     return f"""
-WITH {TOK_CTE}, {POST_CTE}, {DL_CTE},
+WITH {lead}, {POST_CTE}, {DL_CTE},
 st AS (SELECT count(*)::BIGINT AS n_docs, avg(dl) AS avgdl FROM dl),
 dfs AS (SELECT term, count(*)::BIGINT AS df FROM post
         WHERE term IN ({in_list}) GROUP BY term)
@@ -1637,6 +1718,15 @@ GROUP BY d::date
         "boosted_topk": _boosted_oracle(BOOST_WEIGHTS, 10),
         "hit_count": _hitcount_oracle(FLAGSHIP_QUERY),
         "merged_topk": _topk_oracle(FLAGSHIP_QUERY, 10),
+        "upsert_eq": f"""
+WITH logical AS ({UPSERT_LOGICAL_SQL}), {_tok_cte('logical')}, {POST_CTE},
+probes(query_ord, term) AS (VALUES (0, '{UPSERT_SENT}'), (1, 'window'))
+SELECT p.query_ord AS query_ord, post.doc_id AS doc_id, post.tf AS tf
+FROM probes p JOIN post ON post.term = p.term
+""",
+        "upsert_topk": _topk_oracle(
+            FLAGSHIP_QUERY, 10, corpus_sql=UPSERT_LOGICAL_SQL
+        ),
         "snippet_hits": _snippet_oracle(FLAGSHIP_QUERY, 10),
         "fingerprints": f"SELECT doc_id, {SQL_FP} AS fp FROM documents",
         "exact_dup_groups": f"""

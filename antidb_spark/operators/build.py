@@ -734,6 +734,15 @@ class IndexBuilder:
         self._tomb_cache = None
         return self._n_tombstones() - before
 
+    def upsert_docs(self, docs: DataFrame,
+                    n_partitions: int | None = None) -> dict:
+        """Insert-or-replace documents by id, O(delta) — tombstone the
+        old generations, append the new ones as fresh ordinals. See
+        ``operators/upsert.upsert_docs`` for the full contract."""
+        from antidb_spark.operators import upsert as _upsert
+
+        return _upsert.upsert_docs(self, docs, n_partitions=n_partitions)
+
     def purge_deleted(self, n_partitions: int | None = None) -> dict:
         """Physically remove tombstoned docs: rebuild the index from the
         committed postings minus the deleted docs' rows (O(total
@@ -748,17 +757,28 @@ class IndexBuilder:
         if tomb is None:
             return {"mode": "noop"}
         n_part = n_partitions or self.spark.sparkContext.defaultParallelism
-        dead_ids = (
-            self.catalog.read("docmap")
-            .join(tomb, "doc_ord", "left_semi")
-            .select(*self.id_cols)
-        )
-        n_dead = dead_ids.count()
-        merged = (
-            self.catalog.read("postings")
-            .join(dead_ids, list(self.id_cols), "left_anti")
-            .localCheckpoint()
-        )
+        from antidb_spark.operators.upsert import UPSERT_MARK, alive_postings
+
+        if self.ckpt.is_done(UPSERT_MARK):
+            # upserts happened: the id-keyed postings table holds
+            # superseded generations of the same id (dropping by dead
+            # IDS would also drop the alive replacement generation) —
+            # reconstruct alive rows from the ordinal-keyed blocks
+            # instead (see operators/upsert.py module docstring)
+            n_dead = tomb.count()
+            merged = alive_postings(self).localCheckpoint()
+        else:
+            dead_ids = (
+                self.catalog.read("docmap")
+                .join(tomb, "doc_ord", "left_semi")
+                .select(*self.id_cols)
+            )
+            n_dead = dead_ids.count()
+            merged = (
+                self.catalog.read("postings")
+                .join(dead_ids, list(self.id_cols), "left_anti")
+                .localCheckpoint()
+            )
         for tbl in ("postings", "docmap", "stats", "terms", "blocks",
                     "pos_blocks", "docmeta", "tombstones"):
             self.catalog.drop(tbl)

@@ -241,6 +241,14 @@ def merge_index(
     elif dst._n_tombstones():
         tomb_mode = "kept"
 
+    # upsert marker propagates: src's raw postings were appended AS-IS,
+    # so superseded generations it carried now live in dst's id-keyed
+    # postings table too (see operators/upsert.py module docstring)
+    from antidb_spark.operators.upsert import UPSERT_MARK
+
+    if src.ckpt.is_done(UPSERT_MARK) and not dst.ckpt.is_done(UPSERT_MARK):
+        dst.ckpt.mark_done(UPSERT_MARK)
+
     dst.invalidate_caches()
     return {
         "mode": "merge",

@@ -49,7 +49,6 @@ from pyspark.sql import functions as F
 
 from antidb_spark.functions.analyze import tokens
 from antidb_spark.schema import DOC_ID_COLS
-from antidb_spark.sources.catalog import LEAF_ROW_GROUP_BYTES
 
 
 def stream_postings(
@@ -159,12 +158,18 @@ class PostingsDeltaSink:
         self._record(batch_id, -1)  # ledger LAST: both deltas re-deliverable
 
     def deltas(
-        self, spark: SparkSession, batch_ids: set[int] | None = None
+        self,
+        spark: SparkSession,
+        batch_ids: set[int] | None = None,
+        tag_batch: bool = False,
     ) -> DataFrame | None:
         """Committed delta postings; ``batch_ids`` restricts to a subset
-        (incremental compaction reads only not-yet-compacted batches)."""
-        dirs = [
-            os.path.join(self.delta_dir, d)
+        (incremental compaction reads only not-yet-compacted batches).
+        ``tag_batch`` adds a ``_batch`` column (which micro-batch
+        delivered the row — what upsert-mode compaction's last-writer-
+        wins filter keys on)."""
+        pairs = [
+            (int(d.split("=", 1)[1]), os.path.join(self.delta_dir, d))
             for d in sorted(os.listdir(self.delta_dir))
             if d.startswith("batch_id=")
             and (
@@ -172,11 +177,25 @@ class PostingsDeltaSink:
                 or int(d.split("=", 1)[1]) in batch_ids
             )
         ]
-        if not dirs:
+        if not pairs:
             return None
-        return spark.read.parquet(*dirs).select(
-            "term", *self.id_cols, "tf"
+        if not tag_batch:
+            return spark.read.parquet(*[p for _, p in pairs]).select(
+                "term", *self.id_cols, "tf"
+            )
+        return self._union_tagged(
+            spark, pairs, ["term", *self.id_cols, "tf"]
         )
+
+    @staticmethod
+    def _union_tagged(spark, pairs, cols) -> DataFrame:
+        out = None
+        for bid, path in pairs:
+            part = spark.read.parquet(path).select(*cols).withColumn(
+                "_batch", F.lit(bid)
+            )
+            out = part if out is None else out.unionByName(part)
+        return out
 
     def pos_deltas(
         self, spark: SparkSession, batch_ids: set[int] | None = None
@@ -293,13 +312,11 @@ def compact_incremental(
     from the sink's compacted-batch ledger. Returns {"mode":
     "append"|"full"|"noop", ...}.
     """
-    from functools import partial
-
-    from antidb_spark.operators.build import (
-        _BLOCKS_OUT,
-        _pack_partition,
-        IndexBuilder,
-        assign_doc_ords,
+    from antidb_spark.operators.build import IndexBuilder
+    from antidb_spark.operators.upsert import (
+        UPSERT_MARK,
+        alive_postings,
+        append_run,
     )
 
     b: IndexBuilder = builder
@@ -327,16 +344,25 @@ def compact_incremental(
     delta_ids = delta_post.select(*sink.id_cols).distinct()
     n_updates = delta_ids.join(docmap, sink.id_cols).count()
     if n_updates > 0:
-        old_post = b.catalog.read("postings")
-        # full rebuild PURGES tombstoned docs: their committed postings
-        # are dropped before the merge (a delta that re-writes a deleted
-        # doc re-creates it with the delta's content alone)
-        tomb = b._tombstones_df()
-        if tomb is not None:
-            dead_ids = docmap.join(tomb, "doc_ord", "left_semi").select(
-                *sink.id_cols
-            )
-            old_post = old_post.join(dead_ids, sink.id_cols, "left_anti")
+        if b.ckpt.is_done(UPSERT_MARK):
+            # upserts happened: the id-keyed postings table holds
+            # superseded generations of the same id — rebuild from the
+            # ordinal-keyed blocks instead (see operators/upsert.py)
+            old_post = alive_postings(b)
+        else:
+            old_post = b.catalog.read("postings")
+            # full rebuild PURGES tombstoned docs: their committed
+            # postings are dropped before the merge (a delta that
+            # re-writes a deleted doc re-creates it with the delta's
+            # content alone)
+            tomb = b._tombstones_df()
+            if tomb is not None:
+                dead_ids = docmap.join(tomb, "doc_ord", "left_semi").select(
+                    *sink.id_cols
+                )
+                old_post = old_post.join(
+                    dead_ids, sink.id_cols, "left_anti"
+                )
         merged = (
             old_post
             .unionByName(delta_post)
@@ -364,146 +390,20 @@ def compact_incremental(
         return {"mode": "full", "reason": f"{n_updates} existing docs updated"}
 
     # ---- append path: every delta doc is new -----------------------------
-    old_max = max(
-        e["max_doc_ord"]
-        for e in b.catalog.manifest("docmap")["files"]
-        if e.get("max_doc_ord") is not None
+    pos_delta = (
+        sink.pos_deltas(spark, todo) if b.ckpt.is_done("pos_blocks") else None
     )
-    new_dl = delta_post.groupBy(*sink.id_cols).agg(F.sum("tf").alias("dl"))
-    new_docmap = assign_doc_ords(
-        new_dl, sink.id_cols, n_part, start=int(old_max) + 1
+    meta_delta = (
+        sink.meta_deltas(spark, todo) if b.ckpt.is_done("docmeta") else None
     )
-    b.catalog.write(
-        new_docmap, "docmap", stats_cols=["doc_ord"], mode="append"
-    )
-    src = getattr(new_docmap, "_ord_source", None)
-
-    b.catalog.write(delta_post, "postings", mode="append")
-
-    # terms: merged df lands in a fresh generation dir; the manifest
-    # pointer swap is the crash-atomic commit point (Catalog.replace) —
-    # a crash mid-rewrite leaves the old terms snapshot fully readable
-    old_terms = b.catalog.read("terms")
-    delta_df = delta_post.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-    merged_terms = (
-        old_terms.withColumnRenamed("df", "df_old")
-        .join(delta_df.withColumnRenamed("df", "df_new"), "term", "full_outer")
-        .select(
-            "term",
-            (
-                F.coalesce(F.col("df_old"), F.lit(0))
-                + F.coalesce(F.col("df_new"), F.lit(0))
-            ).alias("df"),
-        )
-    )
-    b.catalog.replace(merged_terms, "terms", stats_cols=["term"],
-                      row_group_bytes=LEAF_ROW_GROUP_BYTES)
-
-    # stats: recomputed the batch way over the appended docmap (exact
-    # equivalence with a from-scratch build)
-    stats = b.catalog.read("docmap").agg(
-        F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")
-    )
-    b.catalog.replace(stats, "stats")
-
-    # blocks: pack ONLY the delta postings; append with a fresh run_base
-    n_runs = int(b.catalog.manifest("blocks")["props"].get("n_runs", 1))
-    assert n_part < (1 << 16), "run_base layout assumes < 2^16 partitions"
-    enriched = delta_post.join(new_docmap, sink.id_cols).select(
-        "term", "doc_ord", "tf", "dl"
-    )
-    packed = (
-        enriched.repartitionByRange(n_part, "term", "doc_ord")
-        .sortWithinPartitions("term", "doc_ord")
-        .withColumn("_pid", F.spark_partition_id())
-        .mapInPandas(
-            partial(_pack_partition, run_base=n_runs << 48),
-            schema=_BLOCKS_OUT,
-        )
-    )
-    man = b.catalog.write(
-        packed, "blocks", stats_cols=["term"], mode="append",
-        props={"n_runs": n_runs + 1},
-        row_group_bytes=LEAF_ROW_GROUP_BYTES,
-    )
-    b._stats_cache = None  # appended corpus → cached (n_docs, avgdl) stale
-    # positional layer: the sink persists row-level position deltas, so
-    # pos_blocks runs append exactly like tf blocks — fresh run_base,
-    # no committed file touched, O(delta). Only when the positions for a
-    # consumed batch are missing (pre-upgrade sink data) does the layer
-    # invalidate (phrase queries then raise until a rebuild).
-    pos_mode = None
-    if b.ckpt.is_done("pos_blocks"):
-        pos_delta = sink.pos_deltas(spark, todo)
-        if pos_delta is None:
-            b.catalog.drop("pos_blocks")
-            b.ckpt.unmark("pos_blocks")
-            pos_mode = "invalidated"
-        else:
-            from antidb_spark.operators.phrase import (
-                _pack_pos_partition,
-                _POS_BLOCKS_OUT,
-            )
-
-            n_pos_runs = int(
-                b.catalog.manifest("pos_blocks")["props"].get("n_runs", 1)
-            )
-            enriched_pos = pos_delta.join(new_docmap, sink.id_cols).select(
-                "term", "doc_ord", "pos"
-            )
-            packed_pos = (
-                enriched_pos.repartitionByRange(n_part, "term", "doc_ord")
-                .sortWithinPartitions("term", "doc_ord", "pos")
-                .withColumn("_pid", F.spark_partition_id())
-                .mapInPandas(
-                    partial(_pack_pos_partition, run_base=n_pos_runs << 48),
-                    schema=_POS_BLOCKS_OUT,
-                )
-            )
-            b.catalog.write(
-                packed_pos, "pos_blocks", stats_cols=["term"], mode="append",
-                props={"n_runs": n_pos_runs + 1},
-                row_group_bytes=LEAF_ROW_GROUP_BYTES,
-            )
-            pos_mode = "append"
-    # docmeta: append the new docs' metadata rows (keyed to their fresh
-    # ordinals) when the sink persisted them for every consumed batch;
-    # otherwise invalidate — filtered search must never silently serve a
-    # result set that excludes appended docs.
-    meta_mode = None
-    if b.ckpt.is_done("docmeta"):
-        want_cols = (
-            b.catalog.manifest("docmeta").get("props", {}).get("meta_cols")
-        )
-        meta_delta = (
-            sink.meta_deltas(spark, todo) if want_cols else None
-        )
-        if meta_delta is None or not set(want_cols) <= set(
-            meta_delta.columns
-        ):
-            b.catalog.drop("docmeta")
-            b.ckpt.unmark("docmeta")
-            meta_mode = "invalidated"
-        else:
-            new_meta = meta_delta.join(new_docmap, sink.id_cols).select(
-                "doc_ord", *want_cols
-            )
-            b.catalog.write(
-                new_meta, "docmeta", stats_cols=["doc_ord"], mode="append",
-                row_group_bytes=LEAF_ROW_GROUP_BYTES,
-            )
-            meta_mode = "append"
-    if src is not None:
-        src.unpersist()
-    b.ckpt.mark_done(
-        f"compaction_run_{n_runs}",
-        batches=sorted(todo),
-        snapshot=man["snapshot_id"],
+    out = append_run(
+        b, delta_post, pos_delta=pos_delta, meta_delta=meta_delta,
+        n_partitions=n_part, ckpt_extra={"batches": sorted(todo)},
     )
     sink.mark_compacted(todo)
     return {
-        "mode": "append", "batches": sorted(todo), "run": n_runs,
-        "pos_mode": pos_mode, "meta_mode": meta_mode,
+        "mode": "append", "batches": sorted(todo), "run": out["run"],
+        "pos_mode": out["pos_mode"], "meta_mode": out["meta_mode"],
     }
 
 
