@@ -198,13 +198,17 @@ class PostingsDeltaSink:
         return out
 
     def pos_deltas(
-        self, spark: SparkSession, batch_ids: set[int] | None = None
+        self,
+        spark: SparkSession,
+        batch_ids: set[int] | None = None,
+        tag_batch: bool = False,
     ) -> DataFrame | None:
         """Committed row-level position deltas (term, *id_cols, pos) for
         ``batch_ids``. Returns None when ANY requested batch lacks a
         positions dir (a sink upgraded mid-stream has tf deltas without
         positions for old batches) — the caller must then invalidate the
-        positional layer instead of appending a hole into it."""
+        positional layer instead of appending a hole into it.
+        ``tag_batch`` adds a ``_batch`` column."""
         want = batch_ids if batch_ids is not None else self.committed_batches()
         have = {
             int(d.split("=", 1)[1])
@@ -213,19 +217,31 @@ class PostingsDeltaSink:
         }
         if not want or not want <= have:
             return None
-        dirs = [
-            os.path.join(self.pos_dir, f"batch_id={b}") for b in sorted(want)
+        pairs = [
+            (b, os.path.join(self.pos_dir, f"batch_id={b}"))
+            for b in sorted(want)
         ]
-        return spark.read.parquet(*dirs).select("term", *self.id_cols, "pos")
+        if not tag_batch:
+            return spark.read.parquet(*[p for _, p in pairs]).select(
+                "term", *self.id_cols, "pos"
+            )
+        return self._union_tagged(
+            spark, pairs, ["term", *self.id_cols, "pos"]
+        )
 
     def meta_deltas(
-        self, spark: SparkSession, batch_ids: set[int] | None = None
+        self,
+        spark: SparkSession,
+        batch_ids: set[int] | None = None,
+        tag_batch: bool = False,
     ) -> DataFrame | None:
         """Committed per-doc metadata deltas (*id_cols, *meta_cols) for
         ``batch_ids``; None when ANY requested batch lacks one (same
         all-or-invalidate contract as ``pos_deltas``). Deduplicated on
         id_cols across batches — a doc re-delivered in a later batch
-        keeps its first metadata row (metadata is per-doc-constant)."""
+        keeps its first metadata row (metadata is per-doc-constant).
+        ``tag_batch`` skips the dedup and adds ``_batch`` instead, so
+        upsert-mode compaction can keep the LAST delivery's row."""
         want = batch_ids if batch_ids is not None else self.committed_batches()
         have = {
             int(d.split("=", 1)[1])
@@ -234,10 +250,16 @@ class PostingsDeltaSink:
         }
         if not want or not want <= have:
             return None
-        dirs = [
-            os.path.join(self.meta_dir, f"batch_id={b}") for b in sorted(want)
+        pairs = [
+            (b, os.path.join(self.meta_dir, f"batch_id={b}"))
+            for b in sorted(want)
         ]
-        return spark.read.parquet(*dirs).dropDuplicates(self.id_cols)
+        if not tag_batch:
+            return spark.read.parquet(
+                *[p for _, p in pairs]
+            ).dropDuplicates(self.id_cols)
+        cols = [*self.id_cols, *self.meta_cols]
+        return self._union_tagged(spark, pairs, cols)
 
 
 def run_ingestion(
@@ -292,6 +314,7 @@ def compact_incremental(
     sink: PostingsDeltaSink,
     builder,
     n_partitions: int | None = None,
+    update_mode: str = "rebuild",
 ) -> dict:
     """Fold NOT-YET-COMPACTED deltas into an already-committed index,
     O(delta) instead of O(total index).
@@ -303,14 +326,29 @@ def compact_incremental(
     block metadata is stats-independent so existing blocks stay valid
     as df/avgdl/N grow), renumbers only the new docs after the
     committed max ordinal, and rewrites just the small metadata tables
-    (terms, stats). Falls back to a FULL rebuild when a delta touches
-    an EXISTING doc (its dl — packed into every one of its postings —
-    would change) or when the builder has no committed index yet.
+    (terms, stats).
+
+    ``update_mode`` picks what happens when a delta touches an EXISTING
+    doc (its dl — packed into every one of its postings — would change):
+
+    - ``"rebuild"`` (default): FULL rebuild, ADDITIVE tf semantics —
+      the delta's rows merge into the doc's committed content (a doc's
+      turns may arrive as fragments across batches). O(total index).
+    - ``"upsert"``: REPLACE semantics, O(delta) — each delivered doc's
+      content is taken whole from its LAST delivering micro-batch
+      (last-writer-wins within the window), prior generations are
+      tombstoned (``delete_docs``), and everything appends as fresh
+      ordinals via the shared upsert core. Ranking statistics keep
+      counting the dead generations until ``purge_deleted`` (the
+      documented upsert visibility contract, operators/upsert.py).
+
+    Falls back to the full batch build when the builder has no
+    committed index yet (either mode).
 
     Not crash-atomic across tables (single-writer batch context, same
     as the reference's build); exactly-once ACROSS compactions comes
     from the sink's compacted-batch ledger. Returns {"mode":
-    "append"|"full"|"noop", ...}.
+    "append"|"upsert"|"full"|"noop", ...}.
     """
     from antidb_spark.operators.build import IndexBuilder
     from antidb_spark.operators.upsert import (
@@ -319,6 +357,8 @@ def compact_incremental(
         append_run,
     )
 
+    if update_mode not in ("rebuild", "upsert"):
+        raise ValueError(f"unknown update_mode {update_mode!r}")
     b: IndexBuilder = builder
     todo = sink.uncompacted_batches()
     delta = sink.deltas(spark, todo)
@@ -343,6 +383,57 @@ def compact_incremental(
     docmap = b.catalog.read("docmap")
     delta_ids = delta_post.select(*sink.id_cols).distinct()
     n_updates = delta_ids.join(docmap, sink.id_cols).count()
+
+    if update_mode == "upsert":
+        # REPLACE semantics, O(delta): last-writer-wins within the
+        # window (each doc's content comes whole from its highest
+        # delivering batch), old generations tombstoned, everything
+        # appended as fresh ordinals — no committed file touched.
+        tagged = sink.deltas(spark, todo, tag_batch=True)
+        last = tagged.groupBy(*sink.id_cols).agg(
+            F.max("_batch").alias("_batch")
+        )
+        key = [*sink.id_cols, "_batch"]
+        delta_post = tagged.join(last, key).select(
+            "term", *sink.id_cols, "tf"
+        )
+        n_replaced = 0
+        if n_updates > 0:
+            # BEFORE the append: delete resolves ids→ordinals via the
+            # committed docmap; appending first would tombstone the
+            # fresh generation too
+            n_replaced = b.delete_docs(
+                delta_ids.join(docmap, sink.id_cols, "left_semi")
+            )
+        pos_delta = None
+        if b.ckpt.is_done("pos_blocks"):
+            tp = sink.pos_deltas(spark, todo, tag_batch=True)
+            if tp is not None:
+                pos_delta = tp.join(last, key).select(
+                    "term", *sink.id_cols, "pos"
+                )
+        meta_delta = None
+        if b.ckpt.is_done("docmeta"):
+            tm = sink.meta_deltas(spark, todo, tag_batch=True)
+            if tm is not None:
+                meta_delta = (
+                    tm.join(last, key).drop("_batch")
+                    .dropDuplicates(sink.id_cols)
+                )
+        out = append_run(
+            b, delta_post, pos_delta=pos_delta, meta_delta=meta_delta,
+            n_partitions=n_part,
+            ckpt_extra={"batches": sorted(todo), "upsert": True},
+        )
+        if n_replaced and not b.ckpt.is_done(UPSERT_MARK):
+            b.ckpt.mark_done(UPSERT_MARK)
+        sink.mark_compacted(todo)
+        return {
+            "mode": "upsert", "n_replaced": n_replaced,
+            "batches": sorted(todo), "run": out["run"],
+            "pos_mode": out["pos_mode"], "meta_mode": out["meta_mode"],
+        }
+
     if n_updates > 0:
         if b.ckpt.is_done(UPSERT_MARK):
             # upserts happened: the id-keyed postings table holds

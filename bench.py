@@ -69,6 +69,8 @@ def run_suite(spark, docs, transcripts, n_turns):
     runs clean. Returns (timings, extras, sub) where ``sub`` holds
     per-build-phase seconds for the index build.
     """
+    from pyspark.sql import functions as F
+
     from antidb_spark.functions.analyze import distinct_tokens
     from antidb_spark.operators.build import IndexBuilder
     from antidb_spark.operators.dedup import minhash_near_dups
@@ -107,7 +109,7 @@ def run_suite(spark, docs, transcripts, n_turns):
     # --- index build over synthetic transcripts (north-rule flagship) ---
     index_phases = ("index_build", "bm25_batch", "bm25_warm", "pos_build",
                     "phrase_warm", "snippet_warm", "near_warm",
-                    "prefix_warm")
+                    "prefix_warm", "upsert_delta")
     builder = None
     if any(phase_on(p) for p in index_phases):
         builder = IndexBuilder(spark, os.path.join(work_root, "idx"))
@@ -169,6 +171,23 @@ def run_suite(spark, docs, transcripts, n_turns):
             prefs = [v[i][:4] for i in range(600, 610)] * 2
             warm_median("prefix_warm", prefs,
                         lambda p: builder.query_prefix_warm(p, k=10))
+
+    # --- O(delta) upsert: replace ~0.1% of the committed corpus ---------
+    # LAST of the index-dependent phases: it mutates the builder (old
+    # generations tombstoned, a second blocks run appended), so every
+    # phase above measures the pristine single-run index
+    if phase_on("upsert_delta"):
+        delta = transcripts.filter(
+            F.col("conv_id") < "conv_00000063"
+        ).withColumn("text", F.concat(F.lit("upserted "), F.col("text")))
+        extras["n_upsert_docs"] = delta.count()  # outside the timer
+        if not builder.ckpt.is_done("pos_blocks"):
+            # keep the measured work constant regardless of which other
+            # phases ran: upsert maintains the positional layer too
+            from antidb_spark.operators.phrase import build_positional_index
+
+            build_positional_index(builder, transcripts)
+        timed("upsert_delta", lambda: builder.upsert_docs(delta))
 
     # --- flagship documents query ---------------------------------------
     if phase_on("topk_docs"):
@@ -256,17 +275,19 @@ def main() -> None:
     transcripts, n_turns = None, 0
     index_phases = ("index_build", "bm25_batch", "bm25_warm", "pos_build",
                     "phrase_warm", "snippet_warm", "near_warm",
-                    "prefix_warm")
+                    "prefix_warm", "upsert_delta")
     if any(phase_on(p) for p in index_phases):
         transcripts = synth_transcripts(spark, n_convs=N_CONVS).cache()
         n_turns = transcripts.count()  # materialize outside any timer
 
     reps: list[dict[str, float]] = []
     subs: list[dict[str, float]] = []
+    run_extras: dict = {}
     for _ in range(max(1, REPEATS)):
-        t, _e, s = run_suite(spark, docs, transcripts, n_turns)
+        t, e, s = run_suite(spark, docs, transcripts, n_turns)
         reps.append(t)
         subs.append(s)
+        run_extras.update(e)
 
     def med(vals):
         return statistics.median(vals)
@@ -284,7 +305,12 @@ def main() -> None:
     # traffic) is one-sided — it only ever inflates — so the floor is
     # the stable cross-run comparable on this shared box
     floor = {k: round(min(r[k] for r in reps), 4) for k in reps[0]}
-    extras: dict = {"repeats": len(reps), "spread": spread, "floor": floor}
+    extras: dict = {"repeats": len(reps), "spread": spread, "floor": floor,
+                    **run_extras}
+    if "upsert_delta" in timings and "n_upsert_docs" in extras:
+        extras["upsert_docs_per_sec"] = round(
+            extras["n_upsert_docs"] / timings["upsert_delta"], 1
+        )
     if "index_build" in timings:
         extras["turns_per_sec"] = round(n_turns / timings["index_build"], 1)
         extras["n_turns"] = n_turns

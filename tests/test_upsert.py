@@ -365,6 +365,154 @@ def test_merge_propagates_upsert_marker(spark, tmp_path):
     corpus.unpersist()
 
 
+def _file_hashes(root):
+    import hashlib
+    import os
+
+    out = {}
+    for dirpath, _dirs, fnames in os.walk(root):
+        for fn in fnames:
+            if fn.endswith(".parquet"):
+                p = os.path.join(dirpath, fn)
+                with open(p, "rb") as f:
+                    out[p] = hashlib.sha256(f.read()).hexdigest()
+    return out
+
+
+def test_streaming_upsert_mode_is_o_delta(spark, tmp_path):
+    """``compact_incremental(update_mode='upsert')``: a delta updating
+    existing docs no longer costs an O(corpus) full rebuild — old
+    generations tombstone, everything appends (committed block files
+    byte-identical), content is last-writer-wins across the window's
+    micro-batches, and positional + docmeta layers follow."""
+    import os
+
+    from antidb_spark.operators.phrase import phrase_query, phrase_warm
+
+    corpus = synth_transcripts(spark, n_convs=12, seed=29).cache()
+    corpus.count()
+    b = IndexBuilder(spark, str(tmp_path / "su_idx"))
+    b.build(corpus, n_partitions=4)
+    b.build_doc_meta(corpus, ["role"])
+    build_positional_index(b, corpus, n_partitions=4)
+    s1, s2, s3 = _pick_sentinels(corpus.toPandas(), 3)
+    vic = corpus.select("conv_id", "turn_idx").orderBy(
+        "conv_id", "turn_idx"
+    ).first()
+    vid = (vic["conv_id"], int(vic["turn_idx"]))
+
+    def _batch(rows):
+        return spark.createDataFrame(
+            pd.DataFrame(rows)
+        ).withColumn("turn_idx", F.col("turn_idx").cast("int"))
+
+    sink = PostingsDeltaSink(str(tmp_path / "su_sink"), meta_cols=["role"])
+    # batch 0 rewrites the victim (v1) + inserts doc A; batch 1 rewrites
+    # the victim AGAIN (v2 — must win) + inserts doc B
+    sink(_batch([
+        {"conv_id": vid[0], "turn_idx": vid[1], "role": "tool",
+         "text": f"{s1} version one"},
+        {"conv_id": "conv_zz_a", "turn_idx": 0, "role": "tool",
+         "text": f"{s3} inserted a"},
+    ]), batch_id=0)
+    sink(_batch([
+        {"conv_id": vid[0], "turn_idx": vid[1], "role": "user",
+         "text": f"{s2} version two wins"},
+        {"conv_id": "conv_zz_b", "turn_idx": 0, "role": "tool",
+         "text": f"{s3} inserted b"},
+    ]), batch_id=1)
+
+    before = _file_hashes(os.path.join(b.root, "blocks"))
+    before_pos = _file_hashes(os.path.join(b.root, "pos_blocks"))
+    m = compact_incremental(
+        spark, sink, b, n_partitions=4, update_mode="upsert"
+    )
+    assert m["mode"] == "upsert"
+    assert m["n_replaced"] == 1
+    assert m["pos_mode"] == "append" and m["meta_mode"] == "append"
+    assert b.ckpt.is_done(UPSERT_MARK)
+    # O(delta): every committed block/pos_block file byte-identical
+    after = _file_hashes(os.path.join(b.root, "blocks"))
+    after_pos = _file_hashes(os.path.join(b.root, "pos_blocks"))
+    assert {p: h for p, h in before.items() if p in after} == before
+    assert {p: h for p, h in before_pos.items() if p in after_pos} \
+        == before_pos
+    assert len(after) > len(before)
+
+    # last-writer-wins: v2 visible, v1 never was
+    assert b.query_pinned(s1, k=10).count() == 0
+    got = b.query_pinned(s2, k=10).toPandas()
+    assert set(
+        map(tuple, got[["conv_id", "turn_idx"]].values.tolist())
+    ) == {vid}
+    # inserts from both batches present
+    ids3 = set(map(tuple, b.query_pinned(s3, k=10).toPandas()[
+        ["conv_id", "turn_idx"]].values.tolist()))
+    assert ids3 == {("conv_zz_a", 0), ("conv_zz_b", 0)}
+    # positional layer serves the winning generation
+    ph = phrase_query(b, "version two").toPandas()
+    assert vid in set(
+        map(tuple, ph[["conv_id", "turn_idx"]].values.tolist())
+    )
+    assert phrase_warm(b, "version two").values.tolist() \
+        == ph.values.tolist()
+    assert phrase_query(b, "version one").count() == 0
+    # docmeta follows LWW too (victim's role flipped tool→user)
+    fc = b.facet_counts(s2, "role").toPandas()
+    assert list(map(tuple, fc.values.tolist())) == [("user", 1)]
+    # warm == batch on the multi-run index
+    warm = b.query_warm(QUERY, k=10)
+    batch = b.query_batch([QUERY], k=10).toPandas().drop(
+        columns=["query_id"]
+    )
+    assert warm.values.tolist() == batch.values.tolist()
+    # purge reconciles to a fresh build over the logical corpus
+    b.purge_deleted(n_partitions=4)
+    rows = [
+        {"conv_id": vid[0], "turn_idx": vid[1],
+         "text": f"{s2} version two wins"},
+        {"conv_id": "conv_zz_a", "turn_idx": 0, "text": f"{s3} inserted a"},
+        {"conv_id": "conv_zz_b", "turn_idx": 0, "text": f"{s3} inserted b"},
+    ]
+    ref = IndexBuilder(spark, str(tmp_path / "su_ref"))
+    ref.build(_logical_corpus(spark, corpus, rows), n_partitions=4)
+    assert b._corpus_stats() == ref._corpus_stats()
+    got = b.query_pinned(QUERY, k=20).toPandas()
+    want = ref.query_pinned(QUERY, k=20).toPandas()
+    assert got.values.tolist() == want.values.tolist()
+    # exactly-once: a second upsert-mode compaction is a noop
+    assert compact_incremental(
+        spark, sink, b, update_mode="upsert"
+    )["mode"] == "noop"
+    corpus.unpersist()
+
+
+def test_streaming_upsert_mode_pure_insert_appends(spark, tmp_path):
+    """update_mode='upsert' with only NEW docs behaves like the append
+    path (no tombstones, no marker) — the mode is safe as a default."""
+    corpus = synth_transcripts(spark, n_convs=8, seed=37).cache()
+    corpus.count()
+    base = corpus.filter(F.col("conv_id") < "conv_00000006")
+    tail = corpus.filter(F.col("conv_id") >= "conv_00000006")
+    b = IndexBuilder(spark, str(tmp_path / "pi_idx"))
+    b.build(base, n_partitions=4)
+    sink = PostingsDeltaSink(str(tmp_path / "pi_sink"))
+    sink(tail, batch_id=0)
+    m = compact_incremental(
+        spark, sink, b, n_partitions=4, update_mode="upsert"
+    )
+    assert m["mode"] == "upsert" and m["n_replaced"] == 0
+    assert not b.ckpt.is_done(UPSERT_MARK)
+    assert b._n_tombstones() == 0
+    ref = IndexBuilder(spark, str(tmp_path / "pi_ref"))
+    ref.build(corpus, n_partitions=4)
+    got = b.query_pinned(QUERY, k=20).toPandas()
+    want = ref.query_pinned(QUERY, k=20).toPandas()
+    assert got.values.tolist() == want.values.tolist()
+    assert b._corpus_stats() == ref._corpus_stats()
+    corpus.unpersist()
+
+
 def test_docmeta_dropped_when_upsert_lacks_meta_cols(spark, tmp_path):
     corpus = synth_transcripts(spark, n_convs=6, seed=23).cache()
     corpus.count()
