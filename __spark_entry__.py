@@ -510,6 +510,44 @@ def _q_merged_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(root, ignore_errors=True)
 
 
+SUGGEST_PROBE = "qery"
+
+
+def _q_spell_suggest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Did-you-mean: the 5 vocabulary terms closest to a misspelled
+    probe, ranked (distance, df desc, term) from the committed terms
+    table — the direct-spellcheck surface a search box needs."""
+    return _entry_index(spark, sf_dir).suggest(SUGGEST_PROBE, k=5,
+                                               max_edits=2)
+
+
+def _q_federated_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shard search: the corpus split into two id-range segments built
+    independently, then queried TOGETHER at query time under global
+    statistics (operators/federate.py) — no physical merge, no touched
+    segment file. Same oracle as `indexed_topk`/`merged_topk`, proving
+    federated(build(A), build(B)) ≡ build(A ∪ B) without the fold."""
+    import shutil
+    import tempfile
+
+    from antidb_spark.operators.build import IndexBuilder
+    from antidb_spark.operators.federate import federated_topk
+
+    docs = _docs(spark, sf_dir)
+    mid = docs.agg(F.max("doc_id")).collect()[0][0] // 2
+    root = tempfile.mkdtemp(prefix="antidb_entry_fed_")
+    try:
+        a = IndexBuilder(spark, os.path.join(root, "a"), id_cols=DOC_ID)
+        a.build(docs.filter(F.col("doc_id") <= mid))
+        b = IndexBuilder(spark, os.path.join(root, "b"), id_cols=DOC_ID)
+        b.build(docs.filter(F.col("doc_id") > mid))
+        out = federated_topk(spark, [a, b], FLAGSHIP_QUERY, k=10).cache()
+        out.count()  # materialize before the temp dir is removed
+        return out
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 UPSERT_SENT = "zzupserted"
 UPSERT_ROWS = [
     (7, f"{UPSERT_SENT} spark replacement window text"),
@@ -951,6 +989,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "boosted_topk": _q_boosted_topk,
         "hit_count": _q_hit_count,
         "merged_topk": _q_merged_topk,
+        "federated_topk": _q_federated_topk,
+        "spell_suggest": _q_spell_suggest,
         "upsert_eq": _q_upsert_eq,
         "upsert_topk": _q_upsert_topk,
         "snippet_hits": _q_snippet_hits,
@@ -1718,6 +1758,18 @@ GROUP BY d::date
         "boosted_topk": _boosted_oracle(BOOST_WEIGHTS, 10),
         "hit_count": _hitcount_oracle(FLAGSHIP_QUERY),
         "merged_topk": _topk_oracle(FLAGSHIP_QUERY, 10),
+        "federated_topk": _topk_oracle(FLAGSHIP_QUERY, 10),
+        "spell_suggest": f"""
+WITH {TOK_CTE}, {POST_CTE},
+dfs AS (SELECT term, count(*)::BIGINT AS df FROM post GROUP BY term)
+SELECT term AS suggestion, levenshtein(term, '{SUGGEST_PROBE}')::INT AS dist,
+       df
+FROM dfs
+WHERE levenshtein(term, '{SUGGEST_PROBE}') <= 2
+  AND term <> '{SUGGEST_PROBE}'
+ORDER BY dist, df DESC, term
+LIMIT 5
+""",
         "upsert_eq": f"""
 WITH logical AS ({UPSERT_LOGICAL_SQL}), {_tok_cte('logical')}, {POST_CTE},
 probes(query_ord, term) AS (VALUES (0, '{UPSERT_SENT}'), (1, 'window'))

@@ -2025,6 +2025,40 @@ class IndexBuilder:
         )
         return sorted(r["term"] for r in rows)
 
+    def suggest(
+        self, term: str, k: int = 5, max_edits: int = 2,
+    ) -> DataFrame:
+        """Did-you-mean spell suggestions from the committed vocabulary:
+        the k index terms closest to ``term``, ranked (distance asc,
+        df desc, term asc) — a likelier (more frequent) correction wins
+        within a distance band, the standard direct-spellcheck ranking.
+        The input term itself is excluded (a correctly-spelled probe
+        suggests alternatives, not itself). Same distributed
+        length-banded vocabulary scan as ``expand_fuzzy`` — an edit at
+        position 0 defeats any sort-order prune, and O(vocabulary) ≪
+        corpus. Returns (suggestion, dist, df)."""
+        q = term.lower().strip()
+        schema = "suggestion string, dist int, df long"
+        if not q:
+            return self.spark.createDataFrame([], schema)
+        dist = F.levenshtein(F.col("term"), F.lit(q))
+        return (
+            self.catalog.read("terms")
+            .filter(
+                F.length("term").between(
+                    len(q) - max_edits, len(q) + max_edits
+                )
+            )
+            .filter((dist <= max_edits) & (F.col("term") != q))
+            .select(
+                F.col("term").alias("suggestion"),
+                dist.alias("dist"),
+                "df",
+            )
+            .orderBy("dist", F.desc("df"), "suggestion")
+            .limit(k)
+        )
+
     def query_fuzzy(
         self, term: str, k: int = 10, max_edits: int = 1,
         max_terms: int | None = None,

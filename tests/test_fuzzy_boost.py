@@ -223,3 +223,39 @@ def test_hit_count_matches_bruteforce(built):
 def test_hit_count_empty_query(built):
     b, _ = built
     assert b.hit_count("").collect()[0]["n_docs"] == 0
+
+
+# --- did-you-mean suggestions --------------------------------------------
+
+
+def test_suggest_matches_bruteforce(built):
+    b, corpus = built
+    vocab = _vocab(corpus)
+    dfs = {
+        r["term"]: r["df"]
+        for r in b.catalog.read("terms").collect()
+    }
+    for probe, me in (("qery", 2), ("the", 1), ("daat", 2)):
+        want = sorted(
+            (
+                (_lev(t, probe), -dfs[t], t)
+                for t in vocab
+                if t != probe and _lev(t, probe) <= me
+            ),
+        )[:5]
+        got = b.suggest(probe, k=5, max_edits=me).collect()
+        assert [
+            (r["dist"], -r["df"], r["suggestion"]) for r in got
+        ] == want, probe
+        # df column is the committed document frequency
+        assert all(r["df"] == dfs[r["suggestion"]] for r in got)
+
+
+def test_suggest_excludes_exact_and_handles_misses(built):
+    b, _ = built
+    # a correctly-spelled frequent term never suggests itself
+    got = b.suggest("the", k=5, max_edits=2).collect()
+    assert all(r["suggestion"] != "the" for r in got)
+    assert b.suggest("zzzzzzzzzzz", k=5).count() == 0
+    assert b.suggest("", k=5).count() == 0
+    assert b.suggest("  ", k=5).count() == 0
