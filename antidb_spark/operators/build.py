@@ -792,6 +792,43 @@ class IndexBuilder:
         self.invalidate_caches()
         return {"mode": "purged", "n_purged": n_dead}
 
+    def optimize(self, n_partitions: int | None = None) -> dict:
+        """Force-merge (the Lucene forceMerge analog): rebuild the
+        derived layers from the committed stage-0 postings into a
+        SINGLE blocks run, restoring the locality that O(delta)
+        appends/upserts trade away — after many compactions a term's
+        postings are scattered across runs, which costs extra block
+        reads and per-segment decode overhead per query. O(total
+        index), out-of-band, never required for correctness (every
+        query path is multi-run-exact); run it when the runs count
+        grows. With tombstones present this IS ``purge_deleted``
+        (physical expunge + exact stats + pruning re-armed). Side
+        layers (pos_blocks/docmeta) drop with the rebuild — re-run
+        ``build_positional_index`` / ``build_doc_meta`` after, same as
+        purge (a rebuild renumbers ordinals)."""
+        n_runs = int(
+            self.catalog.manifest("blocks")["props"].get("n_runs", 1)
+        )
+        if self._n_tombstones():
+            out = self.purge_deleted(n_partitions)
+            return {**out, "mode": "optimized", "n_runs_before": n_runs}
+        if n_runs <= 1:
+            return {"mode": "noop", "n_runs_before": n_runs}
+        n_part = n_partitions or self.spark.sparkContext.defaultParallelism
+        merged = self.catalog.read("postings").localCheckpoint()
+        for tbl in ("postings", "docmap", "stats", "terms", "blocks",
+                    "pos_blocks", "docmeta"):
+            self.catalog.drop(tbl)
+        self.ckpt.reset()
+        man = self.catalog.write(merged, "postings")
+        self.ckpt.mark_done(
+            "postings", rows=sum(e["rows"] for e in man["files"]),
+            snapshot=man["snapshot_id"], seconds=0.0,
+        )
+        self.build(corpus=None, n_partitions=n_part)
+        self.invalidate_caches()
+        return {"mode": "optimized", "n_runs_before": n_runs}
+
     def _plan_queries(self, queries: Sequence[str]) -> dict | None:
         """Driver-side query planning, ZERO Spark jobs (this is what
         kills the per-batch serial floor: the old path spent jobs on

@@ -165,6 +165,26 @@ def main() -> None:
             "candidates — no full vectors scan.",
             plan_of(lsh.topk(probe, k=5)),
         ))
+
+        from antidb_spark.operators.federate import federated_topk
+
+        fa = IndexBuilder(spark, os.path.join(root, "fed_a"))
+        fa.build(t.filter(F.col("conv_id") < "conv_00000100"))
+        fb = IndexBuilder(spark, os.path.join(root, "fed_b"))
+        fb.build(t.filter(F.col("conv_id") >= "conv_00000100"))
+        sections.append((
+            "federated shard search (two segments, global stats)",
+            "One manifest-pruned blocks scan PER SEGMENT with In(term,…) "
+            "pushdown; the global df table is a tiny BroadcastExchange "
+            "(driver-computed Σ segment dfs — global avgdl/N ride as "
+            "literals, no stats joins); each segment cuts a local top-k "
+            "on the narrow (doc_ord, score) relation before its k rows "
+            "broadcast-join the docmap; the cross-segment merge is "
+            "TakeOrdered over ≤ k·segments rows — nothing global ever "
+            "materializes.",
+            plan_of(federated_topk(spark, [fa, fb],
+                                   "the kemuba0 data", k=5)),
+        ))
         t.unpersist()
 
     from antidb_spark.operators.dedup import minhash_signatures
@@ -233,6 +253,17 @@ def main() -> None:
                        or "EqualTo(term" in snip_plan))
         checks.append(("snippet: top-k doc set broadcast into positions",
                        "BroadcastExchange" in snip_plan))
+        fed_plan = by_title[
+            "federated shard search (two segments, global stats)"
+        ]
+        checks.append(("federated: term pushdown on BOTH segment scans",
+                       fed_plan.count("In(term") >= 2
+                       or fed_plan.count("EqualTo(term") >= 2))
+        checks.append(("federated: global dfs broadcast, no stats joins",
+                       "BroadcastExchange" in fed_plan
+                       and "SortMergeJoin" not in fed_plan))
+        checks.append(("federated: cross-segment merge is TakeOrdered",
+                       "TakeOrdered" in fed_plan))
         f.write("## Property checks\n\n")
         for name, ok in checks:
             f.write(f"- {'PASS' if ok else 'FAIL'}: {name}\n")
