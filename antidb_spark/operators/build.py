@@ -748,11 +748,10 @@ class IndexBuilder:
         committed postings minus the deleted docs' rows (O(total
         postings) — the merge/expunge step). Exact statistics are
         restored (df/avgdl/n_docs over the survivors), block-max
-        pruning re-arms, and ordinals renumber densely. The positional
-        and docmeta side layers are DROPPED (renumbering invalidates
-        them; rebuild via build_positional_index / build_doc_meta),
-        mirroring the full-compaction contract in
-        streaming/incremental.py."""
+        pruning re-arms, and ordinals renumber densely. Committed
+        positional and docmeta side layers SURVIVE the renumbering via
+        ordinal remap (see ``_rebuild_from``) — no corpus re-scan;
+        dead generations drop from the layers in the same pass."""
         tomb = self._tombstones_df()
         if tomb is None:
             return {"mode": "noop"}
@@ -779,8 +778,58 @@ class IndexBuilder:
                 .join(dead_ids, list(self.id_cols), "left_anti")
                 .localCheckpoint()
             )
+        layers = self._rebuild_from(merged, n_part)
+        return {"mode": "purged", "n_purged": n_dead, **layers}
+
+    def _rebuild_from(self, merged: DataFrame, n_part: int) -> dict:
+        """Shared in-place rebuild core of ``purge_deleted`` /
+        ``optimize``: rewrite stage-0 postings as ``merged`` and rebuild
+        the derived layers — PRESERVING committed pos_blocks / docmeta
+        by ORDINAL REMAP (decode → old→new ordinal map join → repack)
+        instead of dropping them. The rebuild renumbers ordinals, but
+        the layers' content is already in the committed tables, so no
+        corpus re-scan is needed: phrase and filtered service survive a
+        purge/force-merge on a standalone index. Dead generations drop
+        from the layers automatically: the ordinal map is built from the
+        TOMBSTONE-DROPPED old docmap, so a dead ordinal (deleted doc, or
+        an upserted id's superseded generation) has no map entry and its
+        rows vanish at the inner join — they can never remap onto the
+        id's new ordinal. Cost: O(layer) decode + two shuffles of the
+        position rows — the same class as the base rebuild, with no
+        re-tokenize."""
+        from antidb_spark.operators.phrase import (
+            _decode_pos_blocks,
+            _pack_pos_partition,
+            _POS_BLOCKS_OUT,
+        )
+
+        keep_pos = self.ckpt.is_done("pos_blocks")
+        keep_meta = self.ckpt.is_done("docmeta")
+        meta_cols = (
+            self.catalog.manifest("docmeta").get("props", {}).get("meta_cols")
+            if keep_meta else None
+        )
+        old_map = None
+        if keep_pos or keep_meta:
+            # materialized BEFORE the docmap files drop; the layer
+            # sources stay lazy — their generation dir survives the
+            # upcoming replace (deferred one-generation GC)
+            old_map = (
+                self._drop_tombstones(self.catalog.read("docmap"))
+                .select(F.col("doc_ord").alias("_old"), *self.id_cols)
+                .localCheckpoint()
+            )
+        pos_src = (
+            self.catalog.read("pos_blocks").mapInPandas(
+                _decode_pos_blocks,
+                schema="term string, doc_ord long, pos long",
+            )
+            if keep_pos else None
+        )
+        meta_src = self.catalog.read("docmeta") if keep_meta else None
+
         for tbl in ("postings", "docmap", "stats", "terms", "blocks",
-                    "pos_blocks", "docmeta", "tombstones"):
+                    "tombstones"):
             self.catalog.drop(tbl)
         self.ckpt.reset()
         man = self.catalog.write(merged, "postings")
@@ -789,8 +838,59 @@ class IndexBuilder:
             snapshot=man["snapshot_id"], seconds=0.0,
         )
         self.build(corpus=None, n_partitions=n_part)
+
+        out: dict = {}
+        if old_map is not None:
+            new_map = self.catalog.read("docmap").select(
+                *self.id_cols, F.col("doc_ord").alias("_new")
+            )
+            ord_map = old_map.join(new_map, list(self.id_cols)).select(
+                "_old", "_new"
+            )
+            if keep_pos:
+                new_pos = (
+                    pos_src.withColumnRenamed("doc_ord", "_old")
+                    .join(ord_map, "_old")
+                    .select("term", F.col("_new").alias("doc_ord"), "pos")
+                )
+                packed = (
+                    new_pos.repartitionByRange(n_part, "term", "doc_ord")
+                    .sortWithinPartitions("term", "doc_ord", "pos")
+                    .withColumn("_pid", F.spark_partition_id())
+                    .mapInPandas(_pack_pos_partition, schema=_POS_BLOCKS_OUT)
+                )
+                pman = self.catalog.replace(
+                    packed, "pos_blocks", stats_cols=["term"],
+                    row_group_bytes=LEAF_ROW_GROUP_BYTES,
+                )
+                self.ckpt.mark_done(
+                    "pos_blocks",
+                    rows=sum(e["rows"] for e in pman["files"]),
+                    snapshot=pman["snapshot_id"], seconds=0.0,
+                )
+                out["pos_layer"] = "remapped"
+            if keep_meta and meta_cols:
+                new_meta = (
+                    meta_src.withColumnRenamed("doc_ord", "_old")
+                    .join(ord_map, "_old")
+                    .select(F.col("_new").alias("doc_ord"), *meta_cols)
+                    .repartitionByRange(n_part, "doc_ord")
+                    .sortWithinPartitions("doc_ord")
+                )
+                mman = self.catalog.replace(
+                    new_meta, "docmeta", stats_cols=["doc_ord"],
+                    props={"meta_cols": list(meta_cols)},
+                    row_group_bytes=LEAF_ROW_GROUP_BYTES,
+                )
+                self.ckpt.mark_done(
+                    "docmeta",
+                    rows=sum(e["rows"] for e in mman["files"]),
+                    snapshot=mman["snapshot_id"], seconds=0.0,
+                )
+                out["meta_layer"] = "remapped"
+            old_map.unpersist()
         self.invalidate_caches()
-        return {"mode": "purged", "n_purged": n_dead}
+        return out
 
     def optimize(self, n_partitions: int | None = None) -> dict:
         """Force-merge (the Lucene forceMerge analog): rebuild the
@@ -802,10 +902,10 @@ class IndexBuilder:
         index), out-of-band, never required for correctness (every
         query path is multi-run-exact); run it when the runs count
         grows. With tombstones present this IS ``purge_deleted``
-        (physical expunge + exact stats + pruning re-armed). Side
-        layers (pos_blocks/docmeta) drop with the rebuild — re-run
-        ``build_positional_index`` / ``build_doc_meta`` after, same as
-        purge (a rebuild renumbers ordinals)."""
+        (physical expunge + exact stats + pruning re-armed). Committed
+        pos_blocks / docmeta layers SURVIVE via ordinal remap
+        (``_rebuild_from``) — phrase and filtered service continue with
+        no corpus re-scan."""
         n_runs = int(
             self.catalog.manifest("blocks")["props"].get("n_runs", 1)
         )
@@ -816,18 +916,8 @@ class IndexBuilder:
             return {"mode": "noop", "n_runs_before": n_runs}
         n_part = n_partitions or self.spark.sparkContext.defaultParallelism
         merged = self.catalog.read("postings").localCheckpoint()
-        for tbl in ("postings", "docmap", "stats", "terms", "blocks",
-                    "pos_blocks", "docmeta"):
-            self.catalog.drop(tbl)
-        self.ckpt.reset()
-        man = self.catalog.write(merged, "postings")
-        self.ckpt.mark_done(
-            "postings", rows=sum(e["rows"] for e in man["files"]),
-            snapshot=man["snapshot_id"], seconds=0.0,
-        )
-        self.build(corpus=None, n_partitions=n_part)
-        self.invalidate_caches()
-        return {"mode": "optimized", "n_runs_before": n_runs}
+        layers = self._rebuild_from(merged, n_part)
+        return {"mode": "optimized", "n_runs_before": n_runs, **layers}
 
     def _plan_queries(self, queries: Sequence[str]) -> dict | None:
         """Driver-side query planning, ZERO Spark jobs (this is what

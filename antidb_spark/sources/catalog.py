@@ -95,6 +95,15 @@ class Catalog:
         group instead of a whole 128 MB default group. Scan-heavy tables
         keep the default."""
         data_dir = self._data_dir_name(name) if mode == "append" else "data"
+        if mode == "append" and props is None:
+            # append semantics: table props are UNCHANGED unless the
+            # caller passes new ones — without this, appending to a
+            # table whose manifest carries props (docmeta's meta_cols)
+            # would silently wipe them at the manifest rewrite
+            try:
+                props = self.manifest(name).get("props") or None
+            except FileNotFoundError:
+                pass
         ddir = os.path.join(self.table_dir(name), data_dir)
         w = df.write.mode(mode).option("compression", "zstd")
         if row_group_bytes:

@@ -117,3 +117,76 @@ def test_optimize_fresh_build_is_noop(spark, tmp_path):
     post = b.query_pinned(QUERY, k=10).toPandas()
     assert pre.values.tolist() == post.values.tolist()
     corpus.unpersist()
+
+
+def test_rebuild_preserves_layers_by_remap(spark, tmp_path):
+    """purge/optimize keep committed pos_blocks + docmeta through the
+    ordinal renumbering (decode → old→new map join → repack): phrase,
+    NEAR, snippet, and filtered service continue with NO corpus
+    re-scan, value-identical to layers rebuilt from scratch over the
+    logical corpus — and an upserted id's dead generation never leaks
+    its positions/metadata onto the new ordinal."""
+    from antidb_spark.operators.phrase import (
+        build_positional_index,
+        near_query,
+        phrase_query,
+        phrase_warm,
+    )
+
+    corpus = synth_transcripts(spark, n_convs=10, seed=41).cache()
+    corpus.count()
+    b = IndexBuilder(spark, str(tmp_path / "lp_idx"))
+    b.build(corpus, n_partitions=4)
+    b.build_doc_meta(corpus, ["role"])
+    build_positional_index(b, corpus, n_partitions=4)
+    # an upsert creates a dead generation (old positions/meta must not
+    # survive) + a multi-run layout
+    vic = corpus.select("conv_id", "turn_idx", "text").orderBy(
+        "conv_id", "turn_idx"
+    ).first()
+    rows = [{"conv_id": vic["conv_id"], "turn_idx": int(vic["turn_idx"]),
+             "role": "tool", "text": f"{_V[500]} remapped {_V[501]}"}]
+    b.upsert_docs(spark.createDataFrame(pd.DataFrame(rows)),
+                  n_partitions=4)
+
+    m = b.optimize(n_partitions=4)
+    assert m["mode"] == "optimized"
+    assert m["pos_layer"] == "remapped"
+    assert m["meta_layer"] == "remapped"
+    assert b.ckpt.is_done("pos_blocks") and b.ckpt.is_done("docmeta")
+
+    # reference: fresh build + fresh layers over the logical corpus
+    logical = corpus.filter(
+        ~((F.col("conv_id") == vic["conv_id"])
+          & (F.col("turn_idx") == vic["turn_idx"]))
+    ).select("conv_id", "turn_idx", "role", "text").unionByName(
+        spark.createDataFrame(pd.DataFrame(rows)).withColumn(
+            "turn_idx", F.col("turn_idx").cast("int")
+        ).select("conv_id", "turn_idx", "role", "text")
+    )
+    ref = IndexBuilder(spark, str(tmp_path / "lp_ref"))
+    ref.build(logical, n_partitions=4)
+    ref.build_doc_meta(logical, ["role"])
+    build_positional_index(ref, logical, n_partitions=4)
+
+    # positional service: new generation's phrase found, old one's not
+    new_phrase = f"{_V[500]} remapped"
+    old_words = vic["text"].split()[:2]
+    for phrase in (new_phrase, " ".join(old_words), "the a"):
+        got = phrase_query(b, phrase).toPandas()
+        want = phrase_query(ref, phrase).toPandas()
+        assert got.values.tolist() == want.values.tolist(), phrase
+        warm = phrase_warm(b, phrase)
+        assert warm.values.tolist() == got.values.tolist(), phrase
+    na = near_query(b, "the", "a", 5).toPandas()
+    nb = near_query(ref, "the", "a", 5).toPandas()
+    assert na.values.tolist() == nb.values.tolist()
+    # filtered service: docmeta remapped (upserted row's role = tool)
+    got = b.query_filtered(QUERY, "role = 'user'", k=10).toPandas()
+    want = ref.query_filtered(QUERY, "role = 'user'", k=10).toPandas()
+    assert got.values.tolist() == want.values.tolist()
+    fc = b.facet_counts(_V[500], "role").toPandas()
+    fr = ref.facet_counts(_V[500], "role").toPandas()
+    assert fc.values.tolist() == fr.values.tolist()
+    assert ("tool", 1) in map(tuple, fc.values.tolist())
+    corpus.unpersist()

@@ -318,6 +318,39 @@ def test_docmeta_appends_with_meta_deltas(spark, corpus, tmp_path):
     assert (got["conv_id"] >= "conv_00000015").any()
 
 
+def test_docmeta_props_survive_consecutive_appends(spark, corpus, tmp_path):
+    """Regression: an append rewrites the manifest, and table props
+    (docmeta's meta_cols) must ride along — without that, the SECOND
+    append finds no meta_cols and wrongly invalidates the layer."""
+    from pyspark.sql import functions as F
+
+    from antidb_spark.operators.build import IndexBuilder
+    from antidb_spark.streaming.incremental import compact_incremental
+
+    base = corpus.filter(F.col("conv_id") < "conv_00000012")
+    mid = corpus.filter(
+        (F.col("conv_id") >= "conv_00000012")
+        & (F.col("conv_id") < "conv_00000016")
+    )
+    tail = corpus.filter(F.col("conv_id") >= "conv_00000016")
+    b = IndexBuilder(spark, str(tmp_path / "mp_idx"))
+    b.build(base, n_partitions=4)
+    b.build_doc_meta(base, ["role"])
+    sink = PostingsDeltaSink(str(tmp_path / "mp_sink"),
+                             meta_cols=["role"])
+    sink(mid, batch_id=0)
+    m1 = compact_incremental(spark, sink, b, n_partitions=4)
+    assert m1["meta_mode"] == "append"
+    assert b.catalog.manifest("docmeta")["props"].get("meta_cols") \
+        == ["role"]
+    sink(tail, batch_id=1)
+    m2 = compact_incremental(spark, sink, b, n_partitions=4)
+    assert m2["meta_mode"] == "append"  # the regression made this drop
+    assert b.ckpt.is_done("docmeta")
+    assert b.catalog.read("docmeta").count() == \
+        b.catalog.read("docmap").count()
+
+
 def test_docmeta_append_without_meta_deltas_invalidates(
     spark, corpus, tmp_path
 ):
