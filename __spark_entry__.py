@@ -786,6 +786,33 @@ def _probe_vec(spark: SparkSession, sf_dir: str) -> list[float]:
     return [float(v) for v in row["embedding"]]
 
 
+def _q_grouped_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversation-level rollup ranking: rank GROUPS (here: documents
+    by ``source``; for transcripts the group is conv_id) by their best
+    member's BM25 score — the per-group winner can sit below the global
+    top-k cut, so this scores every matching doc (bm25_scores_pinned)
+    before one map-combinable group rollup."""
+    from antidb_spark.operators.topk import bm25_grouped_topk
+
+    return bm25_grouped_topk(
+        _docs(spark, sf_dir), FLAGSHIP_QUERY, "source", k=10,
+        id_cols=DOC_ID,
+    )
+
+
+def _q_hybrid_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sparse+dense hybrid: BM25 candidates fused with exact-cosine
+    candidates (aligned vec_id = doc_id) via reciprocal-rank fusion
+    (RRF, c=60, depth=50) — the BM25 engine and the ANN layer
+    composed into one query."""
+    from antidb_spark.operators.hybrid import hybrid_topk
+
+    return hybrid_topk(
+        _docs(spark, sf_dir), _vecs(spark, sf_dir), FLAGSHIP_QUERY,
+        _probe_vec(spark, sf_dir), k=10,
+    )
+
+
 def _q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from antidb_spark.operators.similarity import cosine_topk
 
@@ -988,6 +1015,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "regex_topk": _q_regex_topk,
         "boosted_topk": _q_boosted_topk,
         "hit_count": _q_hit_count,
+        "grouped_topk": _q_grouped_topk,
+        "hybrid_topk": _q_hybrid_topk,
         "merged_topk": _q_merged_topk,
         "federated_topk": _q_federated_topk,
         "spell_suggest": _q_spell_suggest,
@@ -1100,6 +1129,78 @@ GROUP BY p.doc_id
 {having}
 ORDER BY score DESC, doc_id ASC
 LIMIT {k}{f" OFFSET {offset}" if offset else ""}
+"""
+
+
+def _score_ctes(query: str) -> str:
+    """Shared WITH-body producing ``sc(doc_id, score)`` — per-doc
+    pinned BM25 scores for every doc matching ≥ 1 query term, the
+    SQL mirror of ``bm25_scores_pinned`` (sorted-term fixed-order
+    float fold, rounded 4dp)."""
+    terms = sorted(set(py_tokens(query)))
+    in_list = ", ".join(f"'{t}'" for t in terms)
+    contrib = sql_contribution(tf="p.tf", df="d.df", dl="l.dl",
+                               avgdl="s.avgdl", n="s.n_docs")
+    per_term_sums = " + ".join(
+        f"coalesce(sum(CASE WHEN p.term = '{t}' THEN {contrib} END), 0.0)"
+        for t in terms
+    )
+    return f"""{TOK_CTE}, {POST_CTE}, {DL_CTE},
+st AS (SELECT count(*)::BIGINT AS n_docs, avg(dl) AS avgdl FROM dl),
+dfs AS (SELECT term, count(*)::BIGINT AS df FROM post
+        WHERE term IN ({in_list}) GROUP BY term),
+sc AS (SELECT p.doc_id AS doc_id, round({per_term_sums}, 4) AS score
+       FROM post p
+       JOIN dfs d ON p.term = d.term
+       JOIN dl l ON p.doc_id = l.doc_id
+       CROSS JOIN st s
+       GROUP BY p.doc_id)"""
+
+
+def _grouped_oracle(query: str, group: str, k: int) -> str:
+    """Group-rollup oracle (``bm25_grouped_topk``): order-free
+    aggregates (count, max) over the rounded per-doc scores."""
+    return f"""
+WITH {_score_ctes(query)}
+SELECT doc.{group} AS {group}, count(*)::BIGINT AS n_hits,
+       max(sc.score) AS best_score
+FROM sc JOIN documents doc ON doc.doc_id = sc.doc_id
+GROUP BY doc.{group}
+ORDER BY best_score DESC, {group} ASC
+LIMIT {k}
+"""
+
+
+def _hybrid_oracle(query: str, k: int, c: int = 60, depth: int = 50) -> str:
+    """RRF fusion oracle (``hybrid_topk``): sparse list = pinned BM25
+    top-``depth``, dense list = exact cosine vs the vec_id=0 probe
+    (the ann_cosine_topk math), ranks by (score DESC, id ASC),
+    contributions added sparse-then-dense, rounded 6dp."""
+    return f"""
+WITH {_score_ctes(query)},
+sp AS (SELECT doc_id, score FROM sc
+       ORDER BY score DESC, doc_id ASC LIMIT {depth}),
+spr AS (SELECT doc_id,
+        row_number() OVER (ORDER BY score DESC, doc_id ASC) AS r FROM sp),
+pv AS (SELECT embedding AS v FROM embeddings WHERE vec_id = 0),
+dcos AS (SELECT e.vec_id AS doc_id,
+  round(list_sum(list_transform(generate_series(1, len(e.embedding)),
+        i -> e.embedding[i]::DOUBLE * pv.v[i]::DOUBLE))
+   / (sqrt(list_sum(list_transform(e.embedding,
+            x -> x::DOUBLE * x::DOUBLE)))
+      * sqrt(list_sum(list_transform(pv.v,
+              x -> x::DOUBLE * x::DOUBLE)))), 6) AS cos
+  FROM embeddings e, pv),
+dn AS (SELECT doc_id, cos FROM dcos
+       ORDER BY cos DESC, doc_id ASC LIMIT {depth}),
+dnr AS (SELECT doc_id,
+        row_number() OVER (ORDER BY cos DESC, doc_id ASC) AS r FROM dn)
+SELECT coalesce(spr.doc_id, dnr.doc_id) AS doc_id,
+       round(coalesce(1.0 / ({c} + spr.r), 0.0)
+             + coalesce(1.0 / ({c} + dnr.r), 0.0), 6) AS rrf
+FROM spr FULL OUTER JOIN dnr ON spr.doc_id = dnr.doc_id
+ORDER BY rrf DESC, doc_id ASC
+LIMIT {k}
 """
 
 
@@ -1867,6 +1968,8 @@ FROM documents
     out["media_decode"] = MEDIA_DECODE_ORACLE
     out["keyed_eq_persisted"] = out["eq_lookup"]
     out["keyed_rng_persisted"] = out["rng_lookup"]
+    out["grouped_topk"] = _grouped_oracle(FLAGSHIP_QUERY, "source", 10)
+    out["hybrid_topk"] = _hybrid_oracle(FLAGSHIP_QUERY, 10)
     out["simhash_dups"] = _simhash_dups_oracle(3)
     out["minhash_dups"] = _minhash_dups_oracle(0.7)
     out["clone_candidates"] = _clone_candidates_oracle(2)

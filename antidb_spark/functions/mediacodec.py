@@ -105,13 +105,18 @@ def decode_png(data: bytes) -> np.ndarray:
             cur = line
         elif f == 2:  # Up
             cur = line + prev
-        elif f in (1, 3, 4):  # Sub / Average / Paeth need a left scan
+        elif f == 1:  # Sub: per-lane prefix sum mod 256 (vectorized —
+            # recon[x] = raw[x] + recon[x-ch] is a cumsum per byte lane)
+            cur = (
+                line.reshape(w, ch).astype(np.int64).cumsum(axis=0) & 0xFF
+            ).astype(np.uint8).reshape(stride)
+        elif f in (3, 4):  # Average / Paeth: the predictor reads the
+            # just-reconstructed LEFT byte through a floor/branch, an
+            # inherently sequential recurrence — per-element by nature
             cur = line
             for x in range(stride):
                 a = int(cur[x - ch]) if x >= ch else 0
-                if f == 1:
-                    pred = a
-                elif f == 3:
+                if f == 3:
                     pred = (a + int(prev[x])) // 2
                 else:
                     b = int(prev[x])

@@ -210,6 +210,24 @@ class LshIndex:
         )
         return cosine_topk(cand, probe, k, self.id_col, self.vec_col)
 
+    def topk_local(
+        self, probe: Sequence[float], k: int = 10, multiprobe: bool = True
+    ) -> "pd.DataFrame":
+        """Warm interactive probe, NO Spark job: manifest-pruned pyarrow
+        read of the probe's bucket rows + driver numpy cosine. Value-
+        identical to ``topk`` (same buckets, ``_local_cosine_topk``'s
+        sequential per-dimension fold reproduces the engine fold
+        bit-exactly before the shared 6dp rounding)."""
+        keys = self.probe_keys(probe, multiprobe)
+        pdf = self.catalog.read_pruned_arrow(
+            self.name, "bkey", values=keys,
+            columns=["bkey", self.id_col, self.vec_col],
+        ).to_pandas()
+        pdf = pdf[pdf["bkey"].isin(set(keys))].drop_duplicates(
+            subset=[self.id_col]
+        )
+        return _local_cosine_topk(pdf, probe, k, self.id_col, self.vec_col)
+
 
 class IvfIndex:
     def __init__(self, spark: SparkSession, catalog: Catalog, name: str):
@@ -243,3 +261,53 @@ class IvfIndex:
             F.col("cell").isin(cells)
         )
         return cosine_topk(cand, probe, k, self.id_col, self.vec_col)
+
+    def topk_local(
+        self, probe: Sequence[float], k: int = 10, n_probe: int = 4
+    ) -> "pd.DataFrame":
+        """Warm interactive probe, NO Spark job (see LshIndex.topk_local)."""
+        cells = self.probe_cells(probe, n_probe)
+        pdf = self.catalog.read_pruned_arrow(
+            self.name, "cell", values=cells,
+            columns=["cell", self.id_col, self.vec_col],
+        ).to_pandas()
+        pdf = pdf[pdf["cell"].isin(set(cells))]
+        return _local_cosine_topk(pdf, probe, k, self.id_col, self.vec_col)
+
+
+def _local_cosine_topk(
+    pdf: "pd.DataFrame", probe: Sequence[float], k: int,
+    id_col: str, vec_col: str,
+) -> "pd.DataFrame":
+    """Driver cosine top-k over candidate rows → (id, cos) pandas frame.
+
+    The dot products and norms accumulate per DIMENSION left-to-right
+    (one vectorized pass across candidates per dimension), i.e. the
+    SAME sequential fold order as the engine/oracle expressions
+    (``F.aggregate`` / DuckDB ``list_sum``) — bit-identical doubles
+    before the shared 6dp rounding, so warm == Spark-served exactly,
+    not just almost-always."""
+    import numpy as np
+    import pandas as pd
+
+    if not len(pdf):
+        return pd.DataFrame({id_col: pd.Series([], dtype="int64"),
+                             "cos": pd.Series([], dtype="float64")})
+    mat = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+    p = np.asarray(probe, dtype=np.float64)
+    n = mat.shape[0]
+    dot = np.zeros(n)
+    nrm = np.zeros(n)
+    pn = 0.0
+    for i in range(mat.shape[1]):  # dim-major: the sequential fold
+        col = mat[:, i]
+        dot += col * p[i]
+        nrm += col * col
+        pn += p[i] * p[i]
+    cos = np.round(dot / (np.sqrt(nrm) * np.sqrt(pn)), 6)
+    out = pd.DataFrame({id_col: pdf[id_col].to_numpy(), "cos": cos})
+    return (
+        out.sort_values(["cos", id_col], ascending=[False, True])
+        .head(k)
+        .reset_index(drop=True)
+    )

@@ -1914,6 +1914,54 @@ class IndexBuilder:
             scored.select("doc_ord", "score"), k, after=after
         )
 
+    def query_grouped(
+        self, query: str, group_cols: Sequence[str], k: int = 10
+    ) -> DataFrame:
+        """Group-level rollup ranking from the committed index: rank
+        GROUPS (for transcripts: conversations — ``group_cols=
+        ["conv_id"]`` over id_cols (conv_id, turn_idx)) by their best
+        member's pinned BM25 score. Output (*group_cols, n_hits,
+        best_score) ordered by (best_score DESC, *group_cols ASC),
+        top k.
+
+        A group's winner may sit below the global top-k cut, so this
+        scores every matching doc (``_pinned_doc_scores`` — already
+        |matching postings|-bounded via the term-pruned block scan,
+        never |corpus|) and rolls up with order-free aggregates
+        (count, max over the 4dp-rounded scores → cross-engine exact).
+        Scale shape: one docmap join keyed on doc_ord (skipped
+        entirely when the groups are a prefix of id_cols resolved from
+        docmap anyway), then one map-side-combinable shuffle keyed by
+        groups ≪ docs, then TakeOrderedAndProject."""
+        from antidb_spark.functions.analyze import py_tokens
+
+        gcols = list(group_cols)
+        unknown = [c for c in gcols if c not in self.id_cols]
+        if unknown:
+            raise ValueError(
+                f"group_cols {unknown} not in id_cols {list(self.id_cols)}"
+            )
+        q_terms = sorted(set(py_tokens(query)))
+        if not q_terms:
+            dm = self.catalog.read("docmap")
+            schema = ", ".join(
+                [f"{c} {dm.schema[c].dataType.simpleString()}" for c in gcols]
+                + ["n_hits bigint", "best_score double"]
+            )
+            return self.spark.createDataFrame([], schema)
+        scored = self._pinned_doc_scores(q_terms).select("doc_ord", "score")
+        dm = self.catalog.read("docmap").select("doc_ord", *gcols)
+        return (
+            scored.join(dm, "doc_ord")
+            .groupBy(*gcols)
+            .agg(
+                F.count(F.lit(1)).alias("n_hits"),
+                F.max("score").alias("best_score"),
+            )
+            .orderBy(F.desc("best_score"), *[F.asc(c) for c in gcols])
+            .limit(k)
+        )
+
     def query_bool(
         self, must: str = "", should: str = "", must_not: str = "",
         k: int = 10,

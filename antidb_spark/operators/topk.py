@@ -123,27 +123,31 @@ def bm25_topk_batch(
     )
 
 
-def bm25_topk_pinned(
+def bm25_scores_pinned(
     corpus: DataFrame,
     query: str,
-    k: int = 10,
     id_cols: Sequence[str] = DOC_ID_COLS,
     text_col: str = "text",
 ) -> DataFrame:
-    """Cross-engine-deterministic top-k: per-term contributions are summed
-    in SORTED-TERM order via fixed-order column addition (each per-term
-    tf aggregates at most one posting per doc), and the final ordering
-    key is the score ROUNDED to 4 decimals, so an independent engine
-    (DuckDB oracle) computing the same math picks the identical top-k
-    set. Output: (*id_cols, score[double, rounded]).
+    """Cross-engine-deterministic per-doc BM25 scores for EVERY doc
+    matching ≥ 1 query term (no top-k cut): per-term contributions are
+    summed in SORTED-TERM order via fixed-order column addition (each
+    per-term tf aggregates at most one posting per doc), and the score
+    is ROUNDED to 4 decimals, so an independent engine (DuckDB oracle)
+    computing the same math produces identical values. Output:
+    (*id_cols, score[double, rounded]), unordered.
+
+    This is the shared scoring core of ``bm25_topk_pinned`` (global
+    top-k) and ``bm25_grouped_topk`` (per-group rollup — group maxima
+    need every matching doc, not just the global top k).
 
     SINGLE-PASS plan: the corpus is tokenized exactly once. One
     doc-keyed aggregation produces (dl, tf per query term) per doc; a
     second aggregation over that (already tiny, one row per doc)
     relation yields (n_docs, avgdl, df per term) as a broadcast single
-    row; scoring is then a pure expression + TakeOrderedAndProject. The
-    previous shape (separate dl / stats / df subtrees joined back)
-    re-ran the tokenize+explode scan 4× — Catalyst does not reuse those
+    row; scoring is then a pure expression. The previous shape
+    (separate dl / stats / df subtrees joined back) re-ran the
+    tokenize+explode scan 4× — Catalyst does not reuse those
     exchanges — which tripled the wall time of the index-free path."""
     spark = corpus.sparkSession
     q_terms = sorted(set(py_tokens(query)))
@@ -187,6 +191,63 @@ def bm25_topk_pinned(
         )
         .withColumn("score", score)
         .select(*id_cols, "score")
+    )
+
+
+def bm25_topk_pinned(
+    corpus: DataFrame,
+    query: str,
+    k: int = 10,
+    id_cols: Sequence[str] = DOC_ID_COLS,
+    text_col: str = "text",
+) -> DataFrame:
+    """Cross-engine-deterministic top-k (``bm25_scores_pinned`` +
+    rounded-score/id ordering + LIMIT — a TakeOrderedAndProject, no
+    global sort materialization). Output: (*id_cols, score)."""
+    return (
+        bm25_scores_pinned(corpus, query, id_cols=id_cols, text_col=text_col)
         .orderBy(F.desc("score"), *[F.asc(c) for c in id_cols])
+        .limit(k)
+    )
+
+
+def bm25_grouped_topk(
+    corpus: DataFrame,
+    query: str,
+    group_col: str,
+    k: int = 10,
+    id_cols: Sequence[str] = DOC_ID_COLS,
+    text_col: str = "text",
+) -> DataFrame:
+    """Group-level (conversation-level) ranking: score every matching
+    doc, roll up per group, rank groups. Output (group_col, n_hits,
+    best_score) ordered by (best_score DESC, group ASC), top k.
+
+    The rollup uses only order-free aggregates over the already-rounded
+    per-doc scores (max, count) so the result is cross-engine exact.
+    Scale shape: per-doc scoring is the single-pass pinned plan; the
+    group rollup is one map-side-combinable shuffle on group_col keyed
+    by groups (≪ docs), then a TakeOrderedAndProject over groups. The
+    per-group winner CANNOT be derived from a global top-k cut (a
+    group's best doc may sit below the global k-th doc), which is why
+    this consumes ``bm25_scores_pinned`` and not ``bm25_topk_pinned``."""
+    scores = bm25_scores_pinned(
+        corpus, query, id_cols=id_cols, text_col=text_col
+    )
+    if group_col not in id_cols:
+        # group attribute lives on the doc row (documents.source);
+        # pruned 2-column re-scan + one id-keyed join. When the group
+        # IS an id component (transcripts: conv_id of (conv_id,
+        # turn_idx)) no join is needed at all.
+        scores = scores.join(corpus.select(*id_cols, group_col),
+                             list(id_cols))
+    return (
+        scores
+        .groupBy(group_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_hits"),
+            F.max("score").alias("best_score"),
+        )
+        .orderBy(F.desc("best_score"), F.asc(group_col))
         .limit(k)
     )

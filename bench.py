@@ -107,8 +107,8 @@ def run_suite(spark, docs, transcripts, n_turns):
         timings[name] = round(statistics.median(lat), 4)
 
     # --- index build over synthetic transcripts (north-rule flagship) ---
-    index_phases = ("index_build", "bm25_batch", "bm25_warm", "pos_build",
-                    "phrase_warm", "snippet_warm", "near_warm",
+    index_phases = ("index_build", "bm25_batch", "bm25_warm", "grouped",
+                    "pos_build", "phrase_warm", "snippet_warm", "near_warm",
                     "prefix_warm", "upsert_delta")
     builder = None
     if any(phase_on(p) for p in index_phases):
@@ -129,6 +129,14 @@ def run_suite(spark, docs, transcripts, n_turns):
         v = vocabulary(2000)
         warm_qs = [" ".join(v[i::997][:2]) for i in range(10)] * 2
         warm_median("bm25_warm", warm_qs, lambda q: builder.query_warm(q, k=10))
+
+    if phase_on("grouped"):
+        # conversation-level rollup from the committed index: scores
+        # every matching turn, one group shuffle keyed by conv_id
+        v = vocabulary(2000)
+        timed("grouped", lambda: builder.query_grouped(
+            f"the {v[200]} {v[1000]}", ["conv_id"], k=10
+        ).count())
 
     # --- persisted positional index: build + warm phrase queries --------
     if (phase_on("pos_build") or phase_on("phrase_warm")
@@ -197,6 +205,55 @@ def run_suite(spark, docs, transcripts, n_turns):
                 docs, "spark query join performance", k=10, id_cols=("doc_id",)
             ).collect(),
         )
+
+    # --- hybrid sparse+dense fusion over documents + embeddings ----------
+    if phase_on("hybrid") or phase_on("ann_warm") or phase_on("hybrid_warm"):
+        from antidb_spark.operators.hybrid import hybrid_topk
+
+        vecs = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+        probes_pdf = (
+            vecs.filter(F.col("vec_id") < 20).toPandas()
+            .sort_values("vec_id").reset_index(drop=True)
+        )
+        vec_probes = [
+            [float(x) for x in e] for e in probes_pdf["embedding"]
+        ]
+        if phase_on("hybrid"):
+            timed(
+                "hybrid",
+                lambda: hybrid_topk(
+                    docs, vecs, "spark query join performance",
+                    vec_probes[0], k=10,
+                ).collect(),
+            )
+        if phase_on("ann_warm") or phase_on("hybrid_warm"):
+            from antidb_spark.operators.ann import AnnIndexStore
+            from antidb_spark.operators.hybrid import hybrid_warm
+
+            ann_store = AnnIndexStore(spark, os.path.join(work_root, "ann"))
+            ann_idx = ann_store.build_lsh("vecs", vecs)
+            if phase_on("ann_warm"):
+                warm_median("ann_warm", vec_probes,
+                            lambda p: ann_idx.topk_local(p, k=10))
+            if phase_on("hybrid_warm"):
+                # needs the BM25 warm tier too: a doc_id-keyed builder
+                # over documents (untimed dependency build)
+                hyb_builder = IndexBuilder(
+                    spark, os.path.join(work_root, "hyb_idx"),
+                    id_cols=("doc_id",),
+                )
+                hyb_builder.build(docs)
+                from antidb_spark.synth import vocabulary as _vocab
+
+                v = _vocab(2000)
+                hqueries = [f"{v[i]} {v[i + 61]}" for i in range(700, 710)] * 2
+                warm_median(
+                    "hybrid_warm",
+                    list(zip(hqueries, (vec_probes * 2)[: len(hqueries)])),
+                    lambda qp: hybrid_warm(
+                        hyb_builder, ann_idx, qp[0], qp[1], k=10
+                    ),
+                )
 
     # --- persisted keyed index: build + lookups served FROM THE INDEX ---
     # (the reference's workload shape: build the .adb once, then answer
@@ -273,8 +330,8 @@ def main() -> None:
     docs.count()  # warm the scan / JVM
 
     transcripts, n_turns = None, 0
-    index_phases = ("index_build", "bm25_batch", "bm25_warm", "pos_build",
-                    "phrase_warm", "snippet_warm", "near_warm",
+    index_phases = ("index_build", "bm25_batch", "bm25_warm", "grouped",
+                    "pos_build", "phrase_warm", "snippet_warm", "near_warm",
                     "prefix_warm", "upsert_delta")
     if any(phase_on(p) for p in index_phases):
         transcripts = synth_transcripts(spark, n_convs=N_CONVS).cache()
@@ -339,6 +396,10 @@ def main() -> None:
         )
     if "eq_warm" in timings:
         extras["eq_warm_ms"] = round(1000 * timings["eq_warm"], 2)
+    if "ann_warm" in timings:
+        extras["ann_warm_ms"] = round(1000 * timings["ann_warm"], 2)
+    if "hybrid_warm" in timings:
+        extras["hybrid_warm_ms"] = round(1000 * timings["hybrid_warm"], 2)
 
     total = round(sum(timings.values()), 3)
     print(

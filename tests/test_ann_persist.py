@@ -87,3 +87,20 @@ def test_seq_fold_math():
     assert seq_dot([1.0, 2.0], [3.0, 4.0]) == 11.0
     assert abs(seq_cos([1.0, 0.0], [1.0, 0.0]) - 1.0) < 1e-12
     assert abs(seq_cos([1.0, 0.0], [0.0, 1.0])) < 1e-12
+
+
+def test_lsh_topk_local_matches_spark(store, probe):
+    """Warm pyarrow probe == Spark-served probe, value-identical
+    (same buckets; the dim-major sequential fold reproduces the
+    engine's F.aggregate fold bit-exactly before the 6dp rounding)."""
+    idx = store.open_lsh("lsh")
+    got = idx.topk_local(probe, k=10)
+    want = idx.topk(probe, k=10).toPandas()
+    assert got.values.tolist() == want.values.tolist()
+
+
+def test_ivf_topk_local_matches_spark(store, probe):
+    idx = store.open_ivf("ivf")
+    got = idx.topk_local(probe, k=10, n_probe=4)
+    want = idx.topk(probe, k=10, n_probe=4).toPandas()
+    assert got.values.tolist() == want.values.tolist()
