@@ -786,6 +786,27 @@ def _probe_vec(spark: SparkSession, sf_dir: str) -> list[float]:
     return [float(v) for v in row["embedding"]]
 
 
+def _q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization of the events stream (30-min gap):
+    one hash shuffle on user_id, per-user time sort — the batch form
+    of Structured Streaming's session_window."""
+    from antidb_spark.operators.events import sessionize
+
+    return sessionize(
+        spark.read.parquet(f"{sf_dir}/events.parquet"), gap_minutes=30
+    )
+
+
+def _q_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 60-min rollup of events: map-side-combinable counts +
+    exact integer-cents sums per (window, event_type)."""
+    from antidb_spark.operators.events import tumbling_counts
+
+    return tumbling_counts(
+        spark.read.parquet(f"{sf_dir}/events.parquet"), width_minutes=60
+    )
+
+
 def _q_grouped_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Conversation-level rollup ranking: rank GROUPS (here: documents
     by ``source``; for transcripts the group is conv_id) by their best
@@ -1017,6 +1038,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hit_count": _q_hit_count,
         "grouped_topk": _q_grouped_topk,
         "hybrid_topk": _q_hybrid_topk,
+        "sessionize": _q_sessionize,
+        "tumbling_counts": _q_tumbling_counts,
         "merged_topk": _q_merged_topk,
         "federated_topk": _q_federated_topk,
         "spell_suggest": _q_spell_suggest,
@@ -1201,6 +1224,41 @@ SELECT coalesce(spr.doc_id, dnr.doc_id) AS doc_id,
 FROM spr FULL OUTER JOIN dnr ON spr.doc_id = dnr.doc_id
 ORDER BY rrf DESC, doc_id ASC
 LIMIT {k}
+"""
+
+
+# Event-stream oracles (operators/events.py): exact epoch-microsecond
+# integer math end-to-end — gap flags via lag, session ids via the
+# running sum, money as integer cents — so DuckDB reproduces every
+# value bit-for-bit (no float seconds anywhere).
+_SESSIONIZE_ORACLE = """
+WITH e AS (SELECT user_id, event_id, epoch_us(ts)::BIGINT AS us
+           FROM events),
+flags AS (SELECT user_id, event_id, us,
+  CASE WHEN lag(us) OVER w IS NULL
+         OR us - lag(us) OVER w > 1800000000
+       THEN 1 ELSE 0 END AS ns
+  FROM e
+  WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+sess AS (SELECT user_id, us,
+  sum(ns) OVER (PARTITION BY user_id ORDER BY us, event_id
+                ROWS UNBOUNDED PRECEDING)::BIGINT AS session_idx
+  FROM flags)
+SELECT user_id, session_idx, count(*)::BIGINT AS n_events,
+       min(us) AS first_us, max(us) AS last_us,
+       max(us) - min(us) AS duration_us
+FROM sess
+GROUP BY user_id, session_idx
+"""
+
+_TUMBLING_ORACLE = """
+WITH e AS (SELECT epoch_us(ts)::BIGINT AS us, event_type,
+                  CAST(round(value * 100) AS BIGINT) AS cents
+           FROM events)
+SELECT us - (us % 3600000000) AS win_start_us, event_type,
+       count(*)::BIGINT AS n_events, sum(cents)::BIGINT AS sum_cents
+FROM e
+GROUP BY win_start_us, event_type
 """
 
 
@@ -1970,6 +2028,8 @@ FROM documents
     out["keyed_rng_persisted"] = out["rng_lookup"]
     out["grouped_topk"] = _grouped_oracle(FLAGSHIP_QUERY, "source", 10)
     out["hybrid_topk"] = _hybrid_oracle(FLAGSHIP_QUERY, 10)
+    out["sessionize"] = _SESSIONIZE_ORACLE
+    out["tumbling_counts"] = _TUMBLING_ORACLE
     out["simhash_dups"] = _simhash_dups_oracle(3)
     out["minhash_dups"] = _minhash_dups_oracle(0.7)
     out["clone_candidates"] = _clone_candidates_oracle(2)
