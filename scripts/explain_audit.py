@@ -187,6 +187,16 @@ def main() -> None:
         ))
         t.unpersist()
 
+        sections.append((
+            "grouped rollup (conversation-level query_grouped)",
+            "Term-pruned blocks scan (In(term,…) pushdown) → decode+score "
+            "→ docmap join on doc_ord to resolve the group columns → ONE "
+            "map-side-combinable hash aggregate keyed by groups → "
+            "TakeOrdered over groups. No corpus scan, no global sort.",
+            plan_of(b.query_grouped("the kemuba0 data", ["conv_id"], k=5)),
+        ))
+        t.unpersist()
+
     from antidb_spark.operators.dedup import minhash_signatures
 
     sections.append((
@@ -195,6 +205,41 @@ def main() -> None:
         "with map-side partial aggregation; ONE shuffle keyed on doc_id, "
         "no Python anywhere.",
         plan_of(minhash_signatures(docs)),
+    ))
+
+    from antidb_spark.operators.hybrid import hybrid_topk
+
+    vecs_all = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    probe_all = [float(v) for v in
+                 vecs_all.filter(F.col("vec_id") == 0).first()["embedding"]]
+    sections.append((
+        "hybrid RRF fusion (BM25 × cosine)",
+        "Each candidate list is cut to depth with TakeOrdered BEFORE its "
+        "single-partition rank window (the window sorts ≤ depth rows, "
+        "never the corpus); the fusion join runs over ≤ 2·depth rows and "
+        "the final cut is TakeOrdered again. The expensive subtrees "
+        "(scoring, cosine) keep their own pruned/codegen shapes.",
+        plan_of(hybrid_topk(docs, vecs_all, "spark query join performance",
+                            probe_all, k=5)),
+    ))
+
+    from antidb_spark.operators.events import sessionize, tumbling_counts
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    sections.append((
+        "sessionize (gap sessions per user)",
+        "ONE exchange keyed on user_id feeds both window stages (lag, "
+        "running sum) AND the (user, session) aggregate — "
+        "hashpartitioning(user_id) satisfies the refined clustering, so "
+        "no second shuffle; per-user sort is the only sort.",
+        plan_of(sessionize(ev)),
+    ))
+    sections.append((
+        "tumbling rollup (events)",
+        "Pure scan → project (integer bucket arithmetic, codegen) → one "
+        "map-side-combinable hash aggregate. Narrow ReadSchema (ts, "
+        "event_type, value only).",
+        plan_of(tumbling_counts(ev)),
     ))
 
     out = os.path.join(os.path.dirname(os.path.dirname(
@@ -264,6 +309,31 @@ def main() -> None:
                        and "SortMergeJoin" not in fed_plan))
         checks.append(("federated: cross-segment merge is TakeOrdered",
                        "TakeOrdered" in fed_plan))
+        grp_plan = by_title[
+            "grouped rollup (conversation-level query_grouped)"
+        ]
+        checks.append(("grouped: term pushdown on blocks scan",
+                       "In(term" in grp_plan or "EqualTo(term" in grp_plan))
+        checks.append(("grouped: group cut is TakeOrdered, no global sort",
+                       "TakeOrderedAndProject" in grp_plan))
+        hyb_plan = by_title["hybrid RRF fusion (BM25 × cosine)"]
+        checks.append(("hybrid: both lists depth-cut via TakeOrdered "
+                       "before the rank windows",
+                       hyb_plan.count("TakeOrderedAndProject") >= 3
+                       and hyb_plan.count("Window") >= 2))
+        sess_plan = by_title["sessionize (gap sessions per user)"]
+        checks.append(("sessionize: ONE exchange serves windows AND the "
+                       "session aggregate",
+                       sess_plan.count("+- Exchange") +
+                       sess_plan.count(":- Exchange") == 1))
+        checks.append(("sessionize: narrow ReadSchema (3 cols)",
+                       "struct<event_id:bigint,ts:timestamp_ntz,"
+                       "user_id:bigint>" in sess_plan))
+        tum_plan = by_title["tumbling rollup (events)"]
+        checks.append(("tumbling: single map-combinable aggregate",
+                       tum_plan.count("+- Exchange") +
+                       tum_plan.count(":- Exchange") == 1
+                       and "partial_sum" in tum_plan))
         f.write("## Property checks\n\n")
         for name, ok in checks:
             f.write(f"- {'PASS' if ok else 'FAIL'}: {name}\n")
