@@ -777,6 +777,65 @@ def _q_clone_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     return clone_candidates(_docs(spark, sf_dir), min_shared=2, max_fp_df=None)
 
 
+# Planted repetition: synthetic word-soup docs almost never repeat a
+# 5-gram internally, which would leave dup_5gram_frac vacuously 0 —
+# every 20th doc gets its text doubled so the gram-level rules have
+# real signal (derived identically in the SQL oracle).
+def _q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from antidb_spark.operators.textstats import repetition_stats
+
+    d = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 20 == 3,
+            F.concat(F.col("text"), F.lit(" "), F.col("text")),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return repetition_stats(d)
+
+
+# Deterministic PII augmentation: the synthetic corpus has no emails or
+# phone numbers, so the entry plants one of each per doc from doc_id —
+# derivable identically in SQL, making the redacted TEXT hash-checkable.
+def _pii_augmented(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    return d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com or 555-"),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        ).alias("text"),
+    )
+
+
+def _q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from antidb_spark.operators.textstats import redact_pii
+
+    return redact_pii(_pii_augmented(spark, sf_dir))
+
+
+# Deterministic benchmark set for decontamination: every 50th doc
+# (doc_id % 50 == 7) contributes a 10-token snippet (tokens 4..13) as
+# an "eval item" — source docs are guaranteed contaminated, and the
+# derivation is SQL-expressible for the oracle.
+def _q_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from antidb_spark.operators.dedup import decontaminate
+
+    docs = _docs(spark, sf_dir)
+    bench = docs.filter(F.col("doc_id") % 50 == 7).select(
+        F.col("doc_id").alias("bench_id"),
+        F.array_join(F.slice(tokens("text"), 4, 10), " ").alias("bench_text"),
+    )
+    # max_gram_df=None: fully-exact configuration for the oracle (the
+    # capped default is the documented scale path, as clone_candidates)
+    return decontaminate(docs, bench, n=5, max_gram_df=None)
+
+
 def _vecs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
 
@@ -1062,6 +1121,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_dups": _q_simhash_dups,
         "lang_id": _q_lang_id,
         "quality": _q_quality,
+        "repetition": _q_repetition,
+        "pii_redact": _q_pii_redact,
+        "decontam": _q_decontam,
         "clone_candidates": _q_clone_candidates,
         "ann_cosine_topk": _q_ann_cosine_topk,
         "ann_lsh_topk": _q_ann_lsh_topk,
@@ -1580,6 +1642,92 @@ AUG_DOCS_CTE = (
 )
 
 
+# Gopher-style repetition rules (mirrors textstats.repetition_stats:
+# per-row duplicate fractions + explode/groupBy 2-gram char coverage).
+_REPETITION_ORACLE = f"""
+WITH rdocs AS (SELECT doc_id,
+       CASE WHEN doc_id % 20 = 3 THEN text || ' ' || text ELSE text END AS text
+       FROM documents),
+tokarr AS (SELECT doc_id, text,
+       list_filter({sql_tokens('text')}, t -> t <> '') AS toks FROM rdocs),
+g5 AS (SELECT doc_id, array_to_string(toks[i.i:i.i+4], ' ') AS g
+       FROM tokarr, unnest(generate_series(1, len(toks)-4)) AS i(i)
+       WHERE len(toks) >= 5
+       UNION ALL
+       SELECT doc_id, array_to_string(toks, ' ') FROM tokarr
+       WHERE len(toks) > 0 AND len(toks) < 5),
+g5s AS (SELECT doc_id, count(*) AS tot, count(DISTINCT g) AS dis
+        FROM g5 GROUP BY 1),
+g2 AS (SELECT doc_id, array_to_string(toks[i.i:i.i+1], ' ') AS g
+       FROM tokarr, unnest(generate_series(1, len(toks)-1)) AS i(i)
+       WHERE len(toks) >= 2
+       UNION ALL
+       SELECT doc_id, array_to_string(toks, ' ') FROM tokarr
+       WHERE len(toks) > 0 AND len(toks) < 2),
+cov AS (SELECT doc_id, max(cnt * length(g)) AS cov FROM
+        (SELECT doc_id, g, count(*) AS cnt FROM g2
+         WHERE g <> '' GROUP BY 1, 2) GROUP BY 1)
+SELECT t.doc_id,
+  len(toks)::BIGINT AS n_tokens,
+  round(CASE WHEN len(toks) > 0
+        THEN 1.0 - len(list_distinct(toks))::DOUBLE / len(toks)
+        ELSE 0.0 END, 6) AS dup_token_frac,
+  round(CASE WHEN len(toks) > 0
+        THEN 1.0 - s.dis::DOUBLE / s.tot ELSE 0.0 END, 6) AS dup_5gram_frac,
+  round(coalesce(c.cov / greatest(length(t.text), 1)::DOUBLE, 0.0), 6)
+    AS top_2gram_frac
+FROM tokarr t LEFT JOIN g5s s USING (doc_id) LEFT JOIN cov c USING (doc_id)
+"""
+
+
+def _pii_redact_oracle() -> str:
+    """Same augmentation + redaction as _q_pii_redact, in RE2 SQL."""
+    from antidb_spark.operators.textstats import EMAIL_RE, PHONE_RE
+
+    return f"""
+WITH aug AS (SELECT doc_id,
+  text || ' contact user' || doc_id::VARCHAR || '@example.com or 555-'
+       || lpad((doc_id % 10000)::VARCHAR, 4, '0') AS text
+  FROM documents),
+e AS (SELECT doc_id, text,
+  len(regexp_extract_all(text, '{EMAIL_RE}'))::BIGINT AS n_emails,
+  regexp_replace(text, '{EMAIL_RE}', '<EMAIL>', 'g') AS no_em
+  FROM aug)
+SELECT doc_id, regexp_replace(no_em, '{PHONE_RE}', '<PHONE>', 'g') AS redacted,
+  n_emails,
+  len(regexp_extract_all(no_em, '{PHONE_RE}'))::BIGINT AS n_phones
+FROM e
+"""
+
+
+# Benchmark decontamination (mirrors dedup.decontaminate n=5 over the
+# deterministic every-50th-doc snippet benchmark in _q_decontam).
+_DECONTAM_ORACLE = f"""
+WITH {TOKARR_CTE},
+bench AS (SELECT doc_id AS bench_id,
+          array_to_string(toks[4:13], ' ') AS btext
+          FROM tokarr WHERE doc_id % 50 = 7),
+btok AS (SELECT bench_id,
+         list_filter({sql_tokens('btext')}, t -> t <> '') AS btoks
+         FROM bench),
+bg AS (SELECT DISTINCT bench_id, array_to_string(btoks[i.i:i.i+4], ' ') AS g
+       FROM btok, unnest(generate_series(1, len(btoks)-4)) AS i(i)
+       WHERE len(btoks) >= 5
+       UNION ALL
+       SELECT DISTINCT bench_id, array_to_string(btoks, ' ') FROM btok
+       WHERE len(btoks) < 5),
+cg AS (SELECT DISTINCT doc_id, array_to_string(toks[i.i:i.i+4], ' ') AS g
+       FROM tokarr, unnest(generate_series(1, len(toks)-4)) AS i(i)
+       WHERE len(toks) >= 5
+       UNION ALL
+       SELECT DISTINCT doc_id, array_to_string(toks, ' ') FROM tokarr
+       WHERE len(toks) < 5)
+SELECT c.doc_id, b.bench_id, count(DISTINCT c.g)::BIGINT AS n_shared
+FROM cg c JOIN bg b ON c.g = b.g AND c.g <> '' AND b.g <> ''
+GROUP BY 1, 2
+"""
+
+
 def _simhash_dups_oracle(max_distance: int = 3) -> str:
     """Brute-force simhash Hamming pairs, computed from the SAME
     md5-hex-digit bit definition as dedup.term_bit — Spark's 4-band
@@ -2036,4 +2184,7 @@ FROM documents
     out["embedding_dups"] = _embedding_dups_oracle(0.95)
     out["ann_lsh_topk"] = _ann_lsh_oracle(10)
     out["ann_ivf_topk"] = _ann_ivf_oracle(10)
+    out["repetition"] = _REPETITION_ORACLE
+    out["pii_redact"] = _pii_redact_oracle()
+    out["decontam"] = _DECONTAM_ORACLE
     return out

@@ -442,3 +442,60 @@ def simhash_near_dups(
         .filter(F.col("hamming") <= max_distance)
         .select("id_a", "id_b", "hamming")
     )
+
+
+# --- decontamination ------------------------------------------------------
+
+
+def decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bench_id_col: str = "bench_id",
+    bench_text_col: str = "bench_text",
+    n: int = 5,
+    max_gram_df: int | None = 10_000,
+) -> DataFrame:
+    """Benchmark decontamination: flag corpus docs sharing any token
+    ``n``-gram with a benchmark/eval item (the standard train-set
+    contamination check). Output (doc_id, bench_id, n_shared) where
+    ``n_shared`` counts DISTINCT shared n-grams, one row per
+    contaminated (doc, bench item) pair.
+
+    Plan: both sides explode to distinct (id, gram) rows; the join is a
+    gram equi-join with the benchmark side broadcast (eval suites are
+    tiny next to a 100 TB corpus). Corpus grams with document frequency
+    > ``max_gram_df`` (boilerplate shared by everything) are dropped
+    from matching — at n=5 such grams carry no contamination signal and
+    capping them bounds the join fan-out, the same hot-key discipline
+    as ``ngram_jaccard_pairs``; ``None`` disables the cap.
+    """
+    cg = (
+        corpus.select(
+            F.col(id_col), F.explode(shingles(tokens(text_col), n)).alias("g")
+        )
+        .filter(F.length("g") > 0)
+        .distinct()
+    )
+    if max_gram_df is not None:
+        hot = (
+            cg.groupBy("g")
+            .agg(F.count(F.lit(1)).alias("gdf"))
+            .filter(F.col("gdf") > max_gram_df)
+            .select("g")
+        )
+        cg = cg.join(F.broadcast(hot), "g", "left_anti")
+    bg = (
+        benchmark.select(
+            F.col(bench_id_col),
+            F.explode(shingles(tokens(bench_text_col), n)).alias("g"),
+        )
+        .filter(F.length("g") > 0)
+        .distinct()
+    )
+    return (
+        cg.join(F.broadcast(bg), "g")
+        .groupBy(id_col, bench_id_col)
+        .agg(F.count_distinct("g").alias("n_shared"))
+    )

@@ -108,6 +108,107 @@ def quality_scores(
     )
 
 
+# --- repetition stats (Gopher-style quality rules) ----------------------
+
+
+def repetition_stats(
+    corpus: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-doc repetition features (the Gopher/MassiveText repetition
+    rules, adapted to token granularity):
+
+    - ``dup_token_frac``  — 1 - distinct_tokens / tokens,
+    - ``dup_5gram_frac``  — 1 - distinct_5grams / 5grams (token 5-gram
+      multiset; shorter-than-5 docs contribute one whole-doc gram),
+    - ``top_2gram_frac``  — max over 2-grams of
+      (occurrences × gram_chars) / text_chars: the character share of
+      the highest-coverage repeated 2-gram (deterministic: max of a
+      product, no most-frequent-gram tie to break).
+
+    Plan shape: the two duplicate fractions are pure per-row array
+    expressions (no shuffle); ``top_2gram_frac`` needs a per-doc gram
+    mode, computed scalably as explode → groupBy(doc, gram) →
+    groupBy(doc) max — one shuffle keyed on the doc id, the same cost
+    class as the postings build (never a per-row O(tokens²) transform).
+    Floats rounded 6dp for oracle parity.
+
+    Reference tie-in: P4 computed keys (README.md:53) extended to the
+    training-pipeline quality layer (SURVEY §2.6).
+    """
+    from antidb_spark.operators.dedup import shingles
+
+    toks = tokens(text_col)
+    n_tok = F.size(toks)
+    g5 = shingles(toks, 5)
+    dup_tok = F.when(
+        n_tok > 0,
+        F.lit(1.0) - F.size(F.array_distinct(toks)) / n_tok.cast("double"),
+    ).otherwise(0.0)
+    dup_g5 = F.when(
+        n_tok > 0,
+        F.lit(1.0) - F.size(F.array_distinct(g5)) / F.size(g5).cast("double"),
+    ).otherwise(0.0)
+    per_row = corpus.select(
+        F.col(id_col),
+        n_tok.cast("long").alias("n_tokens"),
+        F.round(dup_tok, 6).alias("dup_token_frac"),
+        F.round(dup_g5, 6).alias("dup_5gram_frac"),
+        F.length(F.col(text_col)).cast("double").alias("_chars"),
+    )
+    g2 = corpus.select(
+        F.col(id_col).alias("_id"),
+        F.explode(shingles(tokens(text_col), 2)).alias("g"),
+    ).filter(F.length("g") > 0)
+    top2 = (
+        g2.groupBy("_id", "g")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .groupBy("_id")
+        .agg(F.max(F.col("cnt") * F.length("g")).alias("_cov"))
+    )
+    return (
+        per_row.join(top2.withColumnRenamed("_id", id_col), id_col, "left")
+        .select(
+            id_col,
+            "n_tokens",
+            "dup_token_frac",
+            "dup_5gram_frac",
+            F.round(
+                F.coalesce(F.col("_cov") / F.greatest("_chars", F.lit(1.0)),
+                           F.lit(0.0)),
+                6,
+            ).alias("top_2gram_frac"),
+        )
+    )
+
+
+# --- PII redaction -------------------------------------------------------
+
+# Patterns restricted to syntax Java regex and RE2 (DuckDB) interpret
+# identically: char classes, bounded repeats, \b ASCII word boundaries.
+EMAIL_RE = r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}"
+PHONE_RE = r"\b[0-9]{3}-[0-9]{4}\b"
+
+
+def redact_pii(
+    corpus: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(id, redacted, n_emails, n_phones): scrub email addresses and
+    NNN-NNNN phone numbers, keeping match counts. Pure codegen
+    (regexp_extract_all / regexp_replace — Spark replaces globally,
+    matching DuckDB's 'g' flag); emails redact before phones so a
+    digit-bearing email never double-counts as a phone."""
+    text = F.col(text_col)
+    n_em = F.size(F.regexp_extract_all(text, F.lit(EMAIL_RE), F.lit(0)))
+    no_em = F.regexp_replace(text, EMAIL_RE, "<EMAIL>")
+    n_ph = F.size(F.regexp_extract_all(no_em, F.lit(PHONE_RE), F.lit(0)))
+    return corpus.select(
+        F.col(id_col),
+        F.regexp_replace(no_em, PHONE_RE, "<PHONE>").alias("redacted"),
+        n_em.cast("long").alias("n_emails"),
+        n_ph.cast("long").alias("n_phones"),
+    )
+
+
 # --- winnowing fingerprints (rolling hash) ------------------------------
 
 WINNOW_K = 5   # k-gram length (in tokens)

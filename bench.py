@@ -71,7 +71,7 @@ def run_suite(spark, docs, transcripts, n_turns):
     """
     from pyspark.sql import functions as F
 
-    from antidb_spark.functions.analyze import distinct_tokens
+    from antidb_spark.functions.analyze import distinct_tokens, tokens
     from antidb_spark.operators.build import IndexBuilder
     from antidb_spark.operators.dedup import minhash_near_dups
     from antidb_spark.operators.lookup import KeyedIndex
@@ -315,6 +315,18 @@ def run_suite(spark, docs, transcripts, n_turns):
               lambda: minhash_near_dups(docs, id_col="doc_id").count())
     if phase_on("text_quality"):
         timed("text_quality", lambda: quality_scores(docs).count())
+    if phase_on("repetition"):
+        from antidb_spark.operators.textstats import repetition_stats
+
+        timed("repetition", lambda: repetition_stats(docs).count())
+    if phase_on("decontam"):
+        from antidb_spark.operators.dedup import decontaminate
+
+        bench_set = docs.filter(F.col("doc_id") % 50 == 7).select(
+            F.col("doc_id").alias("bench_id"),
+            F.array_join(F.slice(tokens("text"), 4, 10), " ").alias("bench_text"),
+        )
+        timed("decontam", lambda: decontaminate(docs, bench_set).count())
 
     shutil.rmtree(work_root, ignore_errors=True)
     return timings, extras, sub

@@ -1,0 +1,119 @@
+"""Training-pipeline additions: repetition stats (Gopher rules),
+PII redaction, benchmark decontamination."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from antidb_spark.functions.analyze import py_tokens
+from antidb_spark.operators.dedup import decontaminate
+from antidb_spark.operators.textstats import redact_pii, repetition_stats
+
+DOCS = [
+    (0, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+    (1, "spam spam spam spam spam spam spam spam spam spam"),
+    (2, "one two one two one two one two one two one two"),
+    (3, "short"),
+    (4, ""),
+]
+
+
+@pytest.fixture(scope="module")
+def docs_df(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, text string")
+
+
+def _py_rep(text: str) -> dict:
+    toks = py_tokens(text)
+    n = len(toks)
+    g5 = (
+        [" ".join(toks[i : i + 5]) for i in range(n - 4)]
+        if n >= 5
+        else ([" ".join(toks)] if n else [])
+    )
+    g2 = (
+        [" ".join(toks[i : i + 2]) for i in range(n - 1)]
+        if n >= 2
+        else ([" ".join(toks)] if n else [])
+    )
+    g2 = [g for g in g2 if g]
+    cov = max((g2.count(g) * len(g) for g in set(g2)), default=0)
+    return {
+        "n_tokens": n,
+        "dup_token_frac": round(1 - len(set(toks)) / n, 6) if n else 0.0,
+        "dup_5gram_frac": round(1 - len(set(g5)) / len(g5), 6) if n else 0.0,
+        "top_2gram_frac": round(cov / max(len(text), 1), 6),
+    }
+
+
+def test_repetition_matches_python_oracle(docs_df):
+    got = {r["doc_id"]: r.asDict() for r in repetition_stats(docs_df).collect()}
+    for i, text in DOCS:
+        want = _py_rep(text)
+        for k, v in want.items():
+            assert abs(got[i][k] - v) < 1e-9, (i, k, got[i][k], v)
+
+
+def test_repetition_orders_docs_sensibly(docs_df):
+    got = {r["doc_id"]: r.asDict() for r in repetition_stats(docs_df).collect()}
+    assert got[0]["dup_token_frac"] == 0.0
+    assert got[1]["dup_token_frac"] == 0.9  # 10x 'spam'
+    assert got[1]["dup_5gram_frac"] > 0.8
+    assert got[2]["top_2gram_frac"] > got[0]["top_2gram_frac"]
+
+
+def test_redact_pii(spark):
+    df = spark.createDataFrame(
+        [
+            (0, "mail bob.smith@corp.example.org or call 555-1234 now"),
+            (1, "digits 123-45 do not match and neither does plain text"),
+            (2, "two mails a@b.io c.d@e.co and 999-0000"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r.asDict() for r in redact_pii(df).collect()}
+    assert got[0]["redacted"] == "mail <EMAIL> or call <PHONE> now"
+    assert (got[0]["n_emails"], got[0]["n_phones"]) == (1, 1)
+    assert got[1]["redacted"] == df.collect()[1]["text"]  # untouched
+    assert (got[1]["n_emails"], got[1]["n_phones"]) == (0, 0)
+    assert (got[2]["n_emails"], got[2]["n_phones"]) == (2, 1)
+    assert "<EMAIL> <EMAIL>" in got[2]["redacted"]
+
+
+def test_decontaminate_flags_planted_overlap(spark):
+    corpus = spark.createDataFrame(
+        [
+            (0, "aa bb cc dd ee ff gg hh ii jj"),
+            (1, "zz yy xx ww vv uu tt ss rr qq"),
+            (2, "aa bb cc dd ee unrelated tail words here now"),
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(100, "aa bb cc dd ee ff")], "bench_id long, bench_text string"
+    )
+    got = {
+        (r["doc_id"], r["bench_id"]): r["n_shared"]
+        for r in decontaminate(corpus, bench, n=5, max_gram_df=None).collect()
+    }
+    # doc 0 shares both 5-grams of the snippet; doc 2 shares the first
+    assert got[(0, 100)] == 2
+    assert got[(2, 100)] == 1
+    assert (1, 100) not in got
+
+
+def test_decontaminate_hot_gram_cap(spark):
+    # a gram present in every corpus doc is dropped from matching by the cap
+    corpus = spark.createDataFrame(
+        [(i, "common five gram shared everywhere") for i in range(5)],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(9, "common five gram shared everywhere")],
+        "bench_id long, bench_text string",
+    )
+    capped = decontaminate(corpus, bench, n=5, max_gram_df=4).collect()
+    assert capped == []
+    exact = decontaminate(corpus, bench, n=5, max_gram_df=None).count()
+    assert exact == 5
