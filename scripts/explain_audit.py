@@ -242,6 +242,36 @@ def main() -> None:
         plan_of(tumbling_counts(ev)),
     ))
 
+    from antidb_spark.functions.analyze import tokens
+    from antidb_spark.operators.dedup import decontaminate
+    from antidb_spark.operators.textstats import redact_pii, repetition_stats
+
+    sections.append((
+        "repetition stats (Gopher rules)",
+        "Duplicate fractions are per-row array expressions on the scan "
+        "side (no shuffle); the top-2-gram coverage is explode → "
+        "groupBy(doc, gram) → groupBy(doc) max, then a doc_id join back "
+        "— every aggregate map-side combinable, no Python anywhere.",
+        plan_of(repetition_stats(docs)),
+    ))
+    sections.append((
+        "PII redaction",
+        "Pure scan → project: regex counts and replacements are codegen "
+        "expressions; zero exchanges.",
+        plan_of(redact_pii(docs)),
+    ))
+    bench_set = docs.filter(F.col("doc_id") % 50 == 7).select(
+        F.col("doc_id").alias("bench_id"),
+        F.array_join(F.slice(tokens("text"), 4, 10), " ").alias("bench_text"),
+    )
+    sections.append((
+        "decontamination (corpus vs benchmark 5-grams)",
+        "Corpus grams dedupe with one doc-keyed aggregate; the benchmark "
+        "side and the hot-gram cap are BROADCAST (left_anti + inner) — "
+        "the contamination join never shuffles the corpus gram stream.",
+        plan_of(decontaminate(docs, bench_set)),
+    ))
+
     out = os.path.join(os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))), "PLANS.md")
     with open(out, "w") as f:
@@ -334,6 +364,20 @@ def main() -> None:
                        tum_plan.count("+- Exchange") +
                        tum_plan.count(":- Exchange") == 1
                        and "partial_sum" in tum_plan))
+        rep_plan = by_title["repetition stats (Gopher rules)"]
+        checks.append(("repetition: no Python eval in plan",
+                       "Python" not in rep_plan
+                       and "ArrowEval" not in rep_plan))
+        checks.append(("repetition: scan reads only (doc_id, text)",
+                       "struct<doc_id:bigint,text:string>" in rep_plan))
+        pii_plan = by_title["PII redaction"]
+        checks.append(("pii: zero exchanges (scan→project only)",
+                       "Exchange" not in pii_plan))
+        dec_plan = by_title["decontamination (corpus vs benchmark 5-grams)"]
+        checks.append(("decontam: benchmark+cap joins broadcast, no "
+                       "sort-merge join",
+                       "BroadcastExchange" in dec_plan
+                       and "SortMergeJoin" not in dec_plan))
         f.write("## Property checks\n\n")
         for name, ok in checks:
             f.write(f"- {'PASS' if ok else 'FAIL'}: {name}\n")
