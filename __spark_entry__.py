@@ -836,6 +836,24 @@ def _q_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decontaminate(docs, bench, n=5, max_gram_df=None)
 
 
+def _q_dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from antidb_spark.operators.datasets import dataset_split
+
+    return dataset_split(_docs(spark, sf_dir))
+
+
+def _q_dedup_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from antidb_spark.operators.dedup import resolve_exact_dups
+
+    return resolve_exact_dups(_docs_planted(spark, sf_dir))
+
+
+def _q_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from antidb_spark.operators.textstats import top_terms
+
+    return top_terms(_docs(spark, sf_dir), m=5)
+
+
 def _vecs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
 
@@ -1124,6 +1142,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition": _q_repetition,
         "pii_redact": _q_pii_redact,
         "decontam": _q_decontam,
+        "dataset_split": _q_dataset_split,
+        "dedup_resolve": _q_dedup_resolve,
+        "keywords": _q_keywords,
         "clone_candidates": _q_clone_candidates,
         "ann_cosine_topk": _q_ann_cosine_topk,
         "ann_lsh_topk": _q_ann_lsh_topk,
@@ -1728,6 +1749,47 @@ GROUP BY 1, 2
 """
 
 
+# Deterministic split assignment (mirrors datasets.dataset_split:
+# bucket = first 8 md5 hex digits of 'v1:id' mod 10000; 0.8/0.1/0.1).
+_DATASET_SPLIT_ORACLE = """
+WITH b AS (SELECT doc_id,
+  ('0x' || substr(md5('v1:' || doc_id::VARCHAR), 1, 8))::BIGINT % 10000
+    AS bucket
+  FROM documents)
+SELECT doc_id, bucket,
+  CASE WHEN bucket < 8000 THEN 'train'
+       WHEN bucket < 9000 THEN 'val' ELSE 'test' END AS split
+FROM b
+"""
+
+# Exact-dup resolution over the planted-copies corpus (mirrors
+# dedup.resolve_exact_dups: min id per fingerprint group survives).
+_DEDUP_RESOLVE_ORACLE = f"""
+WITH {AUG_DOCS_CTE},
+fp AS (SELECT doc_id, {SQL_FP} AS fp FROM aug)
+SELECT doc_id,
+  min(doc_id) OVER (PARTITION BY fp) AS keep_id,
+  doc_id = min(doc_id) OVER (PARTITION BY fp) AS is_canonical
+FROM fp
+"""
+
+# Per-doc tf·idf keyword extraction (mirrors textstats.top_terms m=5:
+# score rounded 6dp BEFORE ranking, ties broken term-asc).
+_KEYWORDS_ORACLE = f"""
+WITH {TOK_CTE}, {POST_CTE},
+dfs AS (SELECT term, count(*)::BIGINT AS df FROM post GROUP BY 1),
+n AS (SELECT count(*)::DOUBLE AS n FROM documents),
+sc AS (SELECT post.doc_id, post.term,
+       round(post.tf * ln(1 + n.n / dfs.df), 6) AS score
+       FROM post JOIN dfs USING (term) CROSS JOIN n),
+rk AS (SELECT doc_id, term, score,
+       row_number() OVER (PARTITION BY doc_id
+                          ORDER BY score DESC, term ASC) AS rnk
+       FROM sc)
+SELECT doc_id, term, score, rnk::BIGINT AS "rank" FROM rk WHERE rnk <= 5
+"""
+
+
 def _simhash_dups_oracle(max_distance: int = 3) -> str:
     """Brute-force simhash Hamming pairs, computed from the SAME
     md5-hex-digit bit definition as dedup.term_bit — Spark's 4-band
@@ -2187,4 +2249,7 @@ FROM documents
     out["repetition"] = _REPETITION_ORACLE
     out["pii_redact"] = _pii_redact_oracle()
     out["decontam"] = _DECONTAM_ORACLE
+    out["dataset_split"] = _DATASET_SPLIT_ORACLE
+    out["dedup_resolve"] = _DEDUP_RESOLVE_ORACLE
+    out["keywords"] = _KEYWORDS_ORACLE
     return out

@@ -499,3 +499,22 @@ def decontaminate(
         .groupBy(id_col, bench_id_col)
         .agg(F.count_distinct("g").alias("n_shared"))
     )
+
+
+def resolve_exact_dups(
+    corpus: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Dedup RESOLUTION: (id, keep_id, is_canonical) where ``keep_id``
+    is the smallest id in the row's exact-duplicate fingerprint group —
+    the deterministic survivor. Filtering ``is_canonical`` yields the
+    deduplicated corpus; the full mapping supports redirect tables.
+    One digest-keyed shuffle (window min over the fingerprint)."""
+    from pyspark.sql import Window
+
+    fps = corpus.select(F.col(id_col), fingerprint(text_col).alias("fp"))
+    keep = F.min(id_col).over(Window.partitionBy("fp"))
+    return fps.select(
+        id_col,
+        keep.alias("keep_id"),
+        (F.col(id_col) == keep).alias("is_canonical"),
+    )

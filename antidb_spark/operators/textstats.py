@@ -209,6 +209,52 @@ def redact_pii(
     )
 
 
+# --- TF-IDF keyword extraction -------------------------------------------
+
+
+def top_terms(
+    corpus: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+    m: int = 5,
+) -> DataFrame:
+    """(id, term, score, rank): the ``m`` most characteristic terms per
+    doc by tf·idf (idf = ln(1 + n_docs/df), smooth and positive).
+
+    Determinism: rank orders by (round(score, 6) desc, term asc) — the
+    rounding happens BEFORE ranking so sub-ULP ln() differences between
+    engines can never flip an order, and the term tiebreak settles
+    equal scores. Plan: tf groupBy (one shuffle); the (term, df) side
+    is NOT force-broadcast — small vocabularies broadcast via AQE, a
+    100 TB-scale vocabulary falls back to a term-keyed shuffle join —
+    then one doc-keyed window for the per-doc cut. The distributed form
+    of ``IndexBuilder.more_like_this``'s driver-side term selection,
+    for all docs at once."""
+    from pyspark.sql import Window
+
+    post = (
+        corpus.select(F.col(id_col).alias("_id"),
+                      F.explode(tokens(text_col)).alias("term"))
+        .groupBy("_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfs = post.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = corpus.select(F.count(F.lit(1)).alias("n"))
+    score = F.round(
+        F.col("tf") * F.log(F.lit(1.0) + F.col("n") / F.col("df")), 6
+    )
+    w = Window.partitionBy("_id").orderBy(
+        F.col("score").desc(), F.col("term").asc()
+    )
+    return (
+        post.join(dfs, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn("score", score)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= m)
+        .select(F.col("_id").alias(id_col), "term", "score",
+                F.col("rank").cast("long").alias("rank"))
+    )
+
+
 # --- winnowing fingerprints (rolling hash) ------------------------------
 
 WINNOW_K = 5   # k-gram length (in tokens)

@@ -272,6 +272,32 @@ def main() -> None:
         plan_of(decontaminate(docs, bench_set)),
     ))
 
+    from antidb_spark.operators.datasets import dataset_split
+    from antidb_spark.operators.dedup import resolve_exact_dups
+    from antidb_spark.operators.textstats import top_terms
+
+    sections.append((
+        "dataset split (hash bucket assignment)",
+        "Pure scan → project: md5 bucket + when-chain are codegen "
+        "expressions, zero exchanges — split assignment never moves "
+        "data.",
+        plan_of(dataset_split(docs)),
+    ))
+    sections.append((
+        "exact-dup resolution (canonical keep)",
+        "ONE digest-keyed exchange feeds the min window; no join back "
+        "to the corpus.",
+        plan_of(resolve_exact_dups(docs)),
+    ))
+    sections.append((
+        "tf-idf keywords (per-doc top-m)",
+        "tf groupBy is the only corpus-wide shuffle; the (term, df) "
+        "aggregate joins via AQE (broadcast at this vocabulary size), "
+        "n_docs is a broadcast single row, and the per-doc cut is a "
+        "row_number window on the doc key.",
+        plan_of(top_terms(docs)),
+    ))
+
     out = os.path.join(os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))), "PLANS.md")
     with open(out, "w") as f:
@@ -378,6 +404,18 @@ def main() -> None:
                        "sort-merge join",
                        "BroadcastExchange" in dec_plan
                        and "SortMergeJoin" not in dec_plan))
+        spl_plan = by_title["dataset split (hash bucket assignment)"]
+        checks.append(("dataset split: zero exchanges",
+                       "Exchange" not in spl_plan))
+        res_plan = by_title["exact-dup resolution (canonical keep)"]
+        checks.append(("dedup resolve: one fp-keyed exchange, no joins",
+                       res_plan.count("+- Exchange") +
+                       res_plan.count(":- Exchange") == 1
+                       and "Join" not in res_plan))
+        kw_plan = by_title["tf-idf keywords (per-doc top-m)"]
+        checks.append(("keywords: no Python eval, window cut present",
+                       "Python" not in kw_plan and "ArrowEval" not in kw_plan
+                       and "Window" in kw_plan))
         f.write("## Property checks\n\n")
         for name, ok in checks:
             f.write(f"- {'PASS' if ok else 'FAIL'}: {name}\n")

@@ -117,3 +117,95 @@ def test_decontaminate_hot_gram_cap(spark):
     assert capped == []
     exact = decontaminate(corpus, bench, n=5, max_gram_df=None).count()
     assert exact == 5
+
+
+def test_dataset_split_deterministic_and_stable(spark):
+    from antidb_spark.operators.datasets import dataset_split
+
+    ids = spark.range(2000).withColumnRenamed("id", "doc_id")
+    a = {r["doc_id"]: (r["bucket"], r["split"])
+         for r in dataset_split(ids).collect()}
+    b = {r["doc_id"]: (r["bucket"], r["split"])
+         for r in dataset_split(ids).collect()}
+    assert a == b  # deterministic
+    # growth-stable: assignments of the first 1000 ids are unchanged
+    small = {r["doc_id"]: r["split"]
+             for r in dataset_split(
+                 spark.range(1000).withColumnRenamed("id", "doc_id")
+             ).collect()}
+    assert all(a[i][1] == small[i] for i in range(1000))
+    from collections import Counter
+
+    frac = Counter(s for _, s in a.values())
+    assert 0.74 < frac["train"] / 2000 < 0.86
+    assert 0.06 < frac["val"] / 2000 < 0.14
+    assert 0.06 < frac["test"] / 2000 < 0.14
+    # fresh salt reshuffles
+    resalted = {r["doc_id"]: r["split"]
+                for r in dataset_split(ids, salt="v2").collect()}
+    assert any(resalted[i] != a[i][1] for i in range(2000))
+
+
+def test_dataset_split_validates_weights(spark):
+    from antidb_spark.operators.datasets import dataset_split
+
+    ids = spark.range(10).withColumnRenamed("id", "doc_id")
+    with pytest.raises(ValueError):
+        dataset_split(ids, splits=(("a", 0.5), ("b", 0.1)))
+
+
+def test_resolve_exact_dups(spark):
+    from antidb_spark.operators.dedup import resolve_exact_dups
+
+    df = spark.createDataFrame(
+        [
+            (0, "same  text"),
+            (1, "SAME TEXT"),   # normalizes to the same fingerprint
+            (2, "unique text"),
+            (3, "same text"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: (r["keep_id"], r["is_canonical"])
+           for r in resolve_exact_dups(df).collect()}
+    assert got == {0: (0, True), 1: (0, False), 2: (2, True), 3: (0, False)}
+
+
+def test_top_terms_matches_python_oracle(spark):
+    import math
+
+    from antidb_spark.operators.textstats import top_terms
+
+    rows = [
+        (0, "apple apple banana cherry"),
+        (1, "banana banana banana date"),
+        (2, "cherry date elderberry fig"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    n = len(rows)
+    tf: dict[tuple[int, str], int] = {}
+    for i, text in rows:
+        for t in py_tokens(text):
+            tf[(i, t)] = tf.get((i, t), 0) + 1
+    dfreq: dict[str, int] = {}
+    for (_, t) in {(i, t) for (i, t) in tf}:
+        dfreq[t] = dfreq.get(t, 0) + 1
+    want = {}
+    for i, _ in rows:
+        scored = sorted(
+            ((-round(c * math.log(1 + n / dfreq[t]), 6), t)
+             for (j, t), c in tf.items() if j == i),
+        )
+        want[i] = [(t, -s, r + 1) for r, (s, t) in enumerate(scored[:2])]
+    got = top_terms(df, m=2).collect()
+    got_by_doc: dict[int, list] = {}
+    for r in sorted(got, key=lambda r: (r["doc_id"], r["rank"])):
+        got_by_doc.setdefault(r["doc_id"], []).append(
+            (r["term"], r["score"], r["rank"])
+        )
+    for i in want:
+        assert [(t, r) for t, _, r in got_by_doc[i]] == [
+            (t, r) for t, _, r in want[i]
+        ]
+        for (gt, gs, _), (wt, ws, _) in zip(got_by_doc[i], want[i]):
+            assert abs(gs - ws) < 1e-9, (i, gt, gs, ws)
