@@ -836,6 +836,33 @@ def _q_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decontaminate(docs, bench, n=5, max_gram_df=None)
 
 
+def _q_score_explain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-term BM25 factor breakdown for the flagship query's top-10,
+    served from the shared committed index (Lucene Explanation analog;
+    consistent with query_pinned by construction)."""
+    return _entry_index(spark, sf_dir).explain(FLAGSHIP_QUERY, k=10)
+
+
+# Standing queries for the percolator entry: two conjunctive alerts
+# that fire on the synthetic vocabulary, one that can never fire (term
+# absent from the corpus), one single-term rule.
+PERC_QUERIES: list[tuple[str, str]] = [
+    ("alert_spark_join", "spark join"),
+    ("alert_window_merge", "window merge sort"),
+    ("alert_never", "qzxv spark"),
+    ("alert_vector", "vector"),
+]
+
+
+def _q_percolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from antidb_spark.operators.percolate import percolate
+
+    qdf = spark.createDataFrame(
+        PERC_QUERIES, "query_id string, query_text string"
+    )
+    return percolate(_docs(spark, sf_dir), qdf)
+
+
 def _q_dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     from antidb_spark.operators.datasets import dataset_split
 
@@ -1145,6 +1172,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dataset_split": _q_dataset_split,
         "dedup_resolve": _q_dedup_resolve,
         "keywords": _q_keywords,
+        "score_explain": _q_score_explain,
+        "percolate": _q_percolate,
         "clone_candidates": _q_clone_candidates,
         "ann_cosine_topk": _q_ann_cosine_topk,
         "ann_lsh_topk": _q_ann_lsh_topk,
@@ -1790,6 +1819,57 @@ SELECT doc_id, term, score, rnk::BIGINT AS "rank" FROM rk WHERE rnk <= 5
 """
 
 
+def _explain_oracle(query: str, k: int) -> str:
+    """Per-term BM25 factor breakdown of the query's top-k (mirrors
+    IndexBuilder.explain: 4dp pinned score from the top-k subquery,
+    6dp factor columns)."""
+    from antidb_spark.functions.bm25 import SQL_IDF, SQL_TFW
+
+    terms = sorted(set(py_tokens(query)))
+    in_list = ", ".join(f"'{t}'" for t in terms)
+    inner = _topk_oracle(query, k).strip()
+    idf = SQL_IDF.format(n="s.n_docs", df="d.df")
+    tfw = SQL_TFW.format(tf="p.tf", dl="l.dl", avgdl="s.avgdl")
+    return f"""
+WITH {TOK_CTE}, {POST_CTE}, {DL_CTE},
+st AS (SELECT count(*)::BIGINT AS n_docs, avg(dl) AS avgdl FROM dl),
+dfs AS (SELECT term, count(*)::BIGINT AS df FROM post
+        WHERE term IN ({in_list}) GROUP BY term),
+topk AS ({inner})
+SELECT p.doc_id AS doc_id, p.term AS term,
+  p.tf::BIGINT AS tf, l.dl::BIGINT AS dl, d.df AS df,
+  round({idf}, 6) AS idf,
+  round({tfw}, 6) AS tf_weight,
+  round(({idf}) * ({tfw}), 6) AS contribution,
+  t.score AS score
+FROM post p
+JOIN dfs d ON p.term = d.term
+JOIN dl l ON p.doc_id = l.doc_id
+JOIN topk t ON p.doc_id = t.doc_id
+CROSS JOIN st s
+WHERE p.term IN ({in_list})
+"""
+
+
+def _percolate_oracle() -> str:
+    """Conjunctive standing-query matching over the registered
+    PERC_QUERIES (mirrors percolate.percolate require_all=True)."""
+    vals = ", ".join(f"('{i}', '{t}')" for i, t in PERC_QUERIES)
+    return f"""
+WITH {TOK_CTE}, {DTOK_CTE},
+q(query_id, query_text) AS (VALUES {vals}),
+qt AS (SELECT DISTINCT query_id, u.tt AS term
+       FROM q, unnest({sql_tokens('query_text')}) AS u(tt)
+       WHERE u.tt <> ''),
+qn AS (SELECT query_id, count(*)::BIGINT AS n_terms FROM qt GROUP BY 1),
+hits AS (SELECT d.doc_id, qt.query_id, count(*)::BIGINT AS n_matched
+         FROM dtok d JOIN qt ON d.term = qt.term GROUP BY 1, 2)
+SELECT h.doc_id, h.query_id, h.n_matched, qn.n_terms
+FROM hits h JOIN qn USING (query_id)
+WHERE h.n_matched = qn.n_terms
+"""
+
+
 def _simhash_dups_oracle(max_distance: int = 3) -> str:
     """Brute-force simhash Hamming pairs, computed from the SAME
     md5-hex-digit bit definition as dedup.term_bit — Spark's 4-band
@@ -2252,4 +2332,6 @@ FROM documents
     out["dataset_split"] = _DATASET_SPLIT_ORACLE
     out["dedup_resolve"] = _DEDUP_RESOLVE_ORACLE
     out["keywords"] = _KEYWORDS_ORACLE
+    out["score_explain"] = _explain_oracle(FLAGSHIP_QUERY, 10)
+    out["percolate"] = _percolate_oracle()
     return out

@@ -1914,6 +1914,70 @@ class IndexBuilder:
             scored.select("doc_ord", "score"), k, after=after
         )
 
+    def explain(self, query: str, k: int = 10) -> DataFrame:
+        """Score explanation (the Lucene ``Explanation`` analog),
+        index-served: one row per (top-k doc, matching query term) with
+        the full BM25 factor breakdown — (*id_cols, term, tf, dl, df,
+        idf, tf_weight, contribution, score).
+
+        Consistent with ``query_pinned`` BY CONSTRUCTION: the top-k
+        (and every visibility rule — tombstones, upsert generations)
+        comes from ``query_pinned`` itself; the breakdown then joins
+        ONLY those k docs (broadcast) against the decoded pruned
+        blocks, so explain never scores more than the query already
+        did. ``score`` is the doc's pinned 4dp total; factor columns
+        round at 6dp for cross-engine hashing."""
+        from antidb_spark.functions.analyze import py_tokens
+        from antidb_spark.functions.bm25 import idf as _idf
+        from antidb_spark.functions.bm25 import tf_weight as _tfw
+
+        q_terms = sorted(set(py_tokens(query)))
+        tops = self.query_pinned(query, k=k)
+        if not q_terms:
+            return tops.limit(0).select(
+                *self.id_cols, F.lit("").alias("term"),
+                F.lit(0).cast("long").alias("tf"),
+                F.lit(0).cast("long").alias("dl"),
+                F.lit(0).cast("long").alias("df"),
+                F.lit(0.0).alias("idf"), F.lit(0.0).alias("tf_weight"),
+                F.lit(0.0).alias("contribution"), F.col("score"),
+            )
+        # drop tombstoned ordinals BEFORE the id join: after an upsert
+        # the docmap holds superseded generations under the same id
+        dm = self._drop_tombstones(self.catalog.read("docmap"))
+        top_ords = dm.join(F.broadcast(tops), list(self.id_cols)).select(
+            "doc_ord", *self.id_cols, "score"
+        )
+        blocks = self.catalog.read_pruned("blocks", "term", q_terms).filter(
+            F.col("term").isin(q_terms)
+        )
+        post = self._decoded_postings(blocks).join(
+            F.broadcast(top_ords), "doc_ord"
+        )
+        dfs = self.catalog.read("terms").filter(F.col("term").isin(q_terms))
+        stats = self.catalog.read("stats")
+        return (
+            post.join(F.broadcast(dfs), "term")
+            .crossJoin(F.broadcast(stats))
+            .select(
+                *self.id_cols,
+                "term",
+                F.col("tf").cast("long").alias("tf"),
+                F.col("dl").cast("long").alias("dl"),
+                F.col("df").cast("long").alias("df"),
+                F.round(_idf(F.col("df"), F.col("n_docs")), 6).alias("idf"),
+                F.round(
+                    _tfw(F.col("tf"), F.col("dl"), F.col("avgdl")), 6
+                ).alias("tf_weight"),
+                F.round(
+                    contribution(F.col("tf"), F.col("df"), F.col("dl"),
+                                 F.col("avgdl"), F.col("n_docs")),
+                    6,
+                ).alias("contribution"),
+                "score",
+            )
+        )
+
     def query_grouped(
         self, query: str, group_cols: Sequence[str], k: int = 10
     ) -> DataFrame:

@@ -298,6 +298,20 @@ def main() -> None:
         plan_of(top_terms(docs)),
     ))
 
+    from antidb_spark.operators.percolate import percolate
+
+    perc_queries = spark.createDataFrame(
+        [("q1", "spark join"), ("q2", "window merge sort")],
+        "query_id string, query_text string",
+    )
+    sections.append((
+        "percolate (standing-query matching)",
+        "The registered query side broadcasts twice (terms, term "
+        "counts); the only exchange is the doc-keyed match aggregate — "
+        "per-batch cost is O(batch tokens), never O(corpus).",
+        plan_of(percolate(docs, perc_queries)),
+    ))
+
     out = os.path.join(os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))), "PLANS.md")
     with open(out, "w") as f:
@@ -416,6 +430,11 @@ def main() -> None:
         checks.append(("keywords: no Python eval, window cut present",
                        "Python" not in kw_plan and "ArrowEval" not in kw_plan
                        and "Window" in kw_plan))
+        perc_plan = by_title["percolate (standing-query matching)"]
+        checks.append(("percolate: query side broadcast, no sort-merge "
+                       "join",
+                       "BroadcastExchange" in perc_plan
+                       and "SortMergeJoin" not in perc_plan))
         f.write("## Property checks\n\n")
         for name, ok in checks:
             f.write(f"- {'PASS' if ok else 'FAIL'}: {name}\n")

@@ -1,0 +1,147 @@
+"""Score explanation (per-term BM25 breakdown) and standing-query
+percolation."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from antidb_spark.functions.bm25 import B, K1
+from antidb_spark.operators.build import IndexBuilder
+from antidb_spark.operators.percolate import percolate, percolate_batch_fn
+from antidb_spark.synth import synth_transcripts, vocabulary
+
+_V = vocabulary(2000)
+QUERY = f"the {_V[200]} {_V[1000]}"
+
+
+@pytest.fixture(scope="module")
+def built(spark, tmp_path_factory):
+    corpus = synth_transcripts(spark, n_convs=40, seed=7).cache()
+    corpus.count()
+    b = IndexBuilder(spark, str(tmp_path_factory.mktemp("xidx")))
+    b.build(corpus)
+    yield b, corpus
+    corpus.unpersist()
+
+
+def test_explain_consistent_with_query_pinned(built):
+    b, _ = built
+    tops = b.query_pinned(QUERY, k=5).toPandas()
+    exp = b.explain(QUERY, k=5).toPandas()
+    # same doc set, same scores
+    tkeys = {(r.conv_id, r.turn_idx): r.score for r in tops.itertuples()}
+    ekeys = {(r.conv_id, r.turn_idx): r.score for r in exp.itertuples()}
+    assert ekeys == tkeys
+    # per-doc contribution sum reproduces the pinned 4dp score
+    sums = exp.groupby(["conv_id", "turn_idx"])["contribution"].sum()
+    for key, s in sums.items():
+        assert abs(s - tkeys[key]) < 5e-4, (key, s, tkeys[key])
+    # factor identity per row: contribution == idf * tf_weight
+    for r in exp.itertuples():
+        assert abs(r.contribution - r.idf * r.tf_weight) < 5e-6
+    # factors recompute from the raw counts
+    n_docs = b.catalog.read("stats").first()["n_docs"]
+    avgdl = b.catalog.read("stats").first()["avgdl"]
+    for r in exp.itertuples():
+        want_idf = math.log(1 + (n_docs - r.df + 0.5) / (r.df + 0.5))
+        want_tfw = (r.tf * (K1 + 1)) / (
+            r.tf + K1 * (1 - B + B * r.dl / avgdl)
+        )
+        assert abs(r.idf - want_idf) < 1e-6
+        assert abs(r.tf_weight - want_tfw) < 1e-6
+
+
+def test_explain_excludes_deleted_docs(spark, tmp_path):
+    corpus = synth_transcripts(spark, n_convs=12, seed=11)
+    b = IndexBuilder(spark, str(tmp_path / "didx"))
+    b.build(corpus)
+    top1 = b.query_pinned(QUERY, k=1).first()
+    b.delete_docs(
+        spark.createDataFrame(
+            [(top1["conv_id"], top1["turn_idx"])], "conv_id string, turn_idx int"
+        )
+    )
+    exp = b.explain(QUERY, k=5).toPandas()
+    assert (top1["conv_id"], top1["turn_idx"]) not in {
+        (r.conv_id, r.turn_idx) for r in exp.itertuples()
+    }
+    # still consistent with the post-delete query
+    tops = b.query_pinned(QUERY, k=5).toPandas()
+    assert {(r.conv_id, r.turn_idx) for r in exp.itertuples()} == {
+        (r.conv_id, r.turn_idx) for r in tops.itertuples()
+    }
+
+
+def test_explain_empty_query(built):
+    b, _ = built
+    assert b.explain("!!! ???", k=5).count() == 0
+
+
+DOCS = [
+    (0, "spark join performance tuning"),
+    (1, "window merge sort in spark"),
+    (2, "unrelated text about cats"),
+    (3, "join window merge"),
+]
+QUERIES = [
+    ("q_spark_join", "spark join"),
+    ("q_merge", "merge window"),
+    ("q_never", "zzzqqq"),
+]
+
+
+def test_percolate_conjunctive(spark):
+    docs = spark.createDataFrame(DOCS, "doc_id long, text string")
+    qdf = spark.createDataFrame(QUERIES, "query_id string, query_text string")
+    got = {
+        (r["doc_id"], r["query_id"]): (r["n_matched"], r["n_terms"])
+        for r in percolate(docs, qdf).collect()
+    }
+    assert got == {
+        (0, "q_spark_join"): (2, 2),
+        (1, "q_merge"): (2, 2),
+        (3, "q_merge"): (2, 2),
+    }
+
+
+def test_percolate_any_mode_counts(spark):
+    docs = spark.createDataFrame(DOCS, "doc_id long, text string")
+    qdf = spark.createDataFrame(QUERIES, "query_id string, query_text string")
+    got = {
+        (r["doc_id"], r["query_id"]): r["n_matched"]
+        for r in percolate(docs, qdf, require_all=False).collect()
+    }
+    assert got[(3, "q_spark_join")] == 1  # has 'join' only
+    assert got[(0, "q_merge")] == 0 if (0, "q_merge") in got else True
+    assert all(q != "q_never" for _, q in got)
+
+
+def test_percolate_streaming_alert_log(spark, tmp_path):
+    import os
+    import time
+
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "alerts")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(src)
+    docs = spark.createDataFrame(DOCS, "doc_id long, text string")
+    docs.write.mode("overwrite").parquet(src)
+    qdf = spark.createDataFrame(QUERIES, "query_id string, query_text string")
+    stream = spark.readStream.schema("doc_id long, text string").parquet(src)
+    q = (
+        stream.writeStream.foreachBatch(percolate_batch_fn(qdf, out))
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    time.sleep(0.2)
+    log = spark.read.parquet(out)
+    got = {(r["doc_id"], r["query_id"]) for r in log.collect()}
+    assert got == {
+        (0, "q_spark_join"), (1, "q_merge"), (3, "q_merge"),
+    }
+    assert log.select("batch_id").distinct().count() >= 1
