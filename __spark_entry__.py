@@ -208,7 +208,7 @@ def _entry_index(spark: SparkSession, sf_dir: str):
         b = IndexBuilder(spark, root, id_cols=DOC_ID)
         d = _docs(spark, sf_dir)
         b.build(d)
-        b.build_doc_meta(d, ["lang", "source"])
+        b.build_doc_meta(d, ["lang", "source", "n_chars"])
         build_positional_index(b, d)
         _ENTRY_IDX[sf_dir] = b
     return b
@@ -863,6 +863,28 @@ def _q_percolate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return percolate(_docs(spark, sf_dir), qdf)
 
 
+def _q_facet_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Histogram facet (the date_histogram analog) over doc length:
+    matching-doc counts per aligned 100-char n_chars bucket, served
+    from the committed docmeta table."""
+    return _entry_index(spark, sf_dir).facet_histogram(
+        FLAGSHIP_QUERY, "n_chars", 100
+    )
+
+
+def _q_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup GROUPS from pairwise minhash verdicts: connected
+    components (min-label propagation) over the minhash_dups pair
+    graph; group_id = canonical (smallest) member."""
+    from antidb_spark.operators.dedup import (
+        connected_dup_groups,
+        minhash_near_dups,
+    )
+
+    pairs = minhash_near_dups(_docs(spark, sf_dir), threshold=0.7)
+    return connected_dup_groups(pairs, out_id_col="doc_id")
+
+
 def _q_dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     from antidb_spark.operators.datasets import dataset_split
 
@@ -1174,6 +1196,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "keywords": _q_keywords,
         "score_explain": _q_score_explain,
         "percolate": _q_percolate,
+        "facet_hist": _q_facet_hist,
+        "dup_groups": _q_dup_groups,
         "clone_candidates": _q_clone_candidates,
         "ann_cosine_topk": _q_ann_cosine_topk,
         "ann_lsh_topk": _q_ann_lsh_topk,
@@ -1870,6 +1894,40 @@ WHERE h.n_matched = qn.n_terms
 """
 
 
+def _facet_hist_oracle(query: str, col: str, width: int) -> str:
+    """Aligned-bucket histogram over docs matching >= 1 query term
+    (mirrors IndexBuilder.facet_histogram, disjunctive)."""
+    in_list = ", ".join(f"'{t}'" for t in sorted(set(py_tokens(query))))
+    return f"""
+WITH {TOK_CTE}
+SELECT ({col} - {col} % {width})::BIGINT AS bucket,
+       count(*)::BIGINT AS n_docs
+FROM documents
+WHERE doc_id IN (SELECT doc_id FROM tok WHERE term IN ({in_list}))
+GROUP BY 1
+"""
+
+
+def _dup_groups_oracle(threshold: float) -> str:
+    """Transitive closure (recursive CTE) over the minhash near-dup
+    pairs — min reachable id per node (mirrors
+    dedup.connected_dup_groups over minhash_near_dups)."""
+    inner = _minhash_dups_oracle(threshold).strip()
+    return f"""
+WITH RECURSIVE
+pairs AS ({inner}),
+e(a, b) AS (SELECT id_a, id_b FROM pairs
+            UNION SELECT id_b, id_a FROM pairs),
+nodes(id) AS (SELECT DISTINCT a FROM e),
+reach(id, r) AS (
+  SELECT id, id FROM nodes
+  UNION
+  SELECT reach.id, e.b FROM reach JOIN e ON reach.r = e.a
+)
+SELECT id AS doc_id, min(r)::BIGINT AS group_id FROM reach GROUP BY 1
+"""
+
+
 def _simhash_dups_oracle(max_distance: int = 3) -> str:
     """Brute-force simhash Hamming pairs, computed from the SAME
     md5-hex-digit bit definition as dedup.term_bit — Spark's 4-band
@@ -2334,4 +2392,6 @@ FROM documents
     out["keywords"] = _KEYWORDS_ORACLE
     out["score_explain"] = _explain_oracle(FLAGSHIP_QUERY, 10)
     out["percolate"] = _percolate_oracle()
+    out["facet_hist"] = _facet_hist_oracle(FLAGSHIP_QUERY, "n_chars", 100)
+    out["dup_groups"] = _dup_groups_oracle(0.7)
     return out

@@ -2474,6 +2474,54 @@ class IndexBuilder:
             .orderBy(F.desc("n_docs"), F.asc("facet"))
         )
 
+    def facet_histogram(
+        self, query: str, facet_col: str, width: int,
+        require_all: bool = False,
+    ) -> DataFrame:
+        """Histogram facet: matching-doc counts per aligned numeric
+        bucket of a docmeta column — (bucket, n_docs) where bucket =
+        value - value % width (the tumbling_counts alignment rule;
+        NULL values form a NULL bucket). Same match-only candidate plan
+        as ``facet_counts``: pruned postings → distinct doc_ords →
+        semi-join into docmeta → one map-side-combinable count; the
+        date_histogram aggregation of search UIs, over any numeric
+        metadata (epoch seconds included)."""
+        from antidb_spark.functions.analyze import py_tokens
+
+        if width <= 0:
+            raise ValueError("width must be positive")
+        if not self.ckpt.is_done("docmeta"):
+            raise ValueError(
+                "docmeta not built (build_doc_meta(corpus, meta_cols))"
+            )
+        meta = self.catalog.read("docmeta")
+        if facet_col not in meta.columns:
+            raise ValueError(f"{facet_col!r} is not a docmeta column")
+        q_terms = sorted(set(py_tokens(query)))
+        if not q_terms:
+            return self.spark.createDataFrame([], "bucket long, n_docs long")
+        blocks = self.catalog.read_pruned("blocks", "term", q_terms).filter(
+            F.col("term").isin(q_terms)
+        )
+        post = self._decoded_postings(blocks).select("term", "doc_ord")
+        if require_all:
+            cand = (
+                post.groupBy("doc_ord")
+                .agg(F.count_distinct("term").alias("_nt"))
+                .filter(F.col("_nt") == len(q_terms))
+                .select("doc_ord")
+            )
+        else:
+            cand = post.select("doc_ord").distinct()
+        cand = self._drop_tombstones(cand)
+        v = F.col(facet_col).cast("long")
+        return (
+            meta.join(cand, "doc_ord", "left_semi")
+            .groupBy((v - v % width).alias("bucket"))
+            .agg(F.count(F.lit(1)).alias("n_docs"))
+            .orderBy(F.asc_nulls_first("bucket"))
+        )
+
     def query_filtered(
         self, query: str, where: str, k: int = 10,
         require_all: bool = False, exclude: str | None = None,

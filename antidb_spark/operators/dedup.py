@@ -518,3 +518,61 @@ def resolve_exact_dups(
         keep.alias("keep_id"),
         (F.col(id_col) == keep).alias("is_canonical"),
     )
+
+
+def connected_dup_groups(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    out_id_col: str = "id",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Connected components of the near-dup pair graph: (id, group_id)
+    with ``group_id`` = the smallest id reachable through any chain of
+    pair edges — turning pairwise near-dup VERDICTS (minhash / simhash /
+    jaccard pairs) into dedup GROUPS whose min-id member is the
+    canonical survivor. Only ids appearing in ``pairs`` are returned
+    (singletons have no group to join).
+
+    Iterative min-label propagation: each round, every node takes the
+    min of its own label and its neighbors' labels — one shuffle join
+    per round, converging in O(component diameter) rounds (near-dup
+    clusters are small and dense; diameters beyond ``max_iter`` raise
+    rather than return a partial grouping). ``localCheckpoint`` breaks
+    the growing lineage each round — the standard Spark discipline for
+    iterative algorithms.
+    """
+    e = (
+        pairs.select(F.col(id_a).alias("a"), F.col(id_b).alias("b"))
+        .union(pairs.select(F.col(id_b).alias("a"), F.col(id_a).alias("b")))
+        .distinct()
+        .localCheckpoint()
+    )
+    labels = e.select(F.col("a").alias("id")).distinct().withColumn(
+        "label", F.col("id")
+    ).localCheckpoint()
+    for _ in range(max_iter):
+        prop = (
+            e.join(labels, e.a == labels.id)
+            .groupBy(F.col("b").alias("id"))
+            .agg(F.min("label").alias("nlabel"))
+        )
+        merged = (
+            labels.join(prop, "id", "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("label"), F.coalesce("nlabel", "label")
+                ).alias("label"),
+                (F.coalesce("nlabel", "label") < F.col("label")).alias("_chg"),
+            )
+        ).localCheckpoint()
+        changed = merged.filter(F.col("_chg")).count()
+        labels = merged.select("id", "label")
+        if changed == 0:
+            return labels.select(
+                F.col("id").alias(out_id_col), F.col("label").alias("group_id")
+            )
+    raise RuntimeError(
+        f"component diameter exceeds max_iter={max_iter}; raise it"
+    )

@@ -145,3 +145,54 @@ def test_percolate_streaming_alert_log(spark, tmp_path):
         (0, "q_spark_join"), (1, "q_merge"), (3, "q_merge"),
     }
     assert log.select("batch_id").distinct().count() >= 1
+
+
+def test_facet_histogram_matches_bruteforce(spark, tmp_path):
+    corpus = synth_transcripts(spark, n_convs=20, seed=5).withColumn(
+        "n_chars", F.length("text")
+    )
+    b = IndexBuilder(spark, str(tmp_path / "hidx"))
+    b.build(corpus)
+    b.build_doc_meta(corpus, ["n_chars"])
+    got = {r["bucket"]: r["n_docs"]
+           for r in b.facet_histogram(QUERY, "n_chars", 50).collect()}
+    from antidb_spark.functions.analyze import py_tokens
+
+    terms = set(py_tokens(QUERY))
+    want: dict[int, int] = {}
+    for row in corpus.collect():
+        if terms & set(py_tokens(row["text"])):
+            bk = row["n_chars"] - row["n_chars"] % 50
+            want[bk] = want.get(bk, 0) + 1
+    assert got == want
+    with pytest.raises(ValueError):
+        b.facet_histogram(QUERY, "n_chars", 0)
+    with pytest.raises(ValueError):
+        b.facet_histogram(QUERY, "nope", 50)
+
+
+def test_connected_dup_groups(spark):
+    from antidb_spark.operators.dedup import connected_dup_groups
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (5, 6), (8, 9), (9, 10), (3, 11)],
+        "id_a long, id_b long",
+    )
+    got = {r["id"]: r["group_id"]
+           for r in connected_dup_groups(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 11: 1, 5: 5, 6: 5, 8: 8, 9: 8, 10: 8}
+
+
+def test_connected_dup_groups_diameter_guard(spark):
+    from antidb_spark.operators.dedup import connected_dup_groups
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(12)], "id_a long, id_b long"
+    )
+    # a 12-edge chain collapses fine with enough rounds...
+    got = {r["id"]: r["group_id"]
+           for r in connected_dup_groups(chain, max_iter=25).collect()}
+    assert set(got.values()) == {0}
+    # ...and raises (never returns a partial grouping) when capped
+    with pytest.raises(RuntimeError):
+        connected_dup_groups(chain, max_iter=2)
