@@ -885,6 +885,17 @@ def _q_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return connected_dup_groups(pairs, out_id_col="doc_id")
 
 
+def _q_curated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end curation funnel over the planted-copies corpus:
+    quality ≥ 0.6 → English only → exact-dedup canonical survivors →
+    split assignment (every stage non-vacuous: und-language docs and
+    planted copies both get dropped)."""
+    from antidb_spark.operators.datasets import curate
+
+    return curate(_docs_planted(spark, sf_dir), min_quality=0.6,
+                  langs=("en",))
+
+
 def _q_dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     from antidb_spark.operators.datasets import dataset_split
 
@@ -1198,6 +1209,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "percolate": _q_percolate,
         "facet_hist": _q_facet_hist,
         "dup_groups": _q_dup_groups,
+        "curated": _q_curated,
         "clone_candidates": _q_clone_candidates,
         "ann_cosine_topk": _q_ann_cosine_topk,
         "ann_lsh_topk": _q_ann_lsh_topk,
@@ -1928,6 +1940,60 @@ SELECT id AS doc_id, min(r)::BIGINT AS group_id FROM reach GROUP BY 1
 """
 
 
+def _curated_oracle(min_quality: float, langs: tuple[str, ...]) -> str:
+    """The full curation funnel in SQL over the planted corpus
+    (mirrors datasets.curate: quality gate → language filter →
+    canonical-survivor dedup among the FILTERED docs → split)."""
+    lang_list = ", ".join(f"'{lg}'" for lg in langs)
+    return f"""
+WITH {AUG_DOCS_CTE},
+tokarr AS (SELECT doc_id, text,
+       list_filter({sql_tokens('text')}, t -> t <> '') AS toks FROM aug),
+f AS (SELECT doc_id,
+  len(toks) AS n_tok,
+  CASE WHEN length(text) > 0
+       THEN length(regexp_replace(lower(text), '[^a-z]', '', 'g'))::DOUBLE
+            / length(text)
+       ELSE 0.0 END AS alpha_ratio,
+  CASE WHEN len(toks) > 0
+       THEN {_sql_lang_hits('en')}::DOUBLE / len(toks)
+       ELSE 0.0 END AS stop_ratio
+  FROM tokarr),
+qual AS (SELECT doc_id,
+  round(greatest(0.0, least(1.0,
+    0.4 * least(n_tok::DOUBLE / 20.0, 1.0)
+    + 0.3 * alpha_ratio
+    + 0.3 * greatest(1.0 - abs(stop_ratio - 0.4) / 0.4, 0.0))), 6) AS quality
+  FROM f),
+h AS (SELECT doc_id,
+  {_sql_lang_hits('de')} AS h_de, {_sql_lang_hits('en')} AS h_en,
+  {_sql_lang_hits('es')} AS h_es, {_sql_lang_hits('fr')} AS h_fr
+  FROM tokarr),
+g AS (SELECT *, greatest(h_de, h_en, h_es, h_fr) AS best FROM h),
+lng AS (SELECT doc_id,
+  CASE WHEN best = 0 THEN 'und'
+       WHEN h_de = best THEN 'de' WHEN h_en = best THEN 'en'
+       WHEN h_es = best THEN 'es' ELSE 'fr' END AS pred_lang
+  FROM g),
+ql AS (SELECT q.doc_id, lng.pred_lang, q.quality
+       FROM qual q JOIN lng USING (doc_id)
+       WHERE q.quality >= {min_quality} AND lng.pred_lang IN ({lang_list})),
+fp AS (SELECT a.doc_id, {SQL_FP} AS fp
+       FROM aug a JOIN ql USING (doc_id)),
+canon AS (SELECT doc_id FROM
+          (SELECT doc_id, min(doc_id) OVER (PARTITION BY fp) AS k FROM fp)
+          WHERE doc_id = k),
+sp AS (SELECT doc_id,
+       CASE WHEN bucket < 8000 THEN 'train'
+            WHEN bucket < 9000 THEN 'val' ELSE 'test' END AS split
+       FROM (SELECT doc_id,
+             ('0x' || substr(md5('v1:' || doc_id::VARCHAR), 1, 8))::BIGINT
+               % 10000 AS bucket FROM aug))
+SELECT c.doc_id, ql.pred_lang, ql.quality, sp.split
+FROM canon c JOIN ql USING (doc_id) JOIN sp USING (doc_id)
+"""
+
+
 def _simhash_dups_oracle(max_distance: int = 3) -> str:
     """Brute-force simhash Hamming pairs, computed from the SAME
     md5-hex-digit bit definition as dedup.term_bit — Spark's 4-band
@@ -2394,4 +2460,5 @@ FROM documents
     out["percolate"] = _percolate_oracle()
     out["facet_hist"] = _facet_hist_oracle(FLAGSHIP_QUERY, "n_chars", 100)
     out["dup_groups"] = _dup_groups_oracle(0.7)
+    out["curated"] = _curated_oracle(0.6, ("en",))
     return out

@@ -55,3 +55,53 @@ def dataset_split(
     return corpus.select(
         F.col(id_col), b.alias("bucket"), expr.alias("split")
     )
+
+
+def curate(
+    corpus: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_quality: float = 0.6,
+    langs: tuple[str, ...] = ("en",),
+    splits: tuple[tuple[str, float], ...] = (
+        ("train", 0.8), ("val", 0.1), ("test", 0.1),
+    ),
+    salt: str = "v1",
+) -> DataFrame:
+    """End-to-end curation composite — the standard training-data
+    funnel as ONE declarative plan: quality gate (composite score ≥
+    ``min_quality``) → language filter (``pred_lang ∈ langs``) →
+    exact-dedup keeping the canonical min-id survivor → deterministic
+    split assignment. Output (id, pred_lang, quality, split), one row
+    per surviving doc.
+
+    Plan shape: quality/lang/split are per-row projections; the only
+    wide shuffle is the dedup fingerprint window, and it runs over the
+    ALREADY-FILTERED survivors (filters first — at 100 TB the quality
+    gate typically drops a large fraction before the shuffle pays for
+    the rest). Dedup-after-filter also means the canonical survivor is
+    chosen among docs that passed the gates, never a filtered-out copy.
+    """
+    from antidb_spark.operators.dedup import resolve_exact_dups
+    from antidb_spark.operators.textstats import lang_id, quality_scores
+
+    q = quality_scores(corpus, id_col, text_col).select(id_col, "quality")
+    lid = lang_id(corpus, id_col, text_col).select(id_col, "pred_lang")
+    ql = (
+        q.join(lid, id_col)
+        .filter(
+            (F.col("quality") >= min_quality)
+            & F.col("pred_lang").isin(*langs)
+        )
+    )
+    survivors = corpus.join(ql.select(id_col), id_col, "left_semi")
+    canon = resolve_exact_dups(survivors, id_col, text_col).filter(
+        "is_canonical"
+    )
+    sp = dataset_split(corpus, id_col, splits, salt).select(id_col, "split")
+    return (
+        canon.select(id_col)
+        .join(ql, id_col)
+        .join(sp, id_col)
+        .select(id_col, "pred_lang", "quality", "split")
+    )

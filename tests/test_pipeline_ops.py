@@ -209,3 +209,39 @@ def test_top_terms_matches_python_oracle(spark):
         ]
         for (gt, gs, _), (wt, ws, _) in zip(got_by_doc[i], want[i]):
             assert abs(gs - ws) < 1e-9, (i, gt, gs, ws)
+
+
+def test_curate_funnel(spark):
+    from antidb_spark.operators.datasets import curate
+
+    good = ("the cat and the dog are not with it for this was that "
+            "it is that they have not was this are for with")  # en, high q
+    docs = [
+        (0, good),
+        (1, good),                                   # exact dup of 0
+        (2, "der hund ist nicht auf der matte und die katze auch nicht "
+            "werden wir mit von auf sich auch ein eine das und der die"),
+        (3, "xy"),                                   # too short: low quality
+        (4, good + " extra tail words here"),        # en survivor, unique
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {r["doc_id"]: r.asDict() for r in curate(df).collect()}
+    assert set(got) == {0, 4}          # dup 1 dropped, de 2 dropped, short 3 dropped
+    assert all(v["pred_lang"] == "en" for v in got.values())
+    assert all(v["quality"] >= 0.6 for v in got.values())
+    assert all(v["split"] in ("train", "val", "test") for v in got.values())
+
+
+def test_curate_dedups_after_filter(spark):
+    from antidb_spark.operators.datasets import curate
+
+    good = ("the cat and the dog are not with it for this was that "
+            "it is that they have not was this are for with")
+    # doc 0 would be the min-id canonical, but it FAILS the quality
+    # gate (id 0 text is junk) — the survivor must be chosen among
+    # docs that passed, so 1 survives, not "nothing"
+    df = spark.createDataFrame(
+        [(0, "zz"), (1, good), (2, good)], "doc_id long, text string"
+    )
+    got = sorted(r["doc_id"] for r in curate(df).collect())
+    assert got == [1]
