@@ -124,6 +124,43 @@ class AnnIndexStore:
     def open_lsh(self, name: str) -> "LshIndex":
         return LshIndex(self.spark, self.catalog, name)
 
+    def append_lsh(
+        self, name: str, vectors: DataFrame,
+        n_partitions: int | None = None,
+    ) -> "LshIndex":
+        """O(delta) vector append to a committed LSH index: new rows
+        bucket under the SAME committed hyperplane family (seed/planes
+        from the manifest props — never resampled, so old and new rows
+        share one bucket geometry) and land as fresh ``bkey``-stats'd
+        files; committed files stay byte-untouched and probes prune
+        across both runs through the same per-file manifest stats.
+        Contract (as ``upsert.append_run``): incoming ids must be NEW."""
+        idx = self.open_lsh(name)
+        rows = []
+        for t in range(idx.n_tables):
+            planes = _hyperplanes(idx.dim, idx.n_planes,
+                                  idx.seed + 1000 * t)
+            bkey = (
+                F.lit(t * (1 << idx.n_planes))
+                + _bucket_col(F.col(idx.vec_col), planes)
+            ).cast("long")
+            rows.append(
+                vectors.select(
+                    bkey.alias("bkey"), F.col(idx.id_col),
+                    F.col(idx.vec_col),
+                )
+            )
+        all_rows = rows[0]
+        for r in rows[1:]:
+            all_rows = all_rows.unionByName(r)
+        n_part = n_partitions or self.spark.sparkContext.defaultParallelism
+        sorted_df = all_rows.repartitionByRange(
+            n_part, "bkey", idx.id_col
+        ).sortWithinPartitions("bkey", idx.id_col)
+        self.catalog.write(sorted_df, name, stats_cols=["bkey"],
+                           mode="append")
+        return self.open_lsh(name)
+
     # -- IVF --------------------------------------------------------------
 
     def build_ivf(
@@ -169,6 +206,31 @@ class AnnIndexStore:
 
     def open_ivf(self, name: str) -> "IvfIndex":
         return IvfIndex(self.spark, self.catalog, name)
+
+    def append_ivf(
+        self, name: str, vectors: DataFrame,
+        n_partitions: int | None = None,
+    ) -> "IvfIndex":
+        """O(delta) vector append to a committed IVF index: new rows
+        assign to the COMMITTED centroids (read from the tiny centroids
+        table — never re-estimated, so cell geometry is stable) and
+        append as fresh ``cell``-stats'd files. Re-clustering after
+        heavy drift is a rebuild, the documented maintenance split
+        (same as the text index's append-vs-optimize contract)."""
+        from antidb_spark.operators.similarity import ivf_assign
+
+        idx = self.open_ivf(name)
+        cents = [c for _, c in idx.centroids()]
+        assigned = ivf_assign(vectors, cents, idx.id_col, idx.vec_col)
+        n_part = n_partitions or self.spark.sparkContext.defaultParallelism
+        sorted_df = assigned.select(
+            "cell", F.col(idx.id_col), F.col(idx.vec_col)
+        ).repartitionByRange(n_part, "cell", idx.id_col).sortWithinPartitions(
+            "cell", idx.id_col
+        )
+        self.catalog.write(sorted_df, name, stats_cols=["cell"],
+                           mode="append")
+        return self.open_ivf(name)
 
 
 class LshIndex:

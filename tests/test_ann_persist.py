@@ -104,3 +104,74 @@ def test_ivf_topk_local_matches_spark(store, probe):
     got = idx.topk_local(probe, k=10, n_probe=4)
     want = idx.topk(probe, k=10, n_probe=4).toPandas()
     assert got.values.tolist() == want.values.tolist()
+
+
+def _files_bytes(store, name):
+    import os
+
+    tdir = store.catalog.table_dir(name)
+    out = {}
+    for e in store.catalog.manifest(name)["files"]:
+        p = e["path"]
+        full = p if os.path.isabs(p) else os.path.join(tdir, p)
+        out[p] = os.path.getsize(full)
+    return out
+
+
+def test_lsh_append_matches_full_build(spark, vecs, probe, tmp_path):
+    st = AnnIndexStore(spark, str(tmp_path / "ann_app"))
+    first = vecs.filter(vecs.vec_id % 2 == 0)
+    rest = vecs.filter(vecs.vec_id % 2 == 1)
+    st.build_lsh("lsh", first, n_partitions=4)
+    before = _files_bytes(st, "lsh")
+    idx = st.append_lsh("lsh", rest, n_partitions=4)
+    after = _files_bytes(st, "lsh")
+    # committed files byte-untouched; new files appended
+    assert all(after[p] == sz for p, sz in before.items())
+    assert len(after) > len(before)
+    # results identical to a from-scratch build over the union
+    st.build_lsh("lsh_full", vecs, n_partitions=4)
+    want = st.open_lsh("lsh_full").topk(probe, k=10).collect()
+    got = idx.topk(probe, k=10).collect()
+    assert [(r["vec_id"], r["cos"]) for r in got] == [
+        (r["vec_id"], r["cos"]) for r in want
+    ]
+    # warm tier sees the appended run too
+    warm = idx.topk_local(probe, k=10)
+    assert [(r["vec_id"], r["cos"]) for r in got] == [
+        tuple(row) for row in warm.values.tolist()
+    ]
+
+
+def test_ivf_append_assigns_to_committed_centroids(spark, vecs, probe, tmp_path):
+    st = AnnIndexStore(spark, str(tmp_path / "ann_app2"))
+    first = vecs.filter(vecs.vec_id % 2 == 0)
+    rest = vecs.filter(vecs.vec_id % 2 == 1)
+    st.build_ivf("ivf", first, n_partitions=4)
+    cents_before = st.open_ivf("ivf").centroids()
+    before = _files_bytes(st, "ivf")
+    idx = st.append_ivf("ivf", rest, n_partitions=4)
+    assert idx.centroids() == cents_before  # geometry stable
+    after = _files_bytes(st, "ivf")
+    assert all(after[p] == sz for p, sz in before.items())
+    assert len(after) > len(before)
+    # every vector is findable: union of cells covers all ids
+    n_total = vecs.count()
+    assert st.catalog.read("ivf").count() == n_total
+    # probe results equal an exhaustive same-centroid reference: assign
+    # ALL vectors to the committed centroids and rank the probe cells
+    from antidb_spark.operators.similarity import ivf_assign
+    from pyspark.sql import functions as F
+
+    cells = idx.probe_cells(probe, n_probe=4)
+    ref = ivf_assign(vecs, [c for _, c in cents_before])
+    ref_ids = {
+        r["vec_id"]
+        for r in ref.filter(F.col("cell").isin(cells)).collect()
+    }
+    got = idx.topk(probe, k=10, n_probe=4).collect()
+    assert all(r["vec_id"] in ref_ids for r in got)
+    warm = idx.topk_local(probe, k=10, n_probe=4)
+    assert [(r["vec_id"], r["cos"]) for r in got] == [
+        tuple(row) for row in warm.values.tolist()
+    ]
