@@ -902,6 +902,21 @@ def _q_dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dataset_split(_docs(spark, sf_dir))
 
 
+def _q_packed_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from antidb_spark.operators.datasets import pack_sequences
+
+    return pack_sequences(_docs(spark, sf_dir), budget=256)
+
+
+def _q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from antidb_spark.operators.datasets import stratified_sample
+
+    return stratified_sample(
+        _docs(spark, sf_dir), {"en": 0.5, "de": 1.0}, "lang",
+        salt="s1", default_rate=0.1,
+    ).select("doc_id", "lang", "bucket")
+
+
 def _q_dedup_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
     from antidb_spark.operators.dedup import resolve_exact_dups
 
@@ -1203,6 +1218,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_redact": _q_pii_redact,
         "decontam": _q_decontam,
         "dataset_split": _q_dataset_split,
+        "packed_sequences": _q_packed_sequences,
+        "stratified_sample": _q_stratified_sample,
         "dedup_resolve": _q_dedup_resolve,
         "keywords": _q_keywords,
         "score_explain": _q_score_explain,
@@ -1825,6 +1842,41 @@ SELECT doc_id, bucket,
   CASE WHEN bucket < 8000 THEN 'train'
        WHEN bucket < 9000 THEN 'val' ELSE 'test' END AS split
 FROM b
+"""
+
+# Concat-and-chunk sequence packing (mirrors datasets.pack_sequences:
+# exclusive prefix sum of token counts in doc_id order, 256-token
+# packs, straddling docs sliced at pack boundaries; all-int64 math).
+_PACKED_SEQ_ORACLE = f"""
+WITH tk AS (SELECT doc_id,
+  len(list_filter({sql_tokens('text')}, t -> t <> ''))::BIGINT AS n_toks
+  FROM documents),
+nz AS (SELECT doc_id, n_toks,
+  COALESCE(sum(n_toks) OVER (ORDER BY doc_id
+    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS start
+  FROM tk WHERE n_toks > 0),
+spans AS (SELECT doc_id, n_toks, start,
+  unnest(generate_series(start // 256, (start + n_toks - 1) // 256))
+    AS pack_id
+  FROM nz)
+SELECT pack_id, doc_id,
+  greatest(pack_id * 256, start) - start AS doc_offset,
+  greatest(pack_id * 256, start) - pack_id * 256 AS pack_offset,
+  least((pack_id + 1) * 256, start + n_toks)
+    - greatest(pack_id * 256, start) AS slice_len
+FROM spans
+"""
+
+# Stratified hash sampling (mirrors datasets.stratified_sample:
+# same md5 bucket as dataset_split, per-lang keep thresholds).
+_STRAT_SAMPLE_ORACLE = """
+WITH b AS (SELECT doc_id, lang,
+  ('0x' || substr(md5('s1:' || doc_id::VARCHAR), 1, 8))::BIGINT % 10000
+    AS bucket
+  FROM documents)
+SELECT doc_id, lang, bucket FROM b
+WHERE bucket < CASE lang WHEN 'en' THEN 5000
+                         WHEN 'de' THEN 10000 ELSE 1000 END
 """
 
 # Exact-dup resolution over the planted-copies corpus (mirrors
@@ -2454,6 +2506,8 @@ FROM documents
     out["pii_redact"] = _pii_redact_oracle()
     out["decontam"] = _DECONTAM_ORACLE
     out["dataset_split"] = _DATASET_SPLIT_ORACLE
+    out["packed_sequences"] = _PACKED_SEQ_ORACLE
+    out["stratified_sample"] = _STRAT_SAMPLE_ORACLE
     out["dedup_resolve"] = _DEDUP_RESOLVE_ORACLE
     out["keywords"] = _KEYWORDS_ORACLE
     out["score_explain"] = _explain_oracle(FLAGSHIP_QUERY, 10)

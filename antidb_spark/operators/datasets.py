@@ -105,3 +105,154 @@ def curate(
         .join(sp, id_col)
         .select(id_col, "pred_lang", "quality", "split")
     )
+
+
+def stratified_sample(
+    corpus: DataFrame,
+    rates: dict[str, float],
+    stratum_col: str,
+    id_col: str = "doc_id",
+    salt: str = "s1",
+    default_rate: float = 0.0,
+) -> DataFrame:
+    """Deterministic per-stratum hash sampling — rebalance a corpus by
+    keeping each stratum (language, source, quality band, ...) at its
+    own rate. A row survives iff its ``split_bucket`` (md5 of salt:id,
+    [0, 10000)) falls below ``round(rate × 10000)`` for its stratum;
+    strata absent from ``rates`` use ``default_rate``.
+
+    Zero shuffle (pure projection + filter, Catalyst pushes it into the
+    scan), reproducible across engines (the DuckDB twin is the same md5
+    arithmetic), growth-stable (new rows never flip old keep/drop
+    decisions — the property the training-data pipeline needs when a
+    crawl snapshot grows), and nested: because the keep set at rate r2
+    < r1 is a SUBSET of the keep set at r1 under the same salt,
+    down-scaling a stratum later only removes rows. Reference tie-in:
+    a P2 phantom filter (README.md:47-50) driven by a computed key.
+
+    Output: the input columns + ``bucket`` (for auditability).
+    """
+    for name, r in rates.items():
+        if not (0.0 <= r <= 1.0):
+            raise ValueError(f"rate for {name!r} must be in [0,1], got {r}")
+    if not (0.0 <= default_rate <= 1.0):
+        raise ValueError(f"default_rate must be in [0,1], got {default_rate}")
+    b = split_bucket(id_col, salt)
+    thr = F.lit(int(round(default_rate * SPLIT_BUCKETS)))
+    for name, r in sorted(rates.items()):
+        thr = F.when(
+            F.col(stratum_col) == name, int(round(r * SPLIT_BUCKETS))
+        ).otherwise(thr)
+    return corpus.withColumn("bucket", b).filter(F.col("bucket") < thr)
+
+
+def pack_sequences(
+    corpus: DataFrame,
+    budget: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_partitions: int | None = None,
+) -> DataFrame:
+    """Concat-and-chunk sequence packing — the GPT-style training-data
+    step that concatenates every document's tokens in a global
+    deterministic order (``id_col`` ascending) and cuts the stream into
+    fixed ``budget``-token training examples (packs). Each output row
+    is one document SLICE inside one pack:
+
+      (pack_id, id, doc_offset, pack_offset, slice_len)
+
+    where ``doc_offset`` is where the slice starts within the document,
+    ``pack_offset`` where it lands within the pack, and a document
+    longer than the remaining pack space straddles into the following
+    pack(s) — ``Σ slice_len`` per doc equals the doc's token count and
+    every pack except the last is exactly full. Empty docs (0 tokens)
+    are dropped.
+
+    Plan shape (scale path): ONE range shuffle on ``id_col`` + a
+    two-pass distributed prefix sum (per-partition token totals → one
+    row per partition to the driver → Arrow-batched cumsum, the
+    ``assign_doc_ords`` pattern — no single-partition global window),
+    then a pure-codegen ``sequence``/``explode`` whose fan-out per doc
+    is ≤ ceil(tokens/budget)+1 rows. Token offsets are exact int64
+    end-to-end (SQL ``DIV``, never float division).
+
+    Like ``assign_doc_ords``, the range-partitioned pass-1 frame stays
+    persisted so pass 2 numbers the exact partition contents pass 1
+    totalled; it is exposed as ``out._pack_source`` for callers that
+    want to unpersist after materializing.
+    """
+    import numpy as np
+    import pandas as pd  # noqa: F401  (mapInPandas batches)
+    from pyspark.sql import types as T
+
+    from antidb_spark.functions.analyze import tokens
+
+    if budget <= 0:
+        raise ValueError(f"budget must be positive, got {budget}")
+    spark = corpus.sparkSession
+    n_part = n_partitions or spark.sparkContext.defaultParallelism
+    toks = corpus.select(
+        F.col(id_col), F.size(tokens(text_col)).cast("long").alias("n_toks")
+    ).filter(F.col("n_toks") > 0)
+    sorted_df = (
+        toks.repartitionByRange(n_part, id_col)
+        .sortWithinPartitions(id_col)
+        .withColumn("_pid", F.spark_partition_id())
+        .persist()
+    )
+    totals = {
+        r["_pid"]: r["s"]
+        for r in sorted_df.groupBy("_pid").agg(F.sum("n_toks").alias("s")).collect()
+    }
+    offsets: dict[int, int] = {}
+    acc = 0
+    for pid in sorted(totals):
+        offsets[pid] = acc
+        acc += totals[pid]
+    span_schema = T.StructType(
+        [
+            sorted_df.schema[id_col],
+            T.StructField("n_toks", T.LongType(), False),
+            T.StructField("start", T.LongType(), False),
+        ]
+    )
+
+    def number(batches):
+        pos = None
+        for batch in batches:
+            if len(batch) == 0:
+                continue
+            if pos is None:
+                pos = offsets[int(batch["_pid"].iloc[0])]
+            batch = batch.drop(columns=["_pid"])
+            n = batch["n_toks"].to_numpy(dtype=np.int64)
+            ends = n.cumsum()
+            batch["start"] = pos + ends - n
+            pos += int(ends[-1])
+            yield batch
+
+    spans = sorted_df.mapInPandas(number, schema=span_schema)
+    B = int(budget)
+    first = F.expr(f"start DIV {B}")
+    last = F.expr(f"(start + n_toks - 1) DIV {B}")
+    slice_start = F.greatest(F.col("pack_id") * B, F.col("start"))
+    slice_end = F.least(
+        (F.col("pack_id") + 1) * B, F.col("start") + F.col("n_toks")
+    )
+    out = (
+        spans.select(
+            F.col(id_col),
+            "n_toks",
+            "start",
+            F.explode(F.sequence(first, last)).alias("pack_id"),
+        )
+        .select(
+            F.col("pack_id"),
+            F.col(id_col),
+            (slice_start - F.col("start")).alias("doc_offset"),
+            (slice_start - F.col("pack_id") * B).alias("pack_offset"),
+            (slice_end - slice_start).alias("slice_len"),
+        )
+    )
+    out._pack_source = sorted_df  # type: ignore[attr-defined]
+    return out

@@ -298,6 +298,30 @@ def main() -> None:
         plan_of(top_terms(docs)),
     ))
 
+    from antidb_spark.operators.datasets import (
+        pack_sequences,
+        stratified_sample,
+    )
+
+    sections.append((
+        "stratified sampling (per-stratum hash rates)",
+        "Pure scan → project → filter: bucket md5 and the threshold "
+        "when-chain are codegen expressions, zero exchanges — "
+        "rebalancing never moves data.",
+        plan_of(stratified_sample(
+            docs, {"en": 0.5, "de": 1.0}, "lang", default_rate=0.1,
+        )),
+    ))
+    sections.append((
+        "sequence packing (concat-and-chunk)",
+        "ONE range exchange on doc_id (the prefix-sum sort); the cumsum "
+        "itself is a single Arrow mapInPandas over the sorted "
+        "partitions (per-partition offsets arrive from a one-row-per-"
+        "partition driver collect, never a single-partition window), "
+        "and the pack slicing is codegen sequence/explode arithmetic.",
+        plan_of(pack_sequences(docs, budget=256)),
+    ))
+
     from antidb_spark.operators.percolate import percolate
 
     perc_queries = spark.createDataFrame(

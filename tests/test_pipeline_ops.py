@@ -245,3 +245,132 @@ def test_curate_dedups_after_filter(spark):
     )
     got = sorted(r["doc_id"] for r in curate(df).collect())
     assert got == [1]
+
+
+# ---------------------------------------------------------------- packing
+
+
+def _brute_pack(rows, budget):
+    """(pack_id, id, doc_offset, pack_offset, slice_len) by sequential
+    concat-and-chunk over (id asc) — the independent python oracle."""
+    out = []
+    pos = 0
+    for doc_id, text in sorted(rows):
+        n = len(py_tokens(text))
+        if n == 0:
+            continue
+        start, rem = pos, n
+        while rem > 0:
+            pack = start // budget
+            take = min((pack + 1) * budget - start, rem)
+            out.append((pack, doc_id, start - pos, start - pack * budget, take))
+            start += take
+            rem -= take
+        pos += n
+    return sorted(out)
+
+
+def test_pack_sequences_matches_bruteforce(spark, docs_df):
+    from antidb_spark.operators.datasets import pack_sequences
+
+    got = sorted(
+        tuple(r) for r in pack_sequences(docs_df, budget=7).collect()
+    )
+    assert got == _brute_pack(DOCS, 7)
+    # doc 4 is empty -> dropped entirely
+    assert not any(r[1] == 4 for r in got)
+    # conservation: per-doc slice lengths sum to the doc's token count
+    by_doc = {}
+    for pack, doc, _, _, ln in got:
+        by_doc[doc] = by_doc.get(doc, 0) + ln
+    assert by_doc == {
+        d: len(py_tokens(t)) for d, t in DOCS if py_tokens(t)
+    }
+    # every pack except the last is exactly full
+    by_pack = {}
+    for pack, _, _, _, ln in got:
+        by_pack[pack] = by_pack.get(pack, 0) + ln
+    last = max(by_pack)
+    assert all(v == 7 for p, v in by_pack.items() if p != last)
+    # pack ids are dense from 0
+    assert sorted(by_pack) == list(range(last + 1))
+
+
+def test_pack_sequences_straddles_long_docs(spark):
+    from antidb_spark.operators.datasets import pack_sequences
+
+    rows = [(0, " ".join(f"t{i}" for i in range(25))), (1, "a b c")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = sorted(tuple(r) for r in pack_sequences(df, budget=10).collect())
+    # doc 0 (25 tokens) spans packs 0,1,2; doc 1 fills pack 2 then 3... no:
+    # 25 toks -> slices (0,10),(10,10),(20,5); doc 1 starts at 25 -> pack 2
+    assert got == [
+        (0, 0, 0, 0, 10),
+        (1, 0, 10, 0, 10),
+        (2, 0, 20, 0, 5),
+        (2, 1, 0, 5, 3),
+    ]
+
+
+def test_pack_sequences_partition_invariant(spark, docs_df):
+    from antidb_spark.operators.datasets import pack_sequences
+
+    a = sorted(
+        tuple(r)
+        for r in pack_sequences(docs_df, budget=7, n_partitions=1).collect()
+    )
+    b = sorted(
+        tuple(r)
+        for r in pack_sequences(
+            docs_df.repartition(5), budget=7, n_partitions=4
+        ).collect()
+    )
+    assert a == b
+
+
+def test_pack_sequences_validates_budget(spark, docs_df):
+    from antidb_spark.operators.datasets import pack_sequences
+
+    with pytest.raises(ValueError, match="budget"):
+        pack_sequences(docs_df, budget=0)
+
+
+# ---------------------------------------------------------- stratified
+
+
+def test_stratified_sample_rates_and_nesting(spark):
+    from antidb_spark.operators.datasets import stratified_sample
+
+    rows = [(i, "en" if i % 2 else "de") for i in range(2000)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    full = stratified_sample(df, {"en": 1.0, "de": 1.0}, "lang")
+    assert full.count() == 2000  # rate 1.0 keeps everything
+    none = stratified_sample(df, {"en": 0.0}, "lang", default_rate=0.0)
+    assert none.count() == 0
+    half = {r["doc_id"] for r in
+            stratified_sample(df, {"en": 0.5}, "lang").collect()}
+    fifth = {r["doc_id"] for r in
+             stratified_sample(df, {"en": 0.2}, "lang").collect()}
+    # only en survives (default 0), at roughly the asked rates
+    assert 0.4 < len(half) / 1000 < 0.6
+    assert 0.12 < len(fifth) / 1000 < 0.28
+    # nesting: the 0.2 keep set is a subset of the 0.5 keep set
+    assert fifth <= half
+    # determinism + growth stability: adding rows never flips old ones
+    grown = spark.createDataFrame(
+        rows + [(i, "en") for i in range(2000, 3000)],
+        "doc_id long, lang string",
+    )
+    half2 = {r["doc_id"] for r in
+             stratified_sample(grown, {"en": 0.5}, "lang").collect()}
+    assert {i for i in half2 if i < 2000} == half
+
+
+def test_stratified_sample_validates_rates(spark):
+    from antidb_spark.operators.datasets import stratified_sample
+
+    df = spark.createDataFrame([(1, "en")], "doc_id long, lang string")
+    with pytest.raises(ValueError, match="rate"):
+        stratified_sample(df, {"en": 1.5}, "lang")
+    with pytest.raises(ValueError, match="default_rate"):
+        stratified_sample(df, {"en": 0.5}, "lang", default_rate=-0.1)
