@@ -902,6 +902,15 @@ def _q_dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dataset_split(_docs(spark, sf_dir))
 
 
+def _q_length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from antidb_spark.operators.stats import exact_quantiles
+
+    return exact_quantiles(
+        _docs(spark, sf_dir), "n_chars",
+        (0.0, 0.25, 0.5, 0.75, 0.9, 0.99, 1.0),
+    )
+
+
 def _q_packed_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     from antidb_spark.operators.datasets import pack_sequences
 
@@ -1219,6 +1228,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontam": _q_decontam,
         "dataset_split": _q_dataset_split,
         "packed_sequences": _q_packed_sequences,
+        "length_quantiles": _q_length_quantiles,
         "stratified_sample": _q_stratified_sample,
         "dedup_resolve": _q_dedup_resolve,
         "keywords": _q_keywords,
@@ -1867,6 +1877,18 @@ SELECT pack_id, doc_id,
 FROM spans
 """
 
+# Exact order statistics (mirrors stats.exact_quantiles: value at
+# ascending rank floor(q*(n-1)); rank join, no interpolation).
+_LENGTH_QUANTILES_ORACLE = """
+WITH s AS (SELECT n_chars AS value,
+  row_number() OVER (ORDER BY n_chars) - 1 AS r FROM documents),
+n AS (SELECT count(*)::BIGINT AS c FROM documents),
+qs(q) AS (VALUES (0.0), (0.25), (0.5), (0.75), (0.9), (0.99), (1.0))
+SELECT CAST(q AS DOUBLE) AS q, value
+FROM qs, n JOIN s
+  ON s.r = CAST(floor(CAST(q AS DOUBLE) * (c - 1)) AS BIGINT)
+"""
+
 # Stratified hash sampling (mirrors datasets.stratified_sample:
 # same md5 bucket as dataset_split, per-lang keep thresholds).
 _STRAT_SAMPLE_ORACLE = """
@@ -2507,6 +2529,7 @@ FROM documents
     out["decontam"] = _DECONTAM_ORACLE
     out["dataset_split"] = _DATASET_SPLIT_ORACLE
     out["packed_sequences"] = _PACKED_SEQ_ORACLE
+    out["length_quantiles"] = _LENGTH_QUANTILES_ORACLE
     out["stratified_sample"] = _STRAT_SAMPLE_ORACLE
     out["dedup_resolve"] = _DEDUP_RESOLVE_ORACLE
     out["keywords"] = _KEYWORDS_ORACLE

@@ -63,3 +63,49 @@ def corpus_stats(doclens: DataFrame) -> DataFrame:
     return doclens.agg(
         F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")
     )
+
+
+def exact_quantiles(
+    df: DataFrame,
+    col: str,
+    qs: Sequence[float],
+    n_partitions: int | None = None,
+) -> DataFrame:
+    """(q, value) EXACT order statistics of ``col``: for each q the
+    value at ascending rank ``floor(q × (n-1))`` — quantile-by-rank,
+    deterministic and engine-independent (duplicate values make any
+    tiebreak invisible in the output value).
+
+    Spark's exact ``percentile`` aggregate buffers every value on one
+    reducer; this instead rides the ``assign_doc_ords`` two-pass range
+    machinery: ONE range shuffle on the value column, per-partition
+    counts to the driver (one row each), an Arrow numbering pass, and a
+    broadcast join against the |qs| target ranks — every partition does
+    bounded work at any scale, the profile the 100 TB corpus-statistics
+    pass needs. Reference tie-in: the same sorted-run + offsets layout
+    the index build uses (SURVEY O1-O3), pointed at statistics.
+    """
+    import math
+
+    from antidb_spark.operators.build import assign_doc_ords
+
+    for q in qs:
+        if not (0.0 <= q <= 1.0):
+            raise ValueError(f"quantile must be in [0,1], got {q}")
+    spark = df.sparkSession
+    n = df.count()
+    rank_rows = [
+        (float(q), int(math.floor(q * (n - 1)))) for q in sorted(set(qs))
+    ]
+    rank_df = spark.createDataFrame(rank_rows, "q double, _r long")
+    if n == 0:
+        return rank_df.filter(F.lit(False)).select(
+            "q", F.lit(None).cast(df.schema[col].dataType).alias("value")
+        )
+    ords = assign_doc_ords(
+        df.select(col), id_cols=[col], n_partitions=n_partitions
+    )
+    return (
+        ords.join(F.broadcast(rank_df), ords["doc_ord"] == rank_df["_r"])
+        .select("q", F.col(col).alias("value"))
+    )

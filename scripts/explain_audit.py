@@ -322,6 +322,17 @@ def main() -> None:
         plan_of(pack_sequences(docs, budget=256)),
     ))
 
+    from antidb_spark.operators.stats import exact_quantiles
+
+    sections.append((
+        "exact quantiles (order statistics by rank)",
+        "ONE range exchange on the value column (the ordinal numbering "
+        "pass), target ranks arrive as a BROADCAST hash join — no "
+        "single-reducer percentile buffer, per-partition work bounded "
+        "at any scale.",
+        plan_of(exact_quantiles(docs, "n_chars", (0.5, 0.9, 0.99))),
+    ))
+
     from antidb_spark.operators.percolate import percolate
 
     perc_queries = spark.createDataFrame(

@@ -374,3 +374,41 @@ def test_stratified_sample_validates_rates(spark):
         stratified_sample(df, {"en": 1.5}, "lang")
     with pytest.raises(ValueError, match="default_rate"):
         stratified_sample(df, {"en": 0.5}, "lang", default_rate=-0.1)
+
+
+# ---------------------------------------------------------- quantiles
+
+
+def test_exact_quantiles_matches_sorted_ranks(spark):
+    from antidb_spark.operators.stats import exact_quantiles
+
+    vals = [7, 3, 3, 9, 1, 5, 5, 5, 2, 8, 0]  # dups + n=11
+    df = spark.createDataFrame([(v,) for v in vals], "x long")
+    qs = (0.0, 0.1, 0.5, 0.77, 1.0)
+    got = {r["q"]: r["value"] for r in exact_quantiles(df, "x", qs).collect()}
+    s = sorted(vals)
+    import math
+
+    assert got == {q: s[math.floor(q * (len(s) - 1))] for q in qs}
+
+
+def test_exact_quantiles_partition_invariant_and_empty(spark):
+    from antidb_spark.operators.stats import exact_quantiles
+
+    df = spark.range(0, 1000).select((F.col("id") * 17 % 997).alias("x"))
+    a = sorted(
+        tuple(r)
+        for r in exact_quantiles(df, "x", (0.25, 0.5), n_partitions=1).collect()
+    )
+    b = sorted(
+        tuple(r)
+        for r in exact_quantiles(
+            df.repartition(7), "x", (0.25, 0.5), n_partitions=5
+        ).collect()
+    )
+    assert a == b
+    empty = exact_quantiles(df.filter("x < 0"), "x", (0.5,))
+    assert empty.count() == 0
+    assert empty.columns == ["q", "value"]
+    with pytest.raises(ValueError, match="quantile"):
+        exact_quantiles(df, "x", (1.5,))
