@@ -926,6 +926,15 @@ def _q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "lang", "bucket")
 
 
+def _q_epoch_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from antidb_spark.operators.datasets import mix_epochs
+
+    return mix_epochs(
+        _docs(spark, sf_dir), {"en": 2.5, "de": 1.0, "fr": 0.25}, "lang",
+        salt="m1", default_weight=0.5,
+    ).select("doc_id", "lang", "epoch")
+
+
 def _q_dedup_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
     from antidb_spark.operators.dedup import resolve_exact_dups
 
@@ -1229,6 +1238,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dataset_split": _q_dataset_split,
         "packed_sequences": _q_packed_sequences,
         "length_quantiles": _q_length_quantiles,
+        "epoch_mix": _q_epoch_mix,
         "stratified_sample": _q_stratified_sample,
         "dedup_resolve": _q_dedup_resolve,
         "keywords": _q_keywords,
@@ -1901,6 +1911,24 @@ WHERE bucket < CASE lang WHEN 'en' THEN 5000
                          WHEN 'de' THEN 10000 ELSE 1000 END
 """
 
+# Per-stratum epoch mixing (mirrors datasets.mix_epochs: floor(w)
+# guaranteed epochs + one extra below the frac(w) bucket threshold;
+# en 2.5 / de 1.0 / fr 0.25, default 0.5, salt m1).
+_EPOCH_MIX_ORACLE = """
+WITH b AS (SELECT doc_id, lang,
+  ('0x' || substr(md5('m1:' || doc_id::VARCHAR), 1, 8))::BIGINT % 10000
+    AS bucket
+  FROM documents),
+n AS (SELECT doc_id, lang,
+  CASE lang WHEN 'en' THEN 2 WHEN 'de' THEN 1 WHEN 'fr' THEN 0 ELSE 0 END
+  + CASE WHEN bucket < CASE lang WHEN 'en' THEN 5000 WHEN 'de' THEN 0
+                                 WHEN 'fr' THEN 2500 ELSE 5000 END
+         THEN 1 ELSE 0 END AS n_epochs
+  FROM b)
+SELECT doc_id, lang, unnest(generate_series(0, n_epochs - 1))::INT AS epoch
+FROM n WHERE n_epochs > 0
+"""
+
 # Exact-dup resolution over the planted-copies corpus (mirrors
 # dedup.resolve_exact_dups: min id per fingerprint group survives).
 _DEDUP_RESOLVE_ORACLE = f"""
@@ -2530,6 +2558,7 @@ FROM documents
     out["dataset_split"] = _DATASET_SPLIT_ORACLE
     out["packed_sequences"] = _PACKED_SEQ_ORACLE
     out["length_quantiles"] = _LENGTH_QUANTILES_ORACLE
+    out["epoch_mix"] = _EPOCH_MIX_ORACLE
     out["stratified_sample"] = _STRAT_SAMPLE_ORACLE
     out["dedup_resolve"] = _DEDUP_RESOLVE_ORACLE
     out["keywords"] = _KEYWORDS_ORACLE

@@ -256,3 +256,54 @@ def pack_sequences(
     )
     out._pack_source = sorted_df  # type: ignore[attr-defined]
     return out
+
+
+def mix_epochs(
+    corpus: DataFrame,
+    weights: dict[str, float],
+    stratum_col: str,
+    id_col: str = "doc_id",
+    salt: str = "m1",
+    default_weight: float = 1.0,
+) -> DataFrame:
+    """Deterministic per-stratum epoch mixing — the training-mixture
+    step that REPEATS high-value strata and thins low-value ones by a
+    fractional epoch weight (the Pile/Chinchilla-style "epochs per
+    source" knob). A row with stratum weight ``w`` appears
+    ``floor(w)`` times, plus one extra time iff its ``split_bucket``
+    (md5 of salt:id) falls below ``round(frac(w) × 10000)`` — so a
+    weight of 2.5 gives every row 2 guaranteed epochs and a
+    deterministic id-stable half of the stratum a 3rd.
+
+    Zero shuffle (codegen when-chain + ``sequence``/``explode``; the
+    fan-out per row is ``ceil(w)``), reproducible cross-engine,
+    growth-stable, and consistent with ``stratified_sample``'s bucket
+    arithmetic (weight w < 1 ≡ sampling at rate w). Output: the input
+    columns + ``epoch`` (0-based).
+    """
+    for name, w in weights.items():
+        if w < 0:
+            raise ValueError(f"weight for {name!r} must be >= 0, got {w}")
+    if default_weight < 0:
+        raise ValueError(f"default_weight must be >= 0, got {default_weight}")
+
+    def parts(w: float) -> tuple[int, int]:
+        base = int(w)
+        return base, int(round((w - base) * SPLIT_BUCKETS))
+
+    d_base, d_thr = parts(default_weight)
+    base_col, thr_col = F.lit(d_base), F.lit(d_thr)
+    for name, w in sorted(weights.items()):
+        b, t = parts(w)
+        is_s = F.col(stratum_col) == name
+        base_col = F.when(is_s, b).otherwise(base_col)
+        thr_col = F.when(is_s, t).otherwise(thr_col)
+    n_epochs = base_col + (split_bucket(id_col, salt) < thr_col).cast("int")
+    return (
+        corpus.withColumn("_n_epochs", n_epochs)
+        .filter(F.col("_n_epochs") > 0)
+        .withColumn(
+            "epoch", F.explode(F.sequence(F.lit(0), F.col("_n_epochs") - 1))
+        )
+        .drop("_n_epochs")
+    )

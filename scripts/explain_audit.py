@@ -322,6 +322,19 @@ def main() -> None:
         plan_of(pack_sequences(docs, budget=256)),
     ))
 
+    from antidb_spark.operators.datasets import mix_epochs
+
+    sections.append((
+        "epoch mixing (per-stratum repetition weights)",
+        "Zero exchanges: the epoch count is a codegen when-chain + "
+        "bucket comparison and the repetition is sequence/explode with "
+        "fan-out ceil(w) per row — mixture reweighting never shuffles.",
+        plan_of(mix_epochs(
+            docs, {"en": 2.5, "de": 1.0, "fr": 0.25}, "lang",
+            default_weight=0.5,
+        )),
+    ))
+
     from antidb_spark.operators.stats import exact_quantiles
 
     sections.append((

@@ -412,3 +412,55 @@ def test_exact_quantiles_partition_invariant_and_empty(spark):
     assert empty.columns == ["q", "value"]
     with pytest.raises(ValueError, match="quantile"):
         exact_quantiles(df, "x", (1.5,))
+
+
+# ---------------------------------------------------------- epoch mixing
+
+
+def test_mix_epochs_counts_and_determinism(spark):
+    from antidb_spark.operators.datasets import mix_epochs, split_bucket
+
+    rows = [(i, "en" if i % 2 else "de") for i in range(2000)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    out = mix_epochs(df, {"en": 2.5, "de": 0.0}, "lang").collect()
+    # de (weight 0) vanishes entirely
+    assert not any(r["lang"] == "de" for r in out)
+    by_id = {}
+    for r in out:
+        by_id.setdefault(r["doc_id"], []).append(r["epoch"])
+    # every en row appears 2 or 3 times, epochs dense from 0
+    assert set(by_id) == {i for i in range(2000) if i % 2}
+    for epochs in by_id.values():
+        assert sorted(epochs) == list(range(len(epochs)))
+        assert len(epochs) in (2, 3)
+    # ~half get the extra epoch, and exactly the ones below the bucket
+    # threshold (the documented frac(w) contract)
+    extra = {i for i, e in by_id.items() if len(e) == 3}
+    assert 0.4 < len(extra) / 1000 < 0.6
+    thr = {
+        r["doc_id"]
+        for r in df.filter("lang = 'en'")
+        .select("doc_id", split_bucket("doc_id", "m1").alias("b"))
+        .filter("b < 5000")
+        .collect()
+    }
+    assert extra == thr
+    # integer weight = exact repetition, no hash dependence
+    twice = mix_epochs(df, {"en": 2.0, "de": 2.0}, "lang").count()
+    assert twice == 4000
+
+
+def test_mix_epochs_default_weight_and_validation(spark):
+    from antidb_spark.operators.datasets import mix_epochs
+
+    df = spark.createDataFrame(
+        [(i, "zz") for i in range(1000)], "doc_id long, lang string"
+    )
+    # unknown stratum takes default_weight
+    kept = mix_epochs(df, {"en": 1.0}, "lang", default_weight=0.3).count()
+    assert 200 < kept < 400
+    assert mix_epochs(df, {"en": 1.0}, "lang", default_weight=0.0).count() == 0
+    with pytest.raises(ValueError, match="weight"):
+        mix_epochs(df, {"en": -0.5}, "lang")
+    with pytest.raises(ValueError, match="default_weight"):
+        mix_epochs(df, {"en": 1.0}, "lang", default_weight=-1.0)
