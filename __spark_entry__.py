@@ -935,6 +935,31 @@ def _q_epoch_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "lang", "epoch")
 
 
+def _q_packed_examples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from antidb_spark.operators.datasets import assemble_packs, pack_sequences
+
+    ex = assemble_packs(pack_sequences(_docs(spark, sf_dir), budget=256))
+    # parts rendered as strings for the cross-engine compare (structs
+    # stringify differently in Spark vs DuckDB); order is the operator's
+    return ex.select(
+        "pack_id", "n_docs", "pack_len",
+        F.transform(
+            "parts",
+            lambda p: F.format_string(
+                "%d:%d:%d:%d",
+                p["pack_offset"], p["doc_id"], p["doc_offset"],
+                p["slice_len"],
+            ),
+        ).alias("parts"),
+    )
+
+
+def _q_shuffle_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from antidb_spark.operators.datasets import shuffle_order
+
+    return shuffle_order(_docs(spark, sf_dir), salt="sh1")
+
+
 def _q_dedup_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
     from antidb_spark.operators.dedup import resolve_exact_dups
 
@@ -1239,6 +1264,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "packed_sequences": _q_packed_sequences,
         "length_quantiles": _q_length_quantiles,
         "epoch_mix": _q_epoch_mix,
+        "packed_examples": _q_packed_examples,
+        "shuffle_order": _q_shuffle_order,
         "stratified_sample": _q_stratified_sample,
         "dedup_resolve": _q_dedup_resolve,
         "keywords": _q_keywords,
@@ -1911,6 +1938,42 @@ WHERE bucket < CASE lang WHEN 'en' THEN 5000
                          WHEN 'de' THEN 10000 ELSE 1000 END
 """
 
+# Pack assembly over the packed_sequences spans (mirrors
+# datasets.assemble_packs: parts ordered by pack_offset, counts+len).
+_PACKED_EXAMPLES_ORACLE = f"""
+WITH tk AS (SELECT doc_id,
+  len(list_filter({sql_tokens('text')}, t -> t <> ''))::BIGINT AS n_toks
+  FROM documents),
+nz AS (SELECT doc_id, n_toks,
+  COALESCE(sum(n_toks) OVER (ORDER BY doc_id
+    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS start
+  FROM tk WHERE n_toks > 0),
+spans AS (SELECT doc_id, n_toks, start,
+  unnest(generate_series(start // 256, (start + n_toks - 1) // 256))
+    AS pack_id
+  FROM nz),
+sl AS (SELECT pack_id, doc_id,
+  greatest(pack_id * 256, start) - start AS doc_offset,
+  greatest(pack_id * 256, start) - pack_id * 256 AS pack_offset,
+  least((pack_id + 1) * 256, start + n_toks)
+    - greatest(pack_id * 256, start) AS slice_len
+  FROM spans)
+SELECT pack_id, count(*)::BIGINT AS n_docs,
+  sum(slice_len)::BIGINT AS pack_len,
+  list(format('{{}}:{{}}:{{}}:{{}}', pack_offset, doc_id, doc_offset,
+              slice_len) ORDER BY pack_offset) AS parts
+FROM sl GROUP BY pack_id
+"""
+
+# Deterministic training-order shuffle (mirrors datasets.shuffle_order:
+# dense positions in md5(sh1:id) order, id tiebreak).
+_SHUFFLE_ORDER_ORACLE = """
+WITH h AS (SELECT doc_id, md5('sh1:' || doc_id::VARCHAR) AS _h
+           FROM documents)
+SELECT doc_id, row_number() OVER (ORDER BY _h, doc_id) - 1 AS shuffle_pos
+FROM h
+"""
+
 # Per-stratum epoch mixing (mirrors datasets.mix_epochs: floor(w)
 # guaranteed epochs + one extra below the frac(w) bucket threshold;
 # en 2.5 / de 1.0 / fr 0.25, default 0.5, salt m1).
@@ -2559,6 +2622,8 @@ FROM documents
     out["packed_sequences"] = _PACKED_SEQ_ORACLE
     out["length_quantiles"] = _LENGTH_QUANTILES_ORACLE
     out["epoch_mix"] = _EPOCH_MIX_ORACLE
+    out["packed_examples"] = _PACKED_EXAMPLES_ORACLE
+    out["shuffle_order"] = _SHUFFLE_ORDER_ORACLE
     out["stratified_sample"] = _STRAT_SAMPLE_ORACLE
     out["dedup_resolve"] = _DEDUP_RESOLVE_ORACLE
     out["keywords"] = _KEYWORDS_ORACLE

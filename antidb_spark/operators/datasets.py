@@ -307,3 +307,57 @@ def mix_epochs(
         )
         .drop("_n_epochs")
     )
+
+
+def assemble_packs(slices: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Materialize ``pack_sequences`` output into one row per training
+    example: (pack_id, n_docs, pack_len, parts) where ``parts`` is the
+    pack's slices ordered by ``pack_offset`` — each a
+    struct(pack_offset, id, doc_offset, slice_len). The loader-side
+    contract: concatenate ``parts`` in array order and the example is
+    full (every pack but the last, by the packing invariant).
+
+    One pack-keyed shuffle; slice structs are tiny (ids + 3 longs), so
+    a pack row is bounded by budget/min-doc-tokens parts — never a
+    collect_list over unbounded data. ``sort_array`` on the
+    pack_offset-led struct keeps assembly deterministic without a
+    per-group window.
+    """
+    part = F.struct(
+        F.col("pack_offset"), F.col(id_col), F.col("doc_offset"),
+        F.col("slice_len"),
+    )
+    return (
+        slices.groupBy("pack_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("slice_len").alias("pack_len"),
+            F.sort_array(F.collect_list(part)).alias("parts"),
+        )
+    )
+
+
+def shuffle_order(
+    corpus: DataFrame,
+    id_col: str = "doc_id",
+    salt: str = "sh1",
+    n_partitions: int | None = None,
+) -> DataFrame:
+    """(id, shuffle_pos): a deterministic global training-order shuffle
+    — dense 0-based positions in ``md5(salt:id)`` order (ties, i.e.
+    md5 collisions, broken by id). Reproducible across engines and
+    runs, re-saltable per epoch, and distributed: the ordering rides
+    ``assign_doc_ords``'s two-pass range machinery (one range exchange
+    + Arrow numbering), never a single-partition row_number window.
+    """
+    from antidb_spark.operators.build import assign_doc_ords
+
+    h = F.md5(
+        F.concat(F.lit(salt), F.lit(":"), F.col(id_col).cast("string"))
+    )
+    ords = assign_doc_ords(
+        corpus.select(h.alias("_h"), F.col(id_col)),
+        id_cols=["_h", id_col],
+        n_partitions=n_partitions,
+    )
+    return ords.select(F.col(id_col), F.col("doc_ord").alias("shuffle_pos"))

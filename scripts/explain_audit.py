@@ -335,6 +335,26 @@ def main() -> None:
         )),
     ))
 
+    from antidb_spark.operators.datasets import (
+        assemble_packs,
+        shuffle_order,
+    )
+
+    sections.append((
+        "pack assembly (training-example materialization)",
+        "ONE pack-keyed hash aggregate over the slice relation (counts "
+        "and sums partial/map-side; sort_array replaces a per-group "
+        "window) on top of packing's single range exchange.",
+        plan_of(assemble_packs(pack_sequences(docs, budget=256))),
+    ))
+    sections.append((
+        "training-order shuffle (md5-ranked positions)",
+        "ONE range exchange on the md5 key (the ordinal numbering "
+        "pass); positions come from the Arrow cumsum, never a "
+        "single-partition row_number window.",
+        plan_of(shuffle_order(docs)),
+    ))
+
     from antidb_spark.operators.stats import exact_quantiles
 
     sections.append((

@@ -464,3 +464,57 @@ def test_mix_epochs_default_weight_and_validation(spark):
         mix_epochs(df, {"en": -0.5}, "lang")
     with pytest.raises(ValueError, match="default_weight"):
         mix_epochs(df, {"en": 1.0}, "lang", default_weight=-1.0)
+
+
+# -------------------------------------------------- assembly + shuffle
+
+
+def test_assemble_packs_orders_and_conserves(spark, docs_df):
+    from antidb_spark.operators.datasets import assemble_packs, pack_sequences
+
+    packs = assemble_packs(pack_sequences(docs_df, budget=7)).collect()
+    brute = _brute_pack(DOCS, 7)
+    by_pack = {}
+    for pack, doc, doff, poff, ln in brute:
+        by_pack.setdefault(pack, []).append((poff, doc, doff, ln))
+    assert len(packs) == len(by_pack)
+    last = max(by_pack)
+    for r in packs:
+        want = sorted(by_pack[r["pack_id"]])
+        got = [
+            (p["pack_offset"], p["doc_id"], p["doc_offset"], p["slice_len"])
+            for p in r["parts"]
+        ]
+        assert got == want  # parts in pack_offset order
+        assert r["n_docs"] == len(want)
+        assert r["pack_len"] == sum(w[3] for w in want)
+        if r["pack_id"] != last:
+            assert r["pack_len"] == 7  # full examples
+        # contiguity: each slice starts where the previous ended
+        pos = got[0][0]
+        for poff, _, _, ln in got:
+            assert poff == pos
+            pos += ln
+
+
+def test_shuffle_order_dense_deterministic_resaltable(spark):
+    from antidb_spark.operators.datasets import shuffle_order
+
+    df = spark.range(0, 500).select(F.col("id").alias("doc_id"))
+    a = {r["doc_id"]: r["shuffle_pos"] for r in shuffle_order(df).collect()}
+    b = {r["doc_id"]: r["shuffle_pos"]
+         for r in shuffle_order(df.repartition(7), n_partitions=3).collect()}
+    assert a == b  # partition-invariant
+    assert sorted(a.values()) == list(range(500))  # dense permutation
+    assert a != {i: i for i in range(500)}  # actually shuffled
+    c = {r["doc_id"]: r["shuffle_pos"]
+         for r in shuffle_order(df, salt="sh2").collect()}
+    assert sorted(c.values()) == list(range(500))
+    assert c != a  # a fresh salt is a fresh permutation
+    # matches an explicit md5 sort (the cross-engine contract)
+    import hashlib
+
+    want = sorted(
+        range(500), key=lambda i: (hashlib.md5(f"sh1:{i}".encode()).hexdigest(), i)
+    )
+    assert [d for d, _ in sorted(a.items(), key=lambda kv: kv[1])] == want
