@@ -441,6 +441,19 @@ def _q_near_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return near_query(_entry_index(spark, sf_dir), NEAR_A, NEAR_B, NEAR_W)
 
 
+SLOP_PHRASE, SLOP = "table hash value", 3  # 11 docs vs 2 at slop 0
+
+
+def _q_slop_phrase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sloppy (ordered-window) phrase from the committed positional
+    index: terms in order with ≤ 3 interleaved tokens — 11 matching
+    docs at sf0.01 vs 2 for the exact phrase, so the slop provably
+    matters."""
+    from antidb_spark.operators.phrase import phrase_slop_query
+
+    return phrase_slop_query(_entry_index(spark, sf_dir), SLOP_PHRASE, SLOP)
+
+
 FUZZY_TERM, FUZZY_EDITS = "pat", 2  # expands to a/data/fast/part at test SF
 
 
@@ -1224,6 +1237,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "deleted_topk": _q_deleted_topk,
         "prefix_topk": _q_prefix_topk,
         "near_search": _q_near_search,
+        "slop_phrase": _q_slop_phrase,
         "facet_counts": _q_facet_counts,
         "paged_topk": _q_paged_topk,
         "more_like_this": _q_more_like_this,
@@ -1743,6 +1757,32 @@ FROM pa JOIN pb ON pa.doc_id = pb.doc_id
 WHERE abs(pa.p - pb.p) <= {window}
 GROUP BY 1
 """
+
+
+def _slop_oracle(phrase: str, slop: int) -> str:
+    """Sloppy-phrase oracle: the same greedy (span-minimal) chain as
+    phrase_slop_query, one min-aggregated step CTE per later term."""
+    terms = py_tokens(phrase)
+    n = len(terms)
+    ctes = [
+        TOKARR_CTE,
+        "pos AS (SELECT doc_id, i.i - 1 AS p, toks[i.i] AS term\n"
+        "        FROM tokarr, unnest(generate_series(1, len(toks))) AS i(i))",
+        f"c1 AS (SELECT doc_id, p AS p1, p AS cur FROM pos "
+        f"WHERE term = '{terms[0]}')",
+    ]
+    for i, t in enumerate(terms[1:], start=2):
+        ctes.append(
+            f"c{i} AS (SELECT a.doc_id, a.p1, min(b.p) AS cur "
+            f"FROM c{i-1} a JOIN pos b ON b.doc_id = a.doc_id "
+            f"AND b.term = '{t}' AND b.p > a.cur GROUP BY 1, 2)"
+        )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT doc_id, count(*)::BIGINT AS n_matches, "
+        f"min(cur - p1 - {n - 1})::BIGINT AS min_disp "
+        f"FROM c{n} WHERE cur - p1 - {n - 1} <= {slop} GROUP BY 1"
+    )
 
 
 def _snippet_oracle(query: str, k: int) -> str:
@@ -2488,6 +2528,7 @@ GROUP BY d::date
         ),
         "prefix_topk": _prefix_oracle(PREFIX_PAT, 10),
         "near_search": _near_oracle(NEAR_A, NEAR_B, NEAR_W),
+        "slop_phrase": _slop_oracle(SLOP_PHRASE, SLOP),
         "facet_counts": _facet_oracle(FLAGSHIP_QUERY, "lang"),
         "paged_topk": _topk_oracle(FLAGSHIP_QUERY, 10, offset=10),
         "more_like_this": _mlt_oracle(MLT_DOC, MLT_M, 10),

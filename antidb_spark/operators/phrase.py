@@ -764,3 +764,77 @@ def phrase_warm(builder, phrase: str) -> pd.DataFrame:
     return out.sort_values(
         ["phrase_freq", *builder.id_cols], ascending=[False] + [True] * len(builder.id_cols)
     ).reset_index(drop=True)
+
+
+def phrase_slop_query(builder, phrase: str, slop: int) -> DataFrame:
+    """Sloppy (ordered-window) phrase search served from the committed
+    positional index — the Lucene ``PhraseQuery(slop)`` niche between
+    exact phrase and NEAR: docs where the query terms appear IN ORDER
+    with at most ``slop`` extra tokens interleaved. Returns
+    (*id_cols, n_matches, min_disp) ordered (n_matches desc, *id_cols).
+
+    Semantics (deterministic, engine-independent): an anchor is each
+    position of the FIRST term; from it the GREEDY chain takes, for
+    each later term in order, the smallest position strictly after the
+    chain's current position. The greedy chain is span-minimal, so
+    "greedy completes within slop" ⟺ "SOME in-order occurrence chain
+    does" — displacement = (p_last − p_first) − (n−1) ≤ slop.
+    ``slop=0`` is exactly the consecutive phrase: ``n_matches`` equals
+    ``phrase_query``'s phrase_freq (pinned by tests). Duplicate query
+    terms are fine — each step is strictly increasing.
+
+    Plan: ONE manifest-pruned ``pos_blocks`` decode shared by all
+    steps, then n−1 per-doc band joins each re-aggregated to one row
+    per (doc, anchor) by ``min`` — shuffle keys (doc_ord, anchor) are
+    as fine-grained as the data (the same occurrence-product cost
+    discipline as ``near_query``); anchors without a completion drop
+    at the inner join, so the frame shrinks monotonically. The corpus
+    is never re-tokenized.
+
+    Reference tie-in: the rng-over-positions analog of prs.py:86-105's
+    ordered range scan, applied to the positional layer.
+    """
+    if slop < 0:
+        raise ValueError(f"slop must be >= 0, got {slop}")
+    terms = py_tokens(phrase)
+    if len(terms) < 2:
+        raise ValueError("phrase_slop_query needs at least two terms")
+    if not builder.ckpt.is_done("pos_blocks"):
+        raise ValueError("positional index not built (build_positional_index)")
+    uniq = sorted(set(terms))
+    blocks = builder.catalog.read_pruned("pos_blocks", "term", uniq).filter(
+        F.col("term").isin(uniq)
+    )
+    decoded = blocks.select(
+        "term", "n_docs", "docs_packed", "tfs_packed", "pos_packed"
+    ).mapInPandas(_decode_pos_blocks, schema=_DECODED_POS)
+    chain = decoded.filter(F.col("term") == terms[0]).select(
+        "doc_ord", F.col("pos").alias("p1"), F.col("pos").alias("cur")
+    )
+    for t in terms[1:]:
+        nxt = decoded.filter(F.col("term") == t).select(
+            "doc_ord", F.col("pos").alias("_np")
+        )
+        chain = (
+            chain.join(nxt, "doc_ord")
+            .filter(F.col("_np") > F.col("cur"))
+            .groupBy("doc_ord", "p1")
+            .agg(F.min("_np").alias("cur"))
+        )
+    n = len(terms)
+    disp = (F.col("cur") - F.col("p1") - F.lit(n - 1)).alias("disp")
+    matches = chain.select("doc_ord", disp).filter(F.col("disp") <= slop)
+    per_doc = builder._drop_tombstones(
+        matches.groupBy("doc_ord").agg(
+            F.count(F.lit(1)).alias("n_matches"),
+            F.min("disp").cast("long").alias("min_disp"),
+        )
+    )
+    dm = builder.catalog.read("docmap")
+    return (
+        per_doc.join(dm.select("doc_ord", *builder.id_cols), "doc_ord")
+        .select(*builder.id_cols, "n_matches", "min_disp")
+        .orderBy(
+            F.desc("n_matches"), *[F.asc(c) for c in builder.id_cols]
+        )
+    )

@@ -192,3 +192,88 @@ def test_near_validates_arguments(built):
         with pytest.raises(ValueError):
             fn(b, "two words", "hash", 3)
     assert py_tokens("Table!") == ["table"]
+
+
+# ----------------------------------------------------------- slop phrase
+
+
+def _brute_slop(corpus, terms, slop):
+    """Greedy-chain python reference over the raw token stream."""
+    import bisect
+
+    texts = corpus.select("conv_id", "turn_idx", "text").collect()
+    out = {}
+    for r in texts:
+        toks = py_tokens(r["text"])
+        pos = {}
+        for i, t in enumerate(toks):
+            pos.setdefault(t, []).append(i)
+        if terms[0] not in pos:
+            continue
+        disps = []
+        for p1 in pos[terms[0]]:
+            cur, ok = p1, True
+            for t in terms[1:]:
+                ps = pos.get(t, [])
+                j = bisect.bisect_right(ps, cur)
+                if j == len(ps):
+                    ok = False
+                    break
+                cur = ps[j]
+            if ok:
+                d = cur - p1 - (len(terms) - 1)
+                if d <= slop:
+                    disps.append(d)
+        if disps:
+            out[(r["conv_id"], r["turn_idx"])] = (len(disps), min(disps))
+    return out
+
+
+def test_phrase_slop_matches_bruteforce(built):
+    from antidb_spark.operators.phrase import phrase_slop_query
+
+    b, corpus = built
+    for phrase, slop in (("the to", 2), ("a the a", 4), ("to the", 0)):
+        got = {
+            (r["conv_id"], r["turn_idx"]): (r["n_matches"], r["min_disp"])
+            for r in phrase_slop_query(b, phrase, slop).collect()
+        }
+        want = _brute_slop(corpus, py_tokens(phrase), slop)
+        assert got == want, (phrase, slop)
+        assert want  # non-vacuous at this seed/scale
+
+
+def test_phrase_slop_zero_equals_exact_phrase(built):
+    from antidb_spark.operators.phrase import phrase_query, phrase_slop_query
+
+    b, _ = built
+    phrase = "the to"
+    exact = {
+        (r["conv_id"], r["turn_idx"]): r["phrase_freq"]
+        for r in phrase_query(b, phrase).collect()
+    }
+    slop0 = {
+        (r["conv_id"], r["turn_idx"]): r["n_matches"]
+        for r in phrase_slop_query(b, phrase, 0).collect()
+    }
+    assert exact and slop0 == exact  # the documented degenerate form
+
+
+def test_phrase_slop_is_ordered_and_validates(built, spark):
+    from antidb_spark.operators.phrase import phrase_slop_query
+
+    b, corpus = built
+    # ordered: reversing the phrase changes the result set (unlike NEAR)
+    fwd = {(r["conv_id"], r["turn_idx"])
+           for r in phrase_slop_query(b, "the to", 1).collect()}
+    rev = {(r["conv_id"], r["turn_idx"])
+           for r in phrase_slop_query(b, "to the", 1).collect()}
+    assert fwd != rev
+    # widening the slop only adds docs
+    wide = {(r["conv_id"], r["turn_idx"])
+            for r in phrase_slop_query(b, "the to", 6).collect()}
+    assert fwd <= wide and len(wide) > len(fwd)
+    with pytest.raises(ValueError, match="slop"):
+        phrase_slop_query(b, "the to", -1)
+    with pytest.raises(ValueError, match="two terms"):
+        phrase_slop_query(b, "the", 2)
