@@ -838,3 +838,91 @@ def phrase_slop_query(builder, phrase: str, slop: int) -> DataFrame:
             F.desc("n_matches"), *[F.asc(c) for c in builder.id_cols]
         )
     )
+
+
+def phrase_slop_warm(builder, phrase: str, slop: int) -> pd.DataFrame:
+    """Interactive sloppy phrase with NO Spark job (the warm tier
+    beside ``phrase_warm``/``near_warm``): manifest-pruned pyarrow
+    reads of the terms' positional blocks, then the SAME greedy
+    span-minimal chain as ``phrase_slop_query`` evaluated with one
+    ``searchsorted`` pass per later term over (doc, pos) composite
+    keys — every anchor advances simultaneously, no per-doc python.
+    Row/value-identical to the distributed path (pinned by tests);
+    stopword-grade phrases fall back to it transparently."""
+    if slop < 0:
+        raise ValueError(f"slop must be >= 0, got {slop}")
+    terms = py_tokens(phrase)
+    if len(terms) < 2:
+        raise ValueError("phrase_slop_warm needs at least two terms")
+    if not builder.ckpt.is_done("pos_blocks"):
+        raise ValueError("positional index not built (build_positional_index)")
+    cols = [*builder.id_cols, "n_matches", "min_disp"]
+    uniq = sorted(set(terms))
+    dfs = builder.catalog.read_pruned_arrow(
+        "terms", "term", uniq, columns=["term", "df"]
+    )
+    est_blocks = sum(
+        (int(d) + POS_BLOCK_SIZE - 1) // POS_BLOCK_SIZE
+        for d in dfs.column("df").to_pylist()
+    )
+    if est_blocks > PHRASE_WARM_MAX_BLOCKS:
+        out = phrase_slop_query(builder, phrase, slop).toPandas()
+        return out.reset_index(drop=True)
+    tbl = builder.catalog.read_pruned_arrow(
+        "pos_blocks", "term", uniq,
+        columns=["term", "n_docs", "docs_packed", "tfs_packed", "pos_packed"],
+    ).to_pandas()
+    if not len(tbl):
+        return pd.DataFrame(columns=cols)
+    uniq_terms, tids, ords, pos = _decode_pos_batch(tbl)
+    tindex = {t: i for i, t in enumerate(uniq_terms)}
+    if any(t not in tindex for t in terms):
+        return pd.DataFrame(columns=cols)
+    mask = (1 << _WARM_SHIFT) - 1
+    sel0 = tids == tindex[terms[0]]
+    d0 = ords[sel0].astype(np.int64)
+    p1 = pos[sel0].astype(np.int64)
+    cur = p1.copy()
+    for t in terms[1:]:
+        sel = tids == tindex[t]
+        kt = np.sort(
+            (ords[sel].astype(np.int64) << _WARM_SHIFT) + pos[sel]
+        )
+        j = np.searchsorted(kt, (d0 << _WARM_SHIFT) + cur, side="right")
+        ok = j < kt.size
+        rj = np.minimum(j, kt.size - 1)
+        ok &= (kt[rj] >> _WARM_SHIFT) == d0
+        d0, p1 = d0[ok], p1[ok]
+        cur = (kt[rj] & mask)[ok]
+        if d0.size == 0:
+            return pd.DataFrame(columns=cols)
+    disp = cur - p1 - (len(terms) - 1)
+    hit = disp <= slop
+    if not hit.any():
+        return pd.DataFrame(columns=cols)
+    hd, hdisp = d0[hit], disp[hit]
+    u, inv = np.unique(hd, return_inverse=True)
+    n_matches = np.bincount(inv).astype(np.int64)
+    min_disp = np.full(u.size, np.iinfo(np.int64).max)
+    np.minimum.at(min_disp, inv, hdisp)
+    ts = builder._tomb_state()
+    if ts is not None:
+        alive = _alive_bits(ts[0], u)
+        u, n_matches, min_disp = u[alive], n_matches[alive], min_disp[alive]
+        if u.size == 0:
+            return pd.DataFrame(columns=cols)
+    dm = (
+        builder.catalog.read_pruned_arrow(
+            "docmap", "doc_ord", values=[int(o) for o in u],
+            columns=["doc_ord", *builder.id_cols],
+        )
+        .to_pandas()
+        .set_index("doc_ord")
+    )
+    out = dm.loc[u, list(builder.id_cols)].reset_index(drop=True)
+    out["n_matches"] = n_matches
+    out["min_disp"] = min_disp
+    out = out.sort_values(
+        ["n_matches", *builder.id_cols], ascending=[False] + [True] * len(builder.id_cols)
+    ).reset_index(drop=True)
+    return out

@@ -109,7 +109,7 @@ def run_suite(spark, docs, transcripts, n_turns):
     # --- index build over synthetic transcripts (north-rule flagship) ---
     index_phases = ("index_build", "bm25_batch", "bm25_warm", "grouped",
                     "pos_build", "phrase_warm", "snippet_warm", "near_warm",
-                    "prefix_warm", "upsert_delta")
+                    "slop_warm", "prefix_warm", "upsert_delta")
     builder = None
     if any(phase_on(p) for p in index_phases):
         builder = IndexBuilder(spark, os.path.join(work_root, "idx"))
@@ -141,10 +141,11 @@ def run_suite(spark, docs, transcripts, n_turns):
     # --- persisted positional index: build + warm phrase queries --------
     if (phase_on("pos_build") or phase_on("phrase_warm")
             or phase_on("snippet_warm") or phase_on("near_warm")
-            or phase_on("prefix_warm")):
+            or phase_on("slop_warm") or phase_on("prefix_warm")):
         from antidb_spark.operators.phrase import (
             build_positional_index,
             near_warm,
+            phrase_slop_warm,
             phrase_warm,
             term_positions_warm,
         )
@@ -174,6 +175,11 @@ def run_suite(spark, docs, transcripts, n_turns):
             near_pairs = [(v[i], v[i + 101]) for i in range(500, 510)] * 2
             warm_median("near_warm", near_pairs,
                         lambda p: near_warm(builder, p[0], p[1], 5))
+        if phase_on("slop_warm"):
+            v = vocabulary(2000)
+            slop_ps = [f"{v[i]} {v[i + 61]}" for i in range(700, 710)] * 2
+            warm_median("slop_warm", slop_ps,
+                        lambda p: phrase_slop_warm(builder, p, 3))
         if phase_on("prefix_warm"):
             v = vocabulary(2000)
             prefs = [v[i][:4] for i in range(600, 610)] * 2
@@ -344,7 +350,7 @@ def main() -> None:
     transcripts, n_turns = None, 0
     index_phases = ("index_build", "bm25_batch", "bm25_warm", "grouped",
                     "pos_build", "phrase_warm", "snippet_warm", "near_warm",
-                    "prefix_warm", "upsert_delta")
+                    "slop_warm", "prefix_warm", "upsert_delta")
     if any(phase_on(p) for p in index_phases):
         transcripts = synth_transcripts(spark, n_convs=N_CONVS).cache()
         n_turns = transcripts.count()  # materialize outside any timer

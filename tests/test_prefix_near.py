@@ -277,3 +277,32 @@ def test_phrase_slop_is_ordered_and_validates(built, spark):
         phrase_slop_query(b, "the to", -1)
     with pytest.raises(ValueError, match="two terms"):
         phrase_slop_query(b, "the", 2)
+
+
+def test_phrase_slop_warm_matches_distributed(built):
+    from antidb_spark.operators.phrase import (
+        phrase_slop_query,
+        phrase_slop_warm,
+    )
+
+    b, _ = built
+    for phrase, slop in (("the to", 2), ("a the a", 4), ("to the", 0)):
+        dist = (
+            phrase_slop_query(b, phrase, slop)
+            .toPandas()
+            .sort_values(["conv_id", "turn_idx"])
+            .reset_index(drop=True)
+        )
+        warm = (
+            phrase_slop_warm(b, phrase, slop)
+            .sort_values(["conv_id", "turn_idx"])
+            .reset_index(drop=True)
+        )
+        assert warm.astype(dist.dtypes.to_dict()).values.tolist() == \
+            dist.values.tolist(), (phrase, slop)
+        assert len(dist)  # non-vacuous
+    # unknown term -> empty frame, right columns
+    missing = phrase_slop_warm(b, "zzzqq the", 3)
+    assert len(missing) == 0
+    assert list(missing.columns) == ["conv_id", "turn_idx", "n_matches",
+                                     "min_disp"]
