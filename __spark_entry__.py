@@ -208,7 +208,14 @@ def _entry_index(spark: SparkSession, sf_dir: str):
         b = IndexBuilder(spark, root, id_cols=DOC_ID)
         d = _docs(spark, sf_dir)
         b.build(d)
-        b.build_doc_meta(d, ["lang", "source", "n_chars"])
+        # deterministic per-doc age (days) for recency-decayed ranking;
+        # doc_id % 365 so the DuckDB oracle recomputes it exactly
+        b.build_doc_meta(
+            d.withColumn(
+                "age_days", (F.col("doc_id") % F.lit(365)).cast("int")
+            ),
+            ["lang", "source", "n_chars", "age_days"],
+        )
         build_positional_index(b, d)
         _ENTRY_IDX[sf_dir] = b
     return b
@@ -486,6 +493,21 @@ def _q_boosted_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Query-time boosting ("spark^0.25 query join^3"): per-term BM25
     contributions scaled before the pinned sorted-term sum."""
     return _entry_index(spark, sf_dir).query_boosted(BOOST_WEIGHTS, k=10)
+
+
+DECAY_HALF_LIFE = 30.0
+
+
+def _q_decay_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recency-boosted ranking: BM25 × reciprocal age decay
+    1/(1 + age_days/30) with the deterministic per-doc age
+    (doc_id % 365 days) committed in docmeta — Solr's classic
+    recip(ms(NOW,date),m,a,b) boost. Reciprocal (not exp) keeps the
+    factor inside correctly-rounded IEEE ops so both engines agree
+    bit-for-bit; the decay provably re-ranks the flagship top-10."""
+    return _entry_index(spark, sf_dir).query_decayed(
+        FLAGSHIP_QUERY, k=10, half_life_days=DECAY_HALF_LIFE
+    )
 
 
 def _q_hit_count(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1244,6 +1266,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fuzzy_topk": _q_fuzzy_topk,
         "regex_topk": _q_regex_topk,
         "boosted_topk": _q_boosted_topk,
+        "decay_topk": _q_decay_topk,
         "hit_count": _q_hit_count,
         "grouped_topk": _q_grouped_topk,
         "hybrid_topk": _q_hybrid_topk,
@@ -1678,6 +1701,34 @@ dfs AS (SELECT term, count(*)::BIGINT AS df FROM post
         WHERE term IN ({in_list}) GROUP BY term)
 SELECT p.doc_id AS doc_id,
        round(sum({contrib} * {w_case} ORDER BY p.term), 4) AS score
+FROM post p
+JOIN dfs d ON p.term = d.term
+JOIN dl l ON p.doc_id = l.doc_id
+CROSS JOIN st s
+GROUP BY p.doc_id
+ORDER BY score DESC, doc_id ASC
+LIMIT {k}
+"""
+
+
+def _decay_oracle(query: str, half_life: float, k: int) -> str:
+    """Recency-decay oracle: the UNROUNDED pinned BM25 ordered sum
+    multiplied by the reciprocal factor recomputed from doc_id, rounded
+    ONCE at the boundary — mirrors `query_decayed` exactly (rounding
+    the already-4dp score again would land products on .00005 ties
+    where the engines' rounding modes diverge)."""
+    terms = sorted(set(py_tokens(query)))
+    in_list = ", ".join(f"'{t}'" for t in terms)
+    contrib = sql_contribution(tf="p.tf", df="d.df", dl="l.dl",
+                               avgdl="s.avgdl", n="s.n_docs")
+    return f"""
+WITH {TOK_CTE}, {POST_CTE}, {DL_CTE},
+st AS (SELECT count(*)::BIGINT AS n_docs, avg(dl) AS avgdl FROM dl),
+dfs AS (SELECT term, count(*)::BIGINT AS df FROM post
+        WHERE term IN ({in_list}) GROUP BY term)
+SELECT p.doc_id AS doc_id,
+       round(sum({contrib} ORDER BY p.term)
+             * (1.0 / (1.0 + (p.doc_id % 365) / {half_life!r})), 4) AS score
 FROM post p
 JOIN dfs d ON p.term = d.term
 JOIN dl l ON p.doc_id = l.doc_id
@@ -2535,6 +2586,7 @@ GROUP BY d::date
         "fuzzy_topk": _fuzzy_oracle(FUZZY_TERM, FUZZY_EDITS, 10),
         "regex_topk": _regex_oracle(REGEX_PAT, 10),
         "boosted_topk": _boosted_oracle(BOOST_WEIGHTS, 10),
+        "decay_topk": _decay_oracle(FLAGSHIP_QUERY, DECAY_HALF_LIFE, 10),
         "hit_count": _hitcount_oracle(FLAGSHIP_QUERY),
         "merged_topk": _topk_oracle(FLAGSHIP_QUERY, 10),
         "federated_topk": _topk_oracle(FLAGSHIP_QUERY, 10),

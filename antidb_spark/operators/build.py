@@ -2370,6 +2370,59 @@ class IndexBuilder:
         )
         return self._resolve_topk(scored.select("doc_ord", "score"), k)
 
+    def query_decayed(
+        self, query: str, k: int = 10, age_col: str = "age_days",
+        half_life_days: float = 30.0,
+    ) -> DataFrame:
+        """Recency-boosted ranking — Solr's classic
+        ``recip(ms(NOW,date),m,a,b)`` boost re-expressed: final score =
+        BM25 × 1/(1 + age/half_life), with the per-doc age (in days)
+        read from the committed ``docmeta`` table. Reciprocal decay
+        (not exp/gauss) keeps the factor inside correctly-rounded IEEE
+        ops (+, /, ×) so Spark and any ANSI engine agree bit-for-bit —
+        the float discipline the whole pinned query family uses.
+
+        Plan: per-doc pinned scores from the terms' manifest-pruned
+        blocks, joined on the dense doc_ord to the NARROW docmeta scan
+        (only ``age_col`` read — column pruning reaches the parquet
+        footer), the decay applied as one codegen projection, and the
+        top-k cut AFTER the boost so recency genuinely re-ranks. The
+        join is candidate-sized (docs containing ≥1 query term), never
+        corpus-sized."""
+        from antidb_spark.functions.analyze import py_tokens
+
+        if half_life_days <= 0:
+            raise ValueError(
+                f"half_life_days must be > 0, got {half_life_days}"
+            )
+        if not self.ckpt.is_done("docmeta"):
+            raise ValueError(
+                "docmeta not built (build_doc_meta(corpus, [age_col]))"
+            )
+        import operator as _op
+        from functools import reduce
+
+        q_terms = sorted(set(py_tokens(query)))
+        if not q_terms:
+            return self._empty_topk()
+        scored = self._pinned_doc_scores(q_terms)
+        ages = self.catalog.read("docmeta").select("doc_ord", age_col)
+        decay = F.lit(1.0) / (
+            F.lit(1.0)
+            + F.col(age_col).cast("double") / F.lit(float(half_life_days))
+        )
+        # decay the UNROUNDED fixed-order sum and round ONCE at the
+        # output boundary — rounding the 4dp score again would put the
+        # product on .00005 ties where engines' rounding modes diverge
+        raw = reduce(_op.add, [
+            F.coalesce(F.col(f"c{i}"), F.lit(0.0))
+            for i in range(len(q_terms))
+        ])
+        decayed = scored.join(ages, "doc_ord").withColumn(
+            "score", F.round(raw * decay, 4)
+        )
+        return self._resolve_topk(decayed.select("doc_ord", "score"), k)
+
     def hit_count(self, query: str) -> DataFrame:
         """Total matching docs for a disjunctive query (the result-count
         header beside every search box): count of DISTINCT doc_ords over

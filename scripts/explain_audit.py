@@ -108,7 +108,12 @@ def main() -> None:
             plan_of(chain),
         ))
 
-        b.build_doc_meta(t, ["role"])
+        b.build_doc_meta(
+            t.withColumn(
+                "age_days", ((F.col("turn_idx") * 37) % 365).cast("int")
+            ),
+            ["role", "age_days"],
+        )
         sections.append((
             "metadata-filtered BM25 (docmeta late materialization)",
             "The predicate must appear as PushedFilters on the NARROW "
@@ -119,6 +124,16 @@ def main() -> None:
             "broadcasts only the k winners.",
             plan_of(b.query_filtered("the kemuba0 data", "role = 'user'",
                                      k=5)),
+        ))
+
+        sections.append((
+            "recency-decayed BM25 (reciprocal age boost)",
+            "The decay factor is ONE codegen projection over the "
+            "candidate-sized doc_ord join; the docmeta scan must read "
+            "ONLY (doc_ord, age_days) — column pruning reaches the "
+            "parquet footer, the corpus is never touched — and the "
+            "boosted cut stays TakeOrdered (no global sort).",
+            plan_of(b.query_decayed("the kemuba0 data", k=5)),
         ))
 
         from antidb_spark.operators.phrase import (
@@ -428,6 +443,12 @@ def main() -> None:
                        "EqualTo(role,user)" in filt_plan))
         checks.append(("filtered: k-row docmap resolve broadcasts",
                        "BroadcastExchange" in filt_plan))
+        dec_plan = by_title["recency-decayed BM25 (reciprocal age boost)"]
+        checks.append(("decay: docmeta scan pruned to doc_ord+age_days",
+                       "age_days:int" in dec_plan
+                       and "role" not in dec_plan))
+        checks.append(("decay: boosted cut is TakeOrdered",
+                       "TakeOrderedAndProject" in dec_plan))
         snip_plan = by_title[
             "snippet highlights (term_positions from pos_blocks)"
         ]

@@ -34,7 +34,10 @@ def built(spark, tmp_path_factory):
     corpus.count()
     b = IndexBuilder(spark, str(tmp_path_factory.mktemp("fidx")))
     b.build(corpus)
-    b.build_doc_meta(corpus, ["role"])
+    aged = corpus.withColumn(
+        "age_days", ((F.col("turn_idx") * 37) % 365).cast("int")
+    )
+    b.build_doc_meta(aged, ["role", "age_days"])
     build_positional_index(b, corpus)
     yield b, corpus
     corpus.unpersist()
@@ -397,3 +400,57 @@ def test_query_bool_degenerate_forms(built):
         == b.query_bool(must="the", should="will", k=10)
         .toPandas().values.tolist()
     )
+
+
+def test_query_decayed_matches_bruteforce(spark, built):
+    import numpy as np
+
+    from antidb_spark.functions.analyze import py_tokens
+
+    b, corpus = built
+    q_terms = sorted(set(py_tokens(QUERY)))
+    # unrounded fixed-order fold from the scoring core's c{i} columns
+    sc = b._pinned_doc_scores(q_terms).toPandas()
+    raw = np.zeros(len(sc))
+    for i in range(len(q_terms)):
+        raw = raw + sc[f"c{i}"].fillna(0.0).to_numpy()
+    dm = (
+        b.catalog.read("docmap")
+        .select("doc_ord", "conv_id", "turn_idx")
+        .toPandas()
+    )
+    out = sc[["doc_ord"]].copy()
+    out["raw"] = raw
+    meta = corpus.select(
+        "conv_id", "turn_idx",
+        ((F.col("turn_idx") * 37) % 365).cast("int").alias("age_days"),
+    ).toPandas()
+    out = out.merge(dm, on="doc_ord").merge(meta, on=["conv_id", "turn_idx"])
+    out["score"] = np.round(
+        out["raw"].to_numpy()
+        * (1.0 / (1.0 + out["age_days"].to_numpy() / 30.0)), 4
+    )
+    want = (
+        out.sort_values(["score", "conv_id", "turn_idx"],
+                        ascending=[False, True, True])
+        .head(10)[["conv_id", "turn_idx", "score"]]
+        .reset_index(drop=True)
+    )
+    got = b.query_decayed(QUERY, k=10, half_life_days=30.0).toPandas()
+    assert got[["conv_id", "turn_idx"]].values.tolist() == \
+        want[["conv_id", "turn_idx"]].values.tolist()
+    np.testing.assert_allclose(got["score"], want["score"], rtol=1e-9)
+    assert len(got) == 10
+    # recency provably re-ranks: different from the undecayed top-10
+    plain = b.query_pinned(QUERY, k=10).toPandas()
+    assert got.values.tolist() != plain.values.tolist()
+
+
+def test_query_decayed_validates(built):
+    b, _ = built
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="half_life"):
+        b.query_decayed(QUERY, half_life_days=0.0)
+    # empty / punctuation-only query → empty frame, never an error
+    assert b.query_decayed("***", k=5).count() == 0
