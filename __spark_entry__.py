@@ -397,6 +397,19 @@ def _q_prefix_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _entry_index(spark, sf_dir).query_prefix(PREFIX_PAT, k=10)
 
 
+WILDCARD_PAT = "*eam"  # trailing-literal anchor → reversed dictionary
+
+
+def _q_wildcard_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leading-wildcard search ("*eam"): expansion served by a manifest
+    RANGE prune over the committed rterm-sorted reversed dictionary
+    (``terms_rev``, the Lucene reversed-wildcard-field technique — no
+    O(vocabulary) scan), each expansion scored with its own idf."""
+    b = _entry_index(spark, sf_dir)
+    b._ensure_terms_rev()
+    return b.query_wildcard(WILDCARD_PAT, k=10)
+
+
 MLT_DOC, MLT_M = 7, 3
 
 
@@ -1241,6 +1254,65 @@ FROM (SELECT doc_id, text,
 """
 
 
+# --- catalog time travel (Iceberg snapshot-log parity) ------------------
+
+_TT_STATE: dict[str, tuple[object, str]] = {}
+
+
+def _q_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot isolation under time travel: commit v1 (doc_id % 3 == 0),
+    append v2 (doc_id % 3 == 1), then aggregate the table AS OF the v1
+    snapshot id. The oracle recomputes the aggregate over the v1 subset
+    alone, so a hash match proves the manifest-resolved ``read_at``
+    serves exactly the pre-append file set (catalog.py; reference
+    analog: root-last archive commit, idx.py:260-261, which likewise
+    leaves readers on the previous complete tree)."""
+    hit = _TT_STATE.get(sf_dir)
+    if hit is None:
+        import atexit
+        import shutil
+        import tempfile
+
+        from antidb_spark.sources.catalog import Catalog
+
+        root = tempfile.mkdtemp(prefix="antidb_tt_")
+        atexit.register(shutil.rmtree, root, ignore_errors=True)
+        cat = Catalog(spark, root)
+        d = _docs(spark, sf_dir)
+        m1 = cat.write(
+            d.filter(F.col("doc_id") % 3 == 0), "docs_tt",
+            stats_cols=["doc_id"],
+        )
+        cat.write(
+            d.filter(F.col("doc_id") % 3 == 1), "docs_tt", mode="append",
+        )
+        hit = (cat, m1["snapshot_id"])
+        _TT_STATE[sf_dir] = hit
+    cat, sid = hit
+    return (
+        cat.read_at("docs_tt", sid)
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("doc_id").alias("sum_id"),
+            F.sum("n_chars").alias("sum_chars"),
+        )
+        .orderBy("lang")
+    )
+
+
+_TIME_TRAVEL_ORACLE = """
+SELECT lang,
+       COUNT(*)::BIGINT AS n_docs,
+       SUM(doc_id)::BIGINT AS sum_id,
+       SUM(n_chars)::BIGINT AS sum_chars
+FROM documents
+WHERE doc_id % 3 = 0
+GROUP BY lang
+ORDER BY lang
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "term_counts": _q_term_counts,
@@ -1258,6 +1330,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25f_topk": _q_bm25f_topk,
         "deleted_topk": _q_deleted_topk,
         "prefix_topk": _q_prefix_topk,
+        "wildcard_topk": _q_wildcard_topk,
         "near_search": _q_near_search,
         "slop_phrase": _q_slop_phrase,
         "facet_counts": _q_facet_counts,
@@ -1320,6 +1393,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_features": _q_media_features,
         "media_decode": _q_media_decode,
         "frame_sample": _q_frame_sample,
+        "time_travel": _q_time_travel,
     }
 
 
@@ -1611,6 +1685,30 @@ WITH {TOK_CTE}, {POST_CTE}, {DL_CTE},
 st AS (SELECT count(*)::BIGINT AS n_docs, avg(dl) AS avgdl FROM dl),
 dfs AS (SELECT term, count(*)::BIGINT AS df FROM post
         WHERE term LIKE '{prefix}%' GROUP BY term
+        ORDER BY term LIMIT {max_terms})
+SELECT p.doc_id AS doc_id, round(sum({contrib} ORDER BY p.term), 4) AS score
+FROM post p
+JOIN dfs d ON p.term = d.term
+JOIN dl l ON p.doc_id = l.doc_id
+CROSS JOIN st s
+GROUP BY p.doc_id
+ORDER BY score DESC, doc_id ASC
+LIMIT {k}
+"""
+
+
+def _wildcard_oracle(pattern: str, k: int, max_terms: int = 128) -> str:
+    """Wildcard-expansion BM25 oracle: glob → SQL LIKE (* → %, ? → _;
+    token alphabet has no literal %/_ to escape), lexicographic cap,
+    then the same ordered-aggregate float fold as the prefix oracle."""
+    like = pattern.lower().replace("*", "%").replace("?", "_")
+    contrib = sql_contribution(tf="p.tf", df="d.df", dl="l.dl",
+                               avgdl="s.avgdl", n="s.n_docs")
+    return f"""
+WITH {TOK_CTE}, {POST_CTE}, {DL_CTE},
+st AS (SELECT count(*)::BIGINT AS n_docs, avg(dl) AS avgdl FROM dl),
+dfs AS (SELECT term, count(*)::BIGINT AS df FROM post
+        WHERE term LIKE '{like}' GROUP BY term
         ORDER BY term LIMIT {max_terms})
 SELECT p.doc_id AS doc_id, round(sum({contrib} ORDER BY p.term), 4) AS score
 FROM post p
@@ -2578,6 +2676,7 @@ GROUP BY d::date
             FLAGSHIP_QUERY, 10, delete_top=N_DELETED
         ),
         "prefix_topk": _prefix_oracle(PREFIX_PAT, 10),
+        "wildcard_topk": _wildcard_oracle(WILDCARD_PAT, 10),
         "near_search": _near_oracle(NEAR_A, NEAR_B, NEAR_W),
         "slop_phrase": _slop_oracle(SLOP_PHRASE, SLOP),
         "facet_counts": _facet_oracle(FLAGSHIP_QUERY, "lang"),
@@ -2725,4 +2824,5 @@ FROM documents
     out["facet_hist"] = _facet_hist_oracle(FLAGSHIP_QUERY, "n_chars", 100)
     out["dup_groups"] = _dup_groups_oracle(0.7)
     out["curated"] = _curated_oracle(0.6, ("en",))
+    out["time_travel"] = _TIME_TRAVEL_ORACLE
     return out

@@ -435,8 +435,16 @@ class IndexBuilder:
         if not self.ckpt.is_done("terms"):
             with self.timer.phase("terms"):
                 postings = self.catalog.read("postings")
-                dfs = postings.groupBy("term").agg(
-                    F.count(F.lit(1)).alias("df")
+                # range-sorted dictionary: hash-partitioned groupBy
+                # output would leave every file spanning ~the whole term
+                # range, defeating the manifest/row-group prune that
+                # expand_prefix/_term_dfs rely on; one extra
+                # vocabulary-sized exchange buys real tree descent
+                dfs = (
+                    postings.groupBy("term")
+                    .agg(F.count(F.lit(1)).alias("df"))
+                    .repartitionByRange(F.col("term"))
+                    .sortWithinPartitions("term")
                 )
                 man = self.catalog.write(
                     dfs, "terms", stats_cols=["term"],
@@ -626,6 +634,37 @@ class IndexBuilder:
         self._front_cache = None
         self._docmap_pdf = None
         self._tomb_cache = None
+
+    #: every table an index may commit, in rollback order
+    INDEX_TABLES = ("docmap", "postings", "terms", "terms_rev", "stats",
+                    "blocks", "pos_blocks", "docmeta", "tombstones")
+
+    def pin(self) -> dict[str, str]:
+        """Snapshot-id pin of every committed index table — take one
+        before a risky mutation (upsert, delete, merge, compaction) and
+        hand it to :meth:`rollback` to revert the whole index atomically
+        per table. Pure metadata: O(#tables) manifest reads, no jobs."""
+        return {
+            t: self.catalog.manifest(t)["snapshot_id"]
+            for t in self.INDEX_TABLES
+            if self.catalog.exists(t)
+        }
+
+    def rollback(self, pins: dict[str, str]) -> None:
+        """Restore every index table to its pinned snapshot (catalog
+        time travel), drop tables born after the pin (e.g. a delete's
+        first tombstones table), and flush driver caches so the next
+        query serves the restored state. Non-destructive at the catalog
+        level — the abandoned snapshots stay readable until
+        ``expire_snapshots``."""
+        for t, sid in pins.items():
+            if self.catalog.manifest(t)["snapshot_id"] != sid:
+                self.catalog.restore(t, sid)
+        for t in self.INDEX_TABLES:
+            if t not in pins and self.catalog.exists(t):
+                self.catalog.drop(t)
+                self.ckpt.unmark(t)
+        self.invalidate_caches()
 
     def _corpus_stats(self) -> tuple[int, float]:
         """(n_docs, avgdl) from the committed stats table — driver-side
@@ -828,8 +867,8 @@ class IndexBuilder:
         )
         meta_src = self.catalog.read("docmeta") if keep_meta else None
 
-        for tbl in ("postings", "docmap", "stats", "terms", "blocks",
-                    "tombstones"):
+        for tbl in ("postings", "docmap", "stats", "terms", "terms_rev",
+                    "blocks", "tombstones"):
             self.catalog.drop(tbl)
         self.ckpt.reset()
         man = self.catalog.write(merged, "postings")
@@ -2346,6 +2385,136 @@ class IndexBuilder:
         return self._resolve_topk(
             self._pinned_doc_scores(exp).select("doc_ord", "score"), k
         )
+
+    # -- wildcard ("*fix", "pre*fix") over a reversed dictionary ----------
+
+    def build_reversed_terms(self) -> dict:
+        """Commit ``terms_rev`` — the reversed-term dictionary
+        (rterm = reverse(term), range-sorted/stats'd on rterm) that
+        serves LEADING-wildcard expansion by manifest range prune
+        instead of an O(vocabulary) regex scan (the Lucene
+        reversed-wildcard-field technique). O(vocabulary) to build —
+        one dictionary-sized exchange, never a corpus scan — and
+        re-synced automatically when the terms snapshot moves
+        (appends/upserts/merges change the vocabulary); the source
+        snapshot is pinned in the table props."""
+        src = self.catalog.manifest("terms")["snapshot_id"]
+        rev = (
+            self.catalog.read("terms")
+            .select(F.reverse(F.col("term")).alias("rterm"), "term")
+            .repartitionByRange(F.col("rterm"))
+            .sortWithinPartitions("rterm")
+        )
+        man = self.catalog.replace(
+            rev, "terms_rev", stats_cols=["rterm"],
+            row_group_bytes=LEAF_ROW_GROUP_BYTES,
+            props={"src_snapshot": src},
+        )
+        self.ckpt.mark_done("terms_rev", snapshot=man["snapshot_id"],
+                            seconds=0.0)
+        return man
+
+    def _ensure_terms_rev(self) -> None:
+        """Build/refresh ``terms_rev`` when missing or stale vs the
+        committed terms snapshot (vocabulary drift after appends)."""
+        cur = self.catalog.manifest("terms")["snapshot_id"]
+        if not self.catalog.exists("terms_rev") or (
+            self.catalog.manifest("terms_rev")
+            .get("props", {})
+            .get("src_snapshot") != cur
+        ):
+            self.build_reversed_terms()
+
+    def expand_wildcard(
+        self, pattern: str, max_terms: int | None = None
+    ) -> list[str]:
+        """Index terms matching a glob ``pattern`` (``*`` = any run,
+        ``?`` = one char — Lucene WildcardQuery semantics). Planning
+        picks the longer LITERAL ANCHOR: a leading literal range-prunes
+        the term-sorted ``terms`` table, a trailing literal
+        range-prunes the rterm-sorted reversed dictionary — either way
+        a B+tree-descent-shaped read, never a full-vocabulary scan.
+        Interior/remaining parts verify on the pruned candidates
+        driver-side. Deterministic lexicographic cap (cross-engine
+        pinning). A pattern with no literal anchor at either end
+        ("*", "*?*") is rejected — it would force the O(vocabulary)
+        scan that ``expand_regex`` exists for."""
+        import fnmatch
+        import re
+
+        pattern = pattern.lower().strip()
+        if not pattern:
+            return []
+        if max_terms is None:
+            max_terms = self.MAX_PREFIX_EXPANSIONS
+        if "*" not in pattern and "?" not in pattern:
+            return [pattern]
+        first = min(i for i in (pattern.find("*"), pattern.find("?"))
+                    if i >= 0)
+        last = max(pattern.rfind("*"), pattern.rfind("?"))
+        pre, suf = pattern[:first], pattern[last + 1:]
+        if not pre and not suf:
+            raise ValueError(
+                "wildcard pattern needs a literal prefix or suffix "
+                f"anchor: {pattern!r} (use query_regex for full scans)"
+            )
+        rx = re.compile(fnmatch.translate(pattern))
+        if len(pre) >= len(suf):
+            tbl = self.catalog.read_pruned_arrow(
+                "terms", "term", lo=pre, hi=pre + chr(0x10FFFF),
+                columns=["term"],
+            )
+            cands = tbl.column("term").to_pylist()
+        else:
+            self._ensure_terms_rev()
+            rsuf = suf[::-1]
+            tbl = self.catalog.read_pruned_arrow(
+                "terms_rev", "rterm", lo=rsuf, hi=rsuf + chr(0x10FFFF),
+                columns=["term"],
+            )
+            cands = tbl.column("term").to_pylist()
+        terms = sorted(
+            t for t in cands if t is not None and rx.match(t)
+        )
+        return terms[:max_terms]
+
+    def query_wildcard(
+        self, pattern: str, k: int = 10, max_terms: int | None = None
+    ) -> DataFrame:
+        """Wildcard top-k ("*ing", "s?an"): the glob expansion scored as
+        a multi-term disjunct — per-expansion idf, pinned float
+        discipline, identical scoring contract to ``query_prefix``."""
+        exp = self.expand_wildcard(pattern, max_terms)
+        if not exp:
+            return self._empty_topk()
+        return self._resolve_topk(
+            self._pinned_doc_scores(exp).select("doc_ord", "score"), k
+        )
+
+    def query_wildcard_warm(
+        self, pattern: str, k: int = 10, max_terms: int | None = None
+    ) -> pd.DataFrame:
+        """Interactive wildcard top-k with NO Spark job (expansion from
+        the pruned forward/reversed dictionary via pyarrow, scoring
+        through the shared warm core); falls back to the distributed
+        batch path above the warm block budget — value-identical
+        either way."""
+        cols = [*self.id_cols, "score"]
+        exp = self.expand_wildcard(pattern, max_terms)
+        if not exp:
+            return pd.DataFrame(columns=cols)
+        r = self._warm_top_ords(exp, k)
+        if r is None:
+            out = self.query_batch([exp], k=k).toPandas()
+            return out.drop(columns=["query_id"]).reset_index(drop=True)
+        top, top_scores = r
+        if top.size == 0:
+            return pd.DataFrame(columns=cols)
+        out = self._resolve_ords(
+            [int(o) for o in top]
+        )[list(self.id_cols)].copy()
+        out["score"] = top_scores
+        return out
 
     def query_boosted(
         self, weights: dict[str, float], k: int = 10

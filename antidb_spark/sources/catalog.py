@@ -13,6 +13,17 @@ the subset of Iceberg semantics the engine relies on, behind one seam:
   (idx.py:225-226). ``read_pruned`` uses them for file-level skipping;
   Parquet row-group stats then skip within files.
 
+- **snapshot history + time travel**: every commit also lands a copy of
+  its manifest under ``_snapshots/<id>.json`` with a ``parent_id`` link
+  (the Iceberg snapshot log). ``read_at`` serves any retained snapshot,
+  ``restore`` makes an old snapshot the new head (non-destructive — the
+  abandoned branch stays readable until expired), ``expire_snapshots``
+  trims history and deletes data files no retained snapshot references.
+- **manifest-resolved reads**: ``read`` hands Spark the head manifest's
+  explicit file list, never a directory listing — files from an
+  in-flight or crashed append are invisible until their commit, exactly
+  like Iceberg (and unlike raw ``spark.read.parquet(dir)``).
+
 When a real Iceberg catalog is configured (``spark.sql.catalog.*`` +
 runtime jar), ``Catalog`` can be swapped for ``df.writeTo(...)`` /
 ``spark.read.table(...)`` without touching callers — the seam is this
@@ -60,6 +71,12 @@ class Catalog:
     def _manifest_path(self, name: str) -> str:
         return os.path.join(self.table_dir(name), "_manifest.json")
 
+    def _snapshots_dir(self, name: str) -> str:
+        return os.path.join(self.table_dir(name), "_snapshots")
+
+    def _history_path(self, name: str) -> str:
+        return os.path.join(self.table_dir(name), "_history.json")
+
     def exists(self, name: str) -> bool:
         return os.path.exists(self._manifest_path(name))
 
@@ -105,14 +122,34 @@ class Catalog:
             except FileNotFoundError:
                 pass
         ddir = os.path.join(self.table_dir(name), data_dir)
+        # O(delta) append metadata: snapshot the dir before the write so
+        # only the NEW files get their footers harvested; prior entries
+        # carry over from the head manifest verbatim. Re-harvesting the
+        # whole table per append is O(corpus) metadata work for an
+        # O(delta) event — at 10^12 turns that is the difference between
+        # a constant-time and a linear-time commit. Side effect (the
+        # Iceberg behavior): files from a CRASHED earlier append attempt
+        # are in the pre-listing, so they stay uncommitted-invisible
+        # instead of being silently resurrected into the next snapshot.
+        prev_entries = None
+        before: set[str] = set()
+        if mode == "append" and self.exists(name):
+            prev_entries = self.manifest(name)["files"]
+            before = set(self._walk_parquet(ddir))
         w = df.write.mode(mode).option("compression", "zstd")
         if row_group_bytes:
             w = w.option("parquet.block.size", str(int(row_group_bytes)))
         if partition_by:
             w = w.partitionBy(*partition_by)
         w.parquet(ddir)
+        new_paths = None
+        if prev_entries is not None:
+            new_paths = [p for p in self._walk_parquet(ddir)
+                         if p not in before]
         return self.commit(
-            name, stats_cols=stats_cols, props=props, data_dir=data_dir
+            name, stats_cols=stats_cols, props=props, data_dir=data_dir,
+            carry_files=prev_entries, harvest_paths=new_paths,
+            op="append" if prev_entries is not None else "write",
         )
 
     def replace(
@@ -147,7 +184,7 @@ class Catalog:
             w = w.option("parquet.block.size", str(int(row_group_bytes)))
         w.parquet(ddir)
         man = self.commit(name, stats_cols=stats_cols, props=props,
-                          data_dir=gen)
+                          data_dir=gen, op="replace")
         for d in os.listdir(self.table_dir(name)):
             if d not in (gen, prev) and (d == "data"
                                          or d.startswith("data-")):
@@ -155,21 +192,39 @@ class Catalog:
                               ignore_errors=True)
         return man
 
+    def _walk_parquet(self, ddir: str) -> list[str]:
+        paths = []
+        for dirpath, _dirs, fnames in os.walk(ddir):
+            for fn in sorted(fnames):
+                if fn.endswith(".parquet"):
+                    paths.append(os.path.join(dirpath, fn))
+        return paths
+
     def commit(
         self,
         name: str,
         stats_cols: list[str] | None = None,
         props: dict[str, Any] | None = None,
         data_dir: str = "data",
+        carry_files: list[dict] | None = None,
+        harvest_paths: list[str] | None = None,
+        op: str = "write",
     ) -> dict:
-        """Harvest footer stats for existing data files and atomically
-        publish the manifest (the snapshot commit point)."""
+        """Harvest footer stats for data files and atomically publish the
+        manifest (the snapshot commit point).
+
+        Default: harvest every parquet file under ``data_dir``. An
+        O(delta) commit passes ``carry_files`` (prior entries kept
+        verbatim) + ``harvest_paths`` (only the new files get footer
+        reads). Every commit also records itself in the snapshot log
+        (``_snapshots/<id>.json`` + ``_history.json``) with a
+        ``parent_id`` link, enabling :meth:`read_at` time travel and
+        :meth:`restore`."""
         ddir = os.path.join(self.table_dir(name), data_dir)
-        paths = []
-        for dirpath, _dirs, fnames in os.walk(ddir):
-            for fn in sorted(fnames):
-                if fn.endswith(".parquet"):
-                    paths.append(os.path.join(dirpath, fn))
+        if harvest_paths is not None:
+            paths = list(harvest_paths)
+        else:
+            paths = self._walk_parquet(ddir)
 
         def harvest(path: str) -> dict[str, Any]:
             entry: dict[str, Any] = {
@@ -202,8 +257,15 @@ class Catalog:
                 files = list(ex.map(harvest, paths))
         else:
             files = [harvest(p) for p in paths]
+        if carry_files:
+            files = list(carry_files) + files
+        parent = (
+            self.manifest(name)["snapshot_id"] if self.exists(name) else None
+        )
         manifest = {
             "snapshot_id": uuid.uuid4().hex,
+            "parent_id": parent,
+            "op": op,
             "committed_at": time.time(),
             "format": "parquet-iceberg-style",
             "data_dir": data_dir,
@@ -211,11 +273,68 @@ class Catalog:
             "props": props or {},
             "files": files,
         }
+        return self._publish(name, manifest)
+
+    def _publish(self, name: str, manifest: dict) -> dict:
+        """Land the snapshot copy, swap the head manifest (THE commit
+        point, one atomic rename), then append the history row. A crash
+        before the swap leaves an orphan snapshot json (harmless); a
+        crash after it leaves the head valid with its history row
+        missing — :meth:`history` synthesizes the head row in that case."""
+        sid = manifest["snapshot_id"]
+        sdir = self._snapshots_dir(name)
+        os.makedirs(sdir, exist_ok=True)
+        body = json.dumps(manifest, indent=1, default=str)
+        spath = os.path.join(sdir, f"{sid}.json")
+        with open(spath + ".tmp", "w") as f:
+            f.write(body)
+        os.replace(spath + ".tmp", spath)
         tmp = self._manifest_path(name) + ".tmp"
         with open(tmp, "w") as f:
-            json.dump(manifest, f, indent=1, default=str)
+            f.write(body)
         os.replace(tmp, self._manifest_path(name))  # atomic commit
+        hist = self._read_history(name)
+        hist.append({
+            "snapshot_id": sid,
+            "parent_id": manifest.get("parent_id"),
+            "op": manifest.get("op", "write"),
+            "committed_at": manifest["committed_at"],
+            "data_dir": manifest.get("data_dir", "data"),
+            "n_files": len(manifest["files"]),
+            "rows": sum(e.get("rows") or 0 for e in manifest["files"]),
+        })
+        htmp = self._history_path(name) + ".tmp"
+        with open(htmp, "w") as f:
+            json.dump(hist, f, indent=1, default=str)
+        os.replace(htmp, self._history_path(name))
         return manifest
+
+    def _read_history(self, name: str) -> list[dict]:
+        try:
+            with open(self._history_path(name)) as f:
+                return json.load(f)
+        except FileNotFoundError:
+            return []
+
+    def history(self, name: str) -> list[dict]:
+        """Snapshot log, oldest → newest (Iceberg ``table.history()``
+        analog). Tolerates a crash between head swap and history append
+        by synthesizing the head's row; pre-snapshot-log tables (older
+        manifests with no ``_history.json``) report just the head."""
+        hist = self._read_history(name)
+        if self.exists(name):
+            head = self.manifest(name)
+            if not any(h["snapshot_id"] == head["snapshot_id"] for h in hist):
+                hist.append({
+                    "snapshot_id": head["snapshot_id"],
+                    "parent_id": head.get("parent_id"),
+                    "op": head.get("op", "write"),
+                    "committed_at": head["committed_at"],
+                    "data_dir": head.get("data_dir", "data"),
+                    "n_files": len(head["files"]),
+                    "rows": sum(e.get("rows") or 0 for e in head["files"]),
+                })
+        return hist
 
     # -- read --------------------------------------------------------------
 
@@ -252,12 +371,122 @@ class Catalog:
         self._ds_cache[name] = (snap, dataset, frags)
         return dataset, frags
 
-    def read(self, name: str) -> DataFrame:
+    def read(self, name: str, snapshot_id: str | None = None) -> DataFrame:
+        """Scan the head snapshot (or, with ``snapshot_id``, time-travel
+        to a retained one). Reads resolve through the MANIFEST's explicit
+        file list, never a directory listing, so files from an in-flight
+        or crashed (uncommitted) append are invisible — the Iceberg
+        isolation contract."""
         if not self.exists(name):
             raise FileNotFoundError(f"table {name!r} has no committed snapshot")
-        return self.spark.read.parquet(
-            os.path.join(self.table_dir(name), self._data_dir_name(name))
+        man = self.manifest_at(name, snapshot_id) if snapshot_id else (
+            self.manifest(name)
         )
+        paths = [os.path.join(self.table_dir(name), e["path"])
+                 for e in man["files"]]
+        if snapshot_id:
+            missing = [p for p in paths if not os.path.exists(p)]
+            if missing:
+                from ..err import SnapshotExpiredError
+
+                raise SnapshotExpiredError(name, snapshot_id, missing)
+        if not paths:  # zero-file snapshot: no footer to infer from
+            return self.spark.read.parquet(
+                os.path.join(self.table_dir(name), man.get("data_dir", "data"))
+            )
+        return self.spark.read.parquet(*paths)
+
+    def manifest_at(self, name: str, snapshot_id: str) -> dict:
+        """Manifest of a historical snapshot from the snapshot log (the
+        head answers without touching ``_snapshots/``)."""
+        if self.exists(name):
+            head = self.manifest(name)
+            if head["snapshot_id"] == snapshot_id:
+                return head
+        spath = os.path.join(self._snapshots_dir(name), f"{snapshot_id}.json")
+        try:
+            with open(spath) as f:
+                return json.load(f)
+        except FileNotFoundError:
+            from ..err import UnknownSnapshotError
+
+            raise UnknownSnapshotError(name, snapshot_id) from None
+
+    def read_at(self, name: str, snapshot_id: str) -> DataFrame:
+        """Time-travel scan (Iceberg ``VERSION AS OF`` analog)."""
+        return self.read(name, snapshot_id=snapshot_id)
+
+    def restore(self, name: str, snapshot_id: str) -> dict:
+        """Make ``snapshot_id`` the table's head again (Iceberg
+        ``rollback_to_snapshot``). Non-destructive: the abandoned branch's
+        snapshots stay readable via :meth:`read_at` until
+        :meth:`expire_snapshots` reclaims them. The restore is itself a
+        new commit (fresh snapshot id, ``op="restore"``), so caches keyed
+        on snapshot id invalidate and the log keeps a full audit trail."""
+        man = dict(self.manifest_at(name, snapshot_id))
+        paths = [os.path.join(self.table_dir(name), e["path"])
+                 for e in man["files"]]
+        missing = [p for p in paths if not os.path.exists(p)]
+        if missing:
+            from ..err import SnapshotExpiredError
+
+            raise SnapshotExpiredError(name, snapshot_id, missing)
+        man["snapshot_id"] = uuid.uuid4().hex
+        man["parent_id"] = (
+            self.manifest(name)["snapshot_id"] if self.exists(name) else None
+        )
+        man["op"] = "restore"
+        man["committed_at"] = time.time()
+        out = self._publish(name, man)
+        self._man_cache.pop(name, None)
+        return out
+
+    def expire_snapshots(self, name: str, keep_last: int = 3) -> dict:
+        """Trim the snapshot log to the head + the ``keep_last`` most
+        recent entries and delete data files referenced by NO retained
+        snapshot (Iceberg ``expire_snapshots``). This is the bound on
+        time-travel retention — and the reclaim path for generations
+        abandoned by :meth:`restore` and for crashed-append orphans."""
+        head = self.manifest(name)
+        hist = self.history(name)
+        keep_ids = {h["snapshot_id"] for h in hist[-max(keep_last, 1):]}
+        keep_ids.add(head["snapshot_id"])
+        referenced: set[str] = set()
+        sdir = self._snapshots_dir(name)
+        expired = 0
+        if os.path.isdir(sdir):
+            for fn in os.listdir(sdir):
+                sid = fn[:-5]
+                if not fn.endswith(".json"):
+                    continue
+                if sid in keep_ids:
+                    try:
+                        with open(os.path.join(sdir, fn)) as f:
+                            referenced.update(
+                                e["path"] for e in json.load(f)["files"]
+                            )
+                    except (OSError, KeyError, ValueError):
+                        continue
+                else:
+                    os.unlink(os.path.join(sdir, fn))
+                    expired += 1
+        referenced.update(e["path"] for e in head["files"])
+        tdir = self.table_dir(name)
+        removed = 0
+        for p in self._walk_parquet(tdir):
+            if os.path.relpath(p, tdir) not in referenced:
+                try:
+                    os.unlink(p)
+                    removed += 1
+                except OSError:
+                    pass
+        hist = [h for h in hist if h["snapshot_id"] in keep_ids]
+        htmp = self._history_path(name) + ".tmp"
+        with open(htmp, "w") as f:
+            json.dump(hist, f, indent=1, default=str)
+        os.replace(htmp, self._history_path(name))
+        return {"expired_snapshots": expired, "removed_files": removed,
+                "retained_snapshots": len(keep_ids)}
 
     def pruned_file_paths(
         self,

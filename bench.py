@@ -109,7 +109,8 @@ def run_suite(spark, docs, transcripts, n_turns):
     # --- index build over synthetic transcripts (north-rule flagship) ---
     index_phases = ("index_build", "bm25_batch", "bm25_warm", "grouped",
                     "pos_build", "phrase_warm", "snippet_warm", "near_warm",
-                    "slop_warm", "prefix_warm", "upsert_delta")
+                    "slop_warm", "prefix_warm", "wildcard_warm",
+                    "upsert_delta")
     builder = None
     if any(phase_on(p) for p in index_phases):
         builder = IndexBuilder(spark, os.path.join(work_root, "idx"))
@@ -185,6 +186,15 @@ def run_suite(spark, docs, transcripts, n_turns):
             prefs = [v[i][:4] for i in range(600, 610)] * 2
             warm_median("prefix_warm", prefs,
                         lambda p: builder.query_prefix_warm(p, k=10))
+
+    if phase_on("wildcard_warm"):
+        # leading-wildcard probes: suffix anchors range-prune the
+        # reversed dictionary (terms_rev builds in the untimed
+        # warm-up call); no positional layer needed
+        v = vocabulary(2000)
+        pats = [f"*{v[i][-3:]}" for i in range(800, 810)] * 2
+        warm_median("wildcard_warm", pats,
+                    lambda p: builder.query_wildcard_warm(p, k=10))
 
     # --- O(delta) upsert: replace ~0.1% of the committed corpus ---------
     # LAST of the index-dependent phases: it mutates the builder (old
@@ -350,7 +360,8 @@ def main() -> None:
     transcripts, n_turns = None, 0
     index_phases = ("index_build", "bm25_batch", "bm25_warm", "grouped",
                     "pos_build", "phrase_warm", "snippet_warm", "near_warm",
-                    "slop_warm", "prefix_warm", "upsert_delta")
+                    "slop_warm", "prefix_warm", "wildcard_warm",
+                    "upsert_delta")
     if any(phase_on(p) for p in index_phases):
         transcripts = synth_transcripts(spark, n_convs=N_CONVS).cache()
         n_turns = transcripts.count()  # materialize outside any timer
@@ -404,6 +415,10 @@ def main() -> None:
         extras["near_warm_ms"] = round(1000 * timings["near_warm"], 2)
     if "prefix_warm" in timings:
         extras["prefix_warm_ms"] = round(1000 * timings["prefix_warm"], 2)
+    if "wildcard_warm" in timings:
+        extras["wildcard_warm_ms"] = round(
+            1000 * timings["wildcard_warm"], 2
+        )
     if "eq_batch_1000" in timings:
         extras["point_lookups_per_sec_spark"] = round(
             1000 / timings["eq_batch_1000"], 1

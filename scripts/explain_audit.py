@@ -136,6 +136,19 @@ def main() -> None:
             plan_of(b.query_decayed("the kemuba0 data", k=5)),
         ))
 
+        sections.append((
+            "wildcard top-k (reversed-dictionary expansion)",
+            "Expansion is DRIVER-side metadata: the glob's literal "
+            "anchor range-prunes the term-sorted terms table (leading "
+            "literal) or the rterm-sorted terms_rev reversed dictionary "
+            "(trailing literal) via manifest stats + pyarrow — no Spark "
+            "job and never an O(vocabulary) scan. The scoring plan is "
+            "then identical to the prefix/pinned disjunct: a blocks "
+            "scan pruned to the expansions (In(term,…) pushdown), "
+            "codegen scoring, TakeOrdered.",
+            plan_of(b.query_wildcard("*a3", k=5)),
+        ))
+
         from antidb_spark.operators.phrase import (
             build_positional_index,
             term_positions,
@@ -213,6 +226,25 @@ def main() -> None:
         t.unpersist()
 
     from antidb_spark.operators.dedup import minhash_signatures
+
+    from antidb_spark.sources.catalog import Catalog
+
+    with tempfile.TemporaryDirectory(prefix="audit_tt_") as troot:
+        cat = Catalog(spark, troot)
+        m1 = cat.write(docs.filter(F.col("doc_id") % 3 == 0), "tt",
+                       stats_cols=["doc_id"])
+        cat.write(docs.filter(F.col("doc_id") % 3 == 1), "tt",
+                  mode="append")
+        sections.append((
+            "time-travel read (snapshot AS OF)",
+            "Snapshot isolation is BY PLAN CONSTRUCTION: the scan's file "
+            "index holds exactly the v1 manifest's files (the v2 delta "
+            "files never enter the plan) — no filter, no tombstone "
+            "anti-join, no runtime cost over a plain scan. The same "
+            "mechanism makes uncommitted/crashed-append files invisible "
+            "to head reads.",
+            plan_of(cat.read_at("tt", m1["snapshot_id"])),
+        ))
 
     sections.append((
         "minhash signatures (JVM aggregate path)",
