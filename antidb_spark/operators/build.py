@@ -414,11 +414,18 @@ class IndexBuilder:
                 dl = postings.groupBy(*self.id_cols).agg(F.sum("tf").alias("dl"))
                 docmap = assign_doc_ords(dl, self.id_cols, n_part)
                 man = self.catalog.write(
-                    docmap, "docmap", stats_cols=["doc_ord"],
+                    docmap, "docmap",
+                    stats_cols=["doc_ord", self.id_cols[0]],
                     row_group_bytes=LEAF_ROW_GROUP_BYTES,
                 )
+                # sum_dl rides along so appends can update stats
+                # ARITHMETICALLY (O(delta), no docmap re-scan): dl are
+                # ints, so the double sum is exact below 2^53 and
+                # avgdl = sum_dl/n_docs is bit-identical to F.avg
                 stats = self.catalog.read("docmap").agg(
-                    F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")
+                    F.count(F.lit(1)).alias("n_docs"),
+                    F.avg("dl").alias("avgdl"),
+                    F.sum("dl").alias("sum_dl"),
                 )
                 man_s = self.catalog.write(stats, "stats")
                 src = getattr(docmap, "_ord_source", None)
@@ -639,6 +646,11 @@ class IndexBuilder:
     INDEX_TABLES = ("docmap", "postings", "terms", "terms_rev", "stats",
                     "blocks", "pos_blocks", "docmeta", "tombstones")
 
+    #: delete batches up to this many distinct first-id values resolve
+    #: ordinals via a manifest-PRUNED docmap read (values-list prune is
+    #: O(files × ids) driver work); bigger deletes full-scan instead
+    DELETE_PRUNE_MAX_IDS = 4096
+
     def pin(self) -> dict[str, str]:
         """Snapshot-id pin of every committed index table — take one
         before a risky mutation (upsert, delete, merge, compaction) and
@@ -757,9 +769,28 @@ class IndexBuilder:
                 rows, T.StructType([dm_schema[c] for c in self.id_cols])
             )
         ids = docs.select(*self.id_cols).distinct()
+        # resolve ordinals from a PRUNED docmap scan when possible: the
+        # docmap is range-sorted by id_cols and its manifest carries
+        # min/max of the first id col, so a bounded delete batch (the
+        # upsert regime) reads only the files whose id range can hold a
+        # probe — the full O(corpus) docmap scan is the fallback for
+        # huge deletes and pre-stats snapshots. Pruning by the first id
+        # col alone is safe: a pruned-out file contains no probe value
+        # of that col, so no row in it can match the full-id semi-join.
+        c0 = self.id_cols[0]
+        dm = None
+        if c0 in self.catalog.manifest("docmap")["stats_cols"]:
+            probe = ids.select(c0).distinct().limit(
+                self.DELETE_PRUNE_MAX_IDS + 1
+            ).collect()
+            if len(probe) <= self.DELETE_PRUNE_MAX_IDS:
+                vals = sorted({r[0] for r in probe if r[0] is not None})
+                if vals:
+                    dm = self.catalog.read_pruned("docmap", c0, values=vals)
+        if dm is None:
+            dm = self.catalog.read("docmap")
         hits = (
-            self.catalog.read("docmap")
-            .join(ids, list(self.id_cols), "left_semi")
+            dm.join(ids, list(self.id_cols), "left_semi")
             .select("doc_ord")
         )
         prev = self._tombstones_df()

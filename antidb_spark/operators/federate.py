@@ -52,12 +52,19 @@ from antidb_spark.functions.bm25 import contribution
 
 
 def federated_stats(builders) -> tuple[int, float]:
-    """Global (n_docs, avgdl) across segments, driver-side only."""
+    """Global (n_docs, avgdl) across segments, driver-side only.
+    Segments carrying the exact ``sum_dl`` contribute it directly
+    (integer-exact Σ dl, so the global avgdl is bit-identical to a
+    union build's); older snapshots fall back to n_i·avgdl_i."""
     n_docs, total_dl = 0, 0.0
     for b in builders:
-        n_i, avg_i = b._corpus_stats()
+        row = b.catalog.read_arrow("stats").to_pylist()[0]
+        n_i = int(row["n_docs"])
         n_docs += n_i
-        total_dl += n_i * avg_i
+        if row.get("sum_dl") is not None:
+            total_dl += float(row["sum_dl"])
+        else:
+            total_dl += n_i * float(row["avgdl"])
     return n_docs, (total_dl / n_docs if n_docs else 0.0)
 
 

@@ -129,7 +129,8 @@ def merge_index(
     # docmap + raw postings: append with shifted ordinals / as-is
     dst.catalog.write(
         src_docmap.withColumn("doc_ord", F.col("doc_ord") + F.lit(offset)),
-        "docmap", stats_cols=["doc_ord"], mode="append",
+        "docmap", stats_cols=["doc_ord", dst.id_cols[0]],
+        mode="append",
     )
     dst.catalog.write(
         src.catalog.read("postings"), "postings", mode="append"
@@ -154,9 +155,12 @@ def merge_index(
                         row_group_bytes=LEAF_ROW_GROUP_BYTES)
 
     # stats: recomputed the batch way over the merged docmap (exact
-    # equivalence with a from-scratch build over the union)
+    # equivalence with a from-scratch build over the union); sum_dl
+    # rides along so later appends stay O(delta)
     stats = dst.catalog.read("docmap").agg(
-        F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")
+        F.count(F.lit(1)).alias("n_docs"),
+        F.avg("dl").alias("avgdl"),
+        F.sum("dl").alias("sum_dl"),
     )
     dst.catalog.replace(stats, "stats")
 

@@ -97,7 +97,8 @@ def append_run(
     new_docmap = assign_doc_ords(new_dl, id_cols, n_part,
                                  start=int(old_max) + 1)
     b.catalog.write(
-        new_docmap, "docmap", stats_cols=["doc_ord"], mode="append"
+        new_docmap, "docmap",
+        stats_cols=["doc_ord", id_cols[0]], mode="append"
     )
     src = getattr(new_docmap, "_ord_source", None)
 
@@ -123,11 +124,28 @@ def append_run(
     b.catalog.replace(merged_terms, "terms", stats_cols=["term"],
                       row_group_bytes=LEAF_ROW_GROUP_BYTES)
 
-    # stats: recomputed the batch way over the appended docmap (exact
-    # equivalence with a from-scratch build)
-    stats = b.catalog.read("docmap").agg(
-        F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")
-    )
+    # stats: updated ARITHMETICALLY from the committed row + the delta's
+    # (count, sum dl) — O(delta), never a docmap re-scan. Bit-identical
+    # to a from-scratch recompute: dl are ints, integer-valued double
+    # sums below 2^53 are exact in any association order, and fresh
+    # builds compute avgdl as the same sum/count. Pre-sum_dl indexes
+    # (older snapshots) take one full recompute, which upgrades them.
+    old = b.catalog.read_arrow("stats").to_pylist()[0]
+    if old.get("sum_dl") is not None:
+        d = new_dl.agg(
+            F.count(F.lit(1)).alias("n"), F.sum("dl").alias("s")
+        ).first()
+        n = int(old["n_docs"]) + int(d["n"])
+        s = int(old["sum_dl"]) + int(d["s"] or 0)
+        stats = spark.createDataFrame(
+            [(n, s / n, s)], "n_docs bigint, avgdl double, sum_dl bigint"
+        )
+    else:
+        stats = b.catalog.read("docmap").agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.avg("dl").alias("avgdl"),
+            F.sum("dl").alias("sum_dl"),
+        )
     b.catalog.replace(stats, "stats")
 
     # blocks: pack ONLY the delta postings; append with a fresh run_base
@@ -257,8 +275,12 @@ def upsert_docs(builder, docs: DataFrame,
         ]
     )
     docs = docs.localCheckpoint()  # pin: read once for postings/pos/meta
-    n_in = docs.count()
-    n_ids = docs.select(*b.id_cols).distinct().count()
+    # one action for both counts (per-job latency dominates O(delta) ops)
+    c = docs.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count_distinct(*[F.col(i) for i in b.id_cols]).alias("d"),
+    ).first()
+    n_in, n_ids = int(c["n"]), int(c["d"])
     if n_ids != n_in:
         raise ValueError(
             f"upsert input holds duplicate ids ({n_in} rows, {n_ids} "
