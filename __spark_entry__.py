@@ -275,6 +275,23 @@ def _q_bool_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# min_should_match=2 over optional terms {dup, query} with must=spark:
+# the candidate set shrinks from the ~385 spark-docs to the 15 docs
+# containing all three terms — the knob provably bites while the
+# top-10 stays full (verified at sf0.01).
+BOOL_MSM = 2
+
+
+def _q_bool_msm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """min_should_match (the Lucene/ES knob): docs MUST contain
+    'spark' AND at least 2 distinct optional terms of {dup, query};
+    all three terms score."""
+    return _entry_index(spark, sf_dir).query_bool(
+        must=BOOL_MUST, should=BOOL_SHOULD, k=10,
+        min_should_match=BOOL_MSM,
+    )
+
+
 # synonym groups chosen so BOTH sides of the blending contract show at
 # sf0.01: "join" absorbs the dense "merge" (docs matching only via
 # merge join the candidate set — 5 of 10 top-10 positions change vs the
@@ -920,6 +937,36 @@ def _q_facet_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# foreground = the 25 docs containing the rare 'dup' (df=25 of 500):
+# a small, distinctive result set whose term distribution measurably
+# diverges from the corpus background — JLH scores are non-degenerate.
+SIG_QUERY = "dup"
+SIG_MIN_DC = 3
+
+
+def _q_sig_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """significant_terms aggregation: terms overrepresented in the
+    docs matching 'dup' vs the whole corpus, JLH-scored top-10."""
+    return _entry_index(spark, sf_dir).significant_terms(
+        SIG_QUERY, k=10, min_doc_count=SIG_MIN_DC
+    )
+
+
+# 's' matches 6 vocab terms (scan slow small sort spark stream);
+# k=4 makes the top-k cut provably bite (2 dropped).
+COMPLETE_PREFIX = "s"
+COMPLETE_K = 4
+
+
+def _q_complete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Completion suggester: index terms under prefix 's' ranked by
+    document frequency (df desc, term asc), via the manifest
+    range-pruned terms table."""
+    return _entry_index(spark, sf_dir).complete(
+        COMPLETE_PREFIX, k=COMPLETE_K
+    )
+
+
 def _q_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup GROUPS from pairwise minhash verdicts: connected
     components (min-label propagation) over the minhash_dups pair
@@ -1326,6 +1373,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "conjunctive_topk": _q_conjunctive_topk,
         "not_topk": _q_not_topk,
         "bool_topk": _q_bool_topk,
+        "bool_msm": _q_bool_msm,
         "synonym_topk": _q_synonym_topk,
         "bm25f_topk": _q_bm25f_topk,
         "deleted_topk": _q_deleted_topk,
@@ -1382,6 +1430,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "score_explain": _q_score_explain,
         "percolate": _q_percolate,
         "facet_hist": _q_facet_hist,
+        "sig_terms": _q_sig_terms,
+        "complete_prefix": _q_complete,
         "dup_groups": _q_dup_groups,
         "curated": _q_curated,
         "clone_candidates": _q_clone_candidates,
@@ -1404,7 +1454,7 @@ def _topk_oracle(
     query: str, k: int, where: str | None = None,
     require_all: bool = False, exclude: str | None = None,
     offset: int = 0, must: str | None = None, delete_top: int = 0,
-    corpus_sql: str | None = None,
+    corpus_sql: str | None = None, min_should_match: int = 0,
 ) -> str:
     """BM25 top-k oracle; ``where`` restricts the RESULT docs via a
     predicate over the documents row (alias ``doc``) while df/avgdl/N
@@ -1454,6 +1504,17 @@ def _topk_oracle(
         having = (
             "HAVING count(DISTINCT CASE WHEN p.term IN "
             f"({must_list}) THEN p.term END) = {len(must_terms)}"
+        )
+    if min_should_match:
+        # optional terms = query terms not already required by must
+        opt = sorted(set(terms) - set(py_tokens(must or "")))
+        opt_list = ", ".join(f"'{t}'" for t in opt)
+        msm_cond = (
+            "count(DISTINCT CASE WHEN p.term IN "
+            f"({opt_list}) THEN p.term END) >= {int(min_should_match)}"
+        )
+        having = (
+            f"{having} AND {msm_cond}" if having else f"HAVING {msm_cond}"
         )
     lead = (
         f"logical AS ({corpus_sql}), {_tok_cte('logical')}"
@@ -2274,6 +2335,48 @@ GROUP BY 1
 """
 
 
+def _sig_terms_oracle(query: str, k: int, min_dc: int) -> str:
+    """significant_terms JLH oracle (mirrors
+    IndexBuilder.significant_terms): foreground = docs containing any
+    query term; per-term fg_df vs corpus bg_df; score =
+    (fg% − bg%)·(fg%/bg%) with the SAME parse shape as the Spark
+    expression (single per-row fold over exact BIGINT counts, 6dp)."""
+    q_terms = sorted(set(py_tokens(query)))
+    in_list = ", ".join(f"'{t}'" for t in q_terms)
+    return f"""
+WITH {TOK_CTE}, {POST_CTE},
+fg AS (SELECT DISTINCT doc_id FROM post WHERE term IN ({in_list})),
+nfg AS (SELECT count(*)::BIGINT AS n_fg FROM fg),
+nd AS (SELECT count(*)::BIGINT AS n_docs FROM documents),
+fgdf AS (
+  SELECT p.term, count(*)::BIGINT AS fg_df
+  FROM post p JOIN fg USING (doc_id)
+  WHERE p.term NOT IN ({in_list})
+  GROUP BY p.term
+  HAVING count(*) >= {int(min_dc)}),
+bg AS (SELECT term, count(*)::BIGINT AS bg_df FROM post GROUP BY term)
+SELECT f.term AS term, f.fg_df AS fg_df, b.bg_df AS bg_df,
+       round(((f.fg_df / n.n_fg) - (b.bg_df / d.n_docs))
+             * ((f.fg_df / n.n_fg) / (b.bg_df / d.n_docs)), 6) AS score
+FROM fgdf f JOIN bg b USING (term), nfg n, nd d
+ORDER BY score DESC, term ASC
+LIMIT {k}
+"""
+
+
+def _complete_oracle(prefix: str, k: int) -> str:
+    """Completion-suggester oracle (mirrors IndexBuilder.complete):
+    vocabulary terms under ``prefix`` ranked df desc, term asc."""
+    return f"""
+WITH {TOK_CTE}, {POST_CTE},
+dfs AS (SELECT term, count(*)::BIGINT AS df FROM post GROUP BY term)
+SELECT term, df FROM dfs
+WHERE term LIKE '{prefix}%'
+ORDER BY df DESC, term ASC
+LIMIT {k}
+"""
+
+
 def _dup_groups_oracle(threshold: float) -> str:
     """Transitive closure (recursive CTE) over the minhash near-dup
     pairs — min reachable id per node (mirrors
@@ -2670,6 +2773,10 @@ GROUP BY d::date
             f"{BOOL_MUST} {BOOL_SHOULD}", 10,
             must=BOOL_MUST, exclude=BOOL_NOT,
         ),
+        "bool_msm": _topk_oracle(
+            f"{BOOL_MUST} {BOOL_SHOULD}", 10,
+            must=BOOL_MUST, min_should_match=BOOL_MSM,
+        ),
         "synonym_topk": _synonym_oracle(FLAGSHIP_QUERY, SYNONYMS, 10),
         "bm25f_topk": _bm25f_oracle(BM25F_QUERY, 10),
         "deleted_topk": _topk_oracle(
@@ -2822,6 +2929,8 @@ FROM documents
     out["score_explain"] = _explain_oracle(FLAGSHIP_QUERY, 10)
     out["percolate"] = _percolate_oracle()
     out["facet_hist"] = _facet_hist_oracle(FLAGSHIP_QUERY, "n_chars", 100)
+    out["sig_terms"] = _sig_terms_oracle(SIG_QUERY, 10, SIG_MIN_DC)
+    out["complete_prefix"] = _complete_oracle(COMPLETE_PREFIX, COMPLETE_K)
     out["dup_groups"] = _dup_groups_oracle(0.7)
     out["curated"] = _curated_oracle(0.6, ("en",))
     out["time_travel"] = _TIME_TRAVEL_ORACLE

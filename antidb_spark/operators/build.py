@@ -2098,7 +2098,7 @@ class IndexBuilder:
 
     def query_bool(
         self, must: str = "", should: str = "", must_not: str = "",
-        k: int = 10,
+        k: int = 10, min_should_match: int = 0,
     ) -> DataFrame:
         """Composed boolean ranking (the search-DSL bool-query shape):
         docs must contain EVERY ``must`` term; ``should`` terms add
@@ -2107,7 +2107,16 @@ class IndexBuilder:
         contribute to the score too — standard bool-query semantics),
         so ``must_not``/``should`` empty degrades exactly to
         ``query_pinned(must, require_all=True)`` and ``must`` empty to
-        ``query_pinned(should)``."""
+        ``query_pinned(should)``.
+
+        ``min_should_match`` (the Lucene/ES knob of the same name)
+        requires at least that many DISTINCT optional terms — the
+        ``should`` terms not already required by ``must`` — to be
+        present per doc. It is a pure filter over the per-term
+        presence columns the scoring pass already computed (``c{i}``
+        NULL ⟺ term absent), so it adds zero reads and zero shuffles;
+        asking for more optional matches than there are optional terms
+        yields an empty result, the Lucene contract."""
         from antidb_spark.functions.analyze import py_tokens
 
         must_t = set(py_tokens(must))
@@ -2118,6 +2127,20 @@ class IndexBuilder:
         for i, t in enumerate(q_terms):
             if t in must_t:
                 scored = scored.filter(F.col(f"c{i}").isNotNull())
+        if min_should_match:
+            import operator as _op
+            from functools import reduce
+
+            opt_idx = [
+                i for i, t in enumerate(q_terms) if t not in must_t
+            ]
+            if len(opt_idx) < min_should_match:
+                return self._empty_topk()
+            matched = reduce(_op.add, [
+                F.when(F.col(f"c{i}").isNotNull(), 1).otherwise(0)
+                for i in opt_idx
+            ])
+            scored = scored.filter(matched >= int(min_should_match))
         ex_terms = sorted(set(py_tokens(must_not))) if must_not else []
         if ex_terms:
             scored = scored.join(
@@ -2774,6 +2797,114 @@ class IndexBuilder:
             .agg(F.count(F.lit(1)).alias("n_docs"))
             .orderBy(F.asc_nulls_first("bucket"))
         )
+
+    def significant_terms(
+        self, query: str, k: int = 10, min_doc_count: int = 3,
+    ) -> DataFrame:
+        """Terms OVERREPRESENTED in the docs matching ``query`` relative
+        to the whole corpus (the significant_terms aggregation — "what
+        is this result set about beyond the query itself"). Returns
+        (term, fg_df, bg_df, score) top-k by JLH score
+        ``(fg% − bg%) · fg%/bg%`` (foreground share times its lift),
+        score desc / term asc, query terms themselves excluded and
+        terms seen in fewer than ``min_doc_count`` matching docs
+        dropped.
+
+        Plan: foreground doc_ords from the query terms'
+        manifest-pruned blocks (tombstones dropped) → ONE inner join
+        against the decoded postings stream keyed on doc_ord → a
+        map-side-combinable per-term count. Background df comes from
+        the committed ``terms`` table and N from ``stats`` — both tiny
+        broadcasts. The postings decode is a full-index pass: that is
+        the operation's inherent cost (every term's foreground
+        frequency is needed); engines that avoid it sample the
+        foreground instead, which composes here — pass a pre-filtered
+        query. The join shuffles postings on doc_ord once; the output
+        is vocabulary-sized before the top-k cut, never corpus-sized.
+
+        Float discipline: the score is a single per-row expression over
+        exact int64 counts (no accumulation), rounded to 6dp — an SQL
+        engine recomputing ``fg_df/n_fg`` and ``bg_df/n_docs`` with the
+        same parse shape reproduces it bit-for-bit."""
+        from antidb_spark.functions.analyze import py_tokens
+
+        q_terms = sorted(set(py_tokens(query)))
+        out_schema = "term string, fg_df bigint, bg_df bigint, score double"
+        if not q_terms:
+            return self.spark.createDataFrame([], out_schema)
+        fg = self._drop_tombstones(self._excluded_ords(q_terms))
+        fg_n = fg.agg(F.count(F.lit(1)).alias("n_fg"))
+        post = self._decoded_postings(
+            self.catalog.read("blocks")
+        ).select("term", "doc_ord")
+        fg_df = (
+            post.join(fg, "doc_ord")
+            .filter(~F.col("term").isin(q_terms))
+            .groupBy("term")
+            .agg(F.count(F.lit(1)).alias("fg_df"))
+            .filter(F.col("fg_df") >= int(min_doc_count))
+        )
+        bg = self.catalog.read("terms").select(
+            "term", F.col("df").alias("bg_df")
+        )
+        st = self.catalog.read("stats").select("n_docs")
+        fg_pct = F.col("fg_df") / F.col("n_fg")
+        bg_pct = F.col("bg_df") / F.col("n_docs")
+        return (
+            fg_df.join(F.broadcast(bg), "term")
+            .crossJoin(F.broadcast(fg_n))
+            .crossJoin(F.broadcast(st))
+            .withColumn(
+                "score",
+                F.round((fg_pct - bg_pct) * (fg_pct / bg_pct), 6),
+            )
+            .select("term", "fg_df", "bg_df", "score")
+            .orderBy(F.desc("score"), F.asc("term"))
+            .limit(k)
+        )
+
+    def complete(self, prefix: str, k: int = 10) -> DataFrame:
+        """Completion suggester: index terms starting with ``prefix``
+        ranked by document frequency (df desc, term asc) — the
+        search-box autocomplete ranking. Returns (term, df) top-k.
+
+        Served by the same manifest RANGE prune as ``expand_prefix``
+        (the B+tree-descent analog on the term-sorted terms table): the
+        scan touches only the files whose [min,max] term range overlaps
+        ``[prefix, prefix+U+10FFFF]``, never the vocabulary."""
+        prefix = prefix.lower()
+        if not prefix:
+            return self.spark.createDataFrame([], "term string, df bigint")
+        t = self.catalog.read_pruned(
+            "terms", "term", lo=prefix, hi=prefix + chr(0x10FFFF)
+        )
+        return (
+            t.filter(F.col("term").startswith(prefix))
+            .select("term", "df")
+            .orderBy(F.desc("df"), F.asc("term"))
+            .limit(k)
+        )
+
+    def complete_local(self, prefix: str, k: int = 10) -> list[tuple]:
+        """Warm tier of ``complete``: the same range-pruned read through
+        driver-side pyarrow — interactive keystroke latency, no Spark
+        job. Returns [(term, df), …], identical ordering contract."""
+        prefix = prefix.lower()
+        if not prefix:
+            return []
+        tbl = self.catalog.read_pruned_arrow(
+            "terms", "term", lo=prefix, hi=prefix + chr(0x10FFFF),
+            columns=["term", "df"],
+        )
+        rows = [
+            (t, int(d))
+            for t, d in zip(
+                tbl.column("term").to_pylist(), tbl.column("df").to_pylist()
+            )
+            if t is not None and t.startswith(prefix)
+        ]
+        rows.sort(key=lambda r: (-r[1], r[0]))
+        return rows[:k]
 
     def query_filtered(
         self, query: str, where: str, k: int = 10,

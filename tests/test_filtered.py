@@ -454,3 +454,121 @@ def test_query_decayed_validates(built):
         b.query_decayed(QUERY, half_life_days=0.0)
     # empty / punctuation-only query → empty frame, never an error
     assert b.query_decayed("***", k=5).count() == 0
+
+
+def test_query_bool_min_should_match(built):
+    """msm == brute-force 'at least m optional terms present' filter
+    over the must-filtered candidate set; msm=0 is a no-op; msm >
+    #optional terms is empty (the Lucene contract)."""
+    b, corpus = built
+    # dense stopwords with partial overlap (probed at seed=7: 157 docs
+    # hold the+to+and, another 157 hold the + exactly one of to/and),
+    # so msm=1 vs msm=2 provably split the candidate set
+    must = "the"
+    opt_terms = ["to", "and"]
+    should = " ".join(opt_terms)
+    combined = f"{must} {should}"
+    allsc = b.query_pinned(combined, k=1_000_000).toPandas()
+    must_docs = _docs_with(corpus, must)
+    opt_docs = [_docs_with(corpus, t) for t in opt_terms]
+    for msm in (1, 2):
+        mask = [
+            (r.conv_id, r.turn_idx) in must_docs
+            and sum((r.conv_id, r.turn_idx) in s for s in opt_docs) >= msm
+            for r in allsc.itertuples()
+        ]
+        want = (
+            allsc[mask]
+            .sort_values(["score", "conv_id", "turn_idx"],
+                         ascending=[False, True, True])
+            .head(10)
+        )
+        got = b.query_bool(
+            must=must, should=should, k=10, min_should_match=msm
+        ).toPandas()
+        assert got.values.tolist() == want.values.tolist()
+        assert len(got) > 0
+    # msm provably bites: each tightening strictly shrinks the
+    # candidate set (157 docs hold the+to+and, 157 more exactly one)
+    n0 = b.query_bool(must=must, should=should, k=1_000_000).count()
+    n1 = b.query_bool(
+        must=must, should=should, k=1_000_000, min_should_match=1
+    ).count()
+    n2 = b.query_bool(
+        must=must, should=should, k=1_000_000, min_should_match=2
+    ).count()
+    assert n0 > n1 > n2 > 0
+    # more optional matches required than optional terms exist → empty
+    assert b.query_bool(
+        must=must, should=should, k=10, min_should_match=3
+    ).count() == 0
+    # a should term repeated in must is NOT optional: must='the' makes
+    # 'the' required, leaving 2 optional terms, so msm=3 is impossible
+    assert b.query_bool(
+        must="the", should=combined, k=10, min_should_match=3
+    ).count() == 0
+    # but with must empty all 3 are optional and msm=3 has matches
+    assert b.query_bool(
+        should=combined, k=10, min_should_match=3
+    ).count() > 0
+
+
+def test_significant_terms_matches_bruteforce(built):
+    """JLH scores/top-k == pandas recompute over the raw postings."""
+    import numpy as np
+
+    b, corpus = built
+    q = "kifaba1"  # df=5 at seed=7 — a small, distinctive foreground
+    min_dc, k = 2, 10
+    post = build_postings(corpus).toPandas()
+    post["doc"] = list(zip(post["conv_id"], post["turn_idx"]))
+    fg_docs = set(post.loc[post["term"] == q, "doc"])
+    assert 0 < len(fg_docs) < post["doc"].nunique()
+    n_fg, n_docs = len(fg_docs), post["doc"].nunique()
+    fg = post[post["doc"].isin(fg_docs) & (post["term"] != q)]
+    fg_df = fg.groupby("term").size()
+    fg_df = fg_df[fg_df >= min_dc]
+    bg_df = post.groupby("term").size()
+    tbl = fg_df.rename("fg_df").to_frame().join(bg_df.rename("bg_df"))
+    fg_pct = tbl["fg_df"] / n_fg
+    bg_pct = tbl["bg_df"] / n_docs
+    tbl["score"] = np.round((fg_pct - bg_pct) * (fg_pct / bg_pct), 6)
+    want = (
+        tbl.reset_index()
+        .sort_values(["score", "term"], ascending=[False, True])
+        .head(k)
+    )
+    got = b.significant_terms(q, k=k, min_doc_count=min_dc).toPandas()
+    assert got["term"].tolist() == want["term"].tolist()
+    assert got["fg_df"].tolist() == want["fg_df"].tolist()
+    assert got["bg_df"].tolist() == want["bg_df"].tolist()
+    np.testing.assert_allclose(got["score"], want["score"], rtol=1e-9)
+    # empty query → empty frame with the contract schema, not an error
+    empty = b.significant_terms("***", k=5)
+    assert empty.count() == 0
+    assert empty.columns == ["term", "fg_df", "bg_df", "score"]
+
+
+def test_complete_prefix_ranking(built):
+    """complete == df-ranked vocabulary under the prefix; the warm
+    tier returns the identical list; empty prefix → empty."""
+    b, corpus = built
+    post = build_postings(corpus).toPandas()
+    dfs = post.groupby("term").size().rename("df").reset_index()
+    prefix = "t"  # the, to, … — many terms share it
+    under = dfs[dfs["term"].str.startswith(prefix)]
+    assert len(under) > 1  # prefix must be non-trivially shared
+    k = max(2, len(under) - 1)  # the top-k cut provably bites
+    want = (
+        under.sort_values(["df", "term"], ascending=[False, True])
+        .head(k)
+    )
+    got = b.complete(prefix, k=k).toPandas()
+    assert got["term"].tolist() == want["term"].tolist()
+    assert got["df"].tolist() == want["df"].tolist()
+    assert b.complete_local(prefix, k=k) == [
+        (t, int(d)) for t, d in got.values.tolist()
+    ]
+    assert b.complete("", k=5).count() == 0
+    assert b.complete_local("", k=5) == []
+    assert b.complete("zzzznotaprefix", k=5).count() == 0
