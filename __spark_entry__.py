@@ -967,6 +967,35 @@ def _q_complete(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# 20 sources at sf0.01 — k_groups=3 and n_per_group=3 both cut.
+GROUP_HITS_COL, GROUP_HITS_N, GROUP_HITS_K = "source", 3, 3
+
+
+def _q_group_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """terms-agg + top_hits: the 3 best-scoring sources for the
+    flagship query, each with its 3 best member docs."""
+    return _entry_index(spark, sf_dir).group_top_hits(
+        FLAGSHIP_QUERY, GROUP_HITS_COL,
+        n_per_group=GROUP_HITS_N, k_groups=GROUP_HITS_K,
+    )
+
+
+# 'table table' occurs inside the flagship top-50 window and the
+# +0.05/occurrence boost provably reorders the top-10 (probed at
+# sf0.01: two boosted docs re-rank).
+RESCORE_PHRASE, RESCORE_W, RESCORE_WT = "table table", 50, 0.05
+
+
+def _q_rescored_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rescore window: the flagship BM25 top-50 re-ranked by exact
+    'table table' phrase occurrences from the positional index
+    (rescored = round(score + 0.05·phrase_freq, 4))."""
+    return _entry_index(spark, sf_dir).query_rescored(
+        FLAGSHIP_QUERY, RESCORE_PHRASE,
+        window=RESCORE_W, weight=RESCORE_WT, k=10,
+    )
+
+
 def _q_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup GROUPS from pairwise minhash verdicts: connected
     components (min-label propagation) over the minhash_dups pair
@@ -1432,6 +1461,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "facet_hist": _q_facet_hist,
         "sig_terms": _q_sig_terms,
         "complete_prefix": _q_complete,
+        "group_hits": _q_group_hits,
+        "rescored_topk": _q_rescored_topk,
         "dup_groups": _q_dup_groups,
         "curated": _q_curated,
         "clone_candidates": _q_clone_candidates,
@@ -2364,6 +2395,48 @@ LIMIT {k}
 """
 
 
+def _group_hits_oracle(query: str, group: str, n: int, kg: int) -> str:
+    """terms-agg + top_hits oracle (mirrors
+    IndexBuilder.group_top_hits): top-kg groups by best member score,
+    each group's top-n member docs via a per-group row_number."""
+    return f"""
+WITH {_score_ctes(query)},
+gsc AS (SELECT doc.{group} AS grp, sc.doc_id, sc.score
+        FROM sc JOIN documents doc ON doc.doc_id = sc.doc_id
+        WHERE doc.{group} IS NOT NULL),
+g AS (SELECT grp, max(score) AS best_score FROM gsc
+      GROUP BY grp ORDER BY best_score DESC, grp ASC LIMIT {kg}),
+ranked AS (SELECT gsc.grp, gsc.doc_id, gsc.score,
+                  row_number() OVER (PARTITION BY gsc.grp
+                                     ORDER BY gsc.score DESC,
+                                              gsc.doc_id ASC) AS rank
+           FROM gsc JOIN g USING (grp))
+SELECT r.grp AS {group}, g.best_score AS best_score, r.rank::INT AS rank,
+       r.doc_id AS doc_id, r.score AS score
+FROM ranked r JOIN g USING (grp)
+WHERE r.rank <= {n}
+ORDER BY best_score DESC, {group} ASC, rank ASC
+"""
+
+
+def _rescored_oracle(
+    query: str, phrase: str, window: int, weight: float, k: int,
+) -> str:
+    """Rescore-window oracle (mirrors IndexBuilder.query_rescored):
+    BM25 top-``window`` left-joined to the phrase-frequency relation,
+    rescored with the same parse shape and one 4dp boundary round."""
+    return f"""
+WITH base AS ({_topk_oracle(query, window)}),
+ph AS ({_phrase_oracle(phrase)})
+SELECT b.doc_id AS doc_id, b.score AS score,
+       round(b.score + {weight} * coalesce(ph.phrase_freq, 0), 4)
+           AS rescored
+FROM base b LEFT JOIN ph USING (doc_id)
+ORDER BY rescored DESC, doc_id ASC
+LIMIT {k}
+"""
+
+
 def _complete_oracle(prefix: str, k: int) -> str:
     """Completion-suggester oracle (mirrors IndexBuilder.complete):
     vocabulary terms under ``prefix`` ranked df desc, term asc."""
@@ -2931,6 +3004,12 @@ FROM documents
     out["facet_hist"] = _facet_hist_oracle(FLAGSHIP_QUERY, "n_chars", 100)
     out["sig_terms"] = _sig_terms_oracle(SIG_QUERY, 10, SIG_MIN_DC)
     out["complete_prefix"] = _complete_oracle(COMPLETE_PREFIX, COMPLETE_K)
+    out["group_hits"] = _group_hits_oracle(
+        FLAGSHIP_QUERY, GROUP_HITS_COL, GROUP_HITS_N, GROUP_HITS_K
+    )
+    out["rescored_topk"] = _rescored_oracle(
+        FLAGSHIP_QUERY, RESCORE_PHRASE, RESCORE_W, RESCORE_WT, 10
+    )
     out["dup_groups"] = _dup_groups_oracle(0.7)
     out["curated"] = _curated_oracle(0.6, ("en",))
     out["time_travel"] = _TIME_TRAVEL_ORACLE

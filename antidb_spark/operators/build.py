@@ -2906,6 +2906,143 @@ class IndexBuilder:
         rows.sort(key=lambda r: (-r[1], r[0]))
         return rows[:k]
 
+    def group_top_hits(
+        self, query: str, group_col: str,
+        n_per_group: int = 3, k_groups: int = 10,
+    ) -> DataFrame:
+        """The terms-agg + top_hits shape: rank the top ``k_groups``
+        groups by their best member's pinned BM25 score, and return
+        each group's ``n_per_group`` best member docs — what
+        ``query_grouped`` summarizes (count/max), materialized as
+        actual hits. Output (``group_col``, best_score, rank,
+        *member id_cols, score) ordered (best_score desc, group asc,
+        rank asc); NULL group values are excluded (the terms-agg
+        missing-field default). ``group_col`` may be an id component
+        (transcripts: conv_id) or a docmeta column (documents:
+        source/lang).
+
+        Scale shape: every matching doc is scored once (the per-group
+        winner may sit below any global cut), groups rolled up with a
+        map-combinable max, and the per-group top-n is TWO-PHASE to
+        avoid the hot-group window funnel: a first row_number over
+        (group, shuffle-partition id) cuts each group to ≤ n rows per
+        partition — spreading a stopword-grade group across tasks —
+        and only that ≤ n·n_part remnant meets the exact per-group
+        window. The k_groups cut is broadcast and applied BEFORE both
+        windows, so the window input is the winners' docs only."""
+        from antidb_spark.functions.analyze import py_tokens
+
+        q_terms = sorted(set(py_tokens(query)))
+        if group_col in self.id_cols:
+            gsrc = self.catalog.read("docmap").select("doc_ord", group_col)
+        else:
+            if not self.ckpt.is_done("docmeta"):
+                raise ValueError(
+                    f"{group_col!r} is not an id column and docmeta is "
+                    "not built (build_doc_meta(corpus, meta_cols))"
+                )
+            meta = self.catalog.read("docmeta")
+            if group_col not in meta.columns:
+                raise ValueError(f"{group_col!r} is not a docmeta column")
+            gsrc = meta.select("doc_ord", group_col)
+        id_out = [c for c in self.id_cols if c != group_col]
+        if not q_terms:
+            gt = gsrc.schema[group_col].dataType.simpleString()
+            dm = self.catalog.read("docmap")
+            schema = ", ".join(
+                [f"{group_col} {gt}", "best_score double", "rank int"]
+                + [f"{c} {dm.schema[c].dataType.simpleString()}"
+                   for c in id_out]
+                + ["score double"]
+            )
+            return self.spark.createDataFrame([], schema)
+        scored = self._drop_tombstones(
+            self._pinned_doc_scores(q_terms).select("doc_ord", "score")
+        )
+        j = scored.join(gsrc, "doc_ord").filter(
+            F.col(group_col).isNotNull()
+        )
+        winners = (
+            j.groupBy(group_col)
+            .agg(F.max("score").alias("best_score"))
+            .orderBy(F.desc("best_score"), F.asc(group_col))
+            .limit(k_groups)
+        )
+        jj = j.join(F.broadcast(winners), group_col)
+        w_local = Window.partitionBy(group_col, "_pid").orderBy(
+            F.desc("score"), F.asc("doc_ord")
+        )
+        w_exact = Window.partitionBy(group_col).orderBy(
+            F.desc("score"), F.asc("doc_ord")
+        )
+        remnant = (
+            jj.withColumn("_pid", F.spark_partition_id())
+            .withColumn("_lr", F.row_number().over(w_local))
+            .filter(F.col("_lr") <= int(n_per_group))
+            .drop("_pid", "_lr")
+        )
+        ranked = (
+            remnant.withColumn("rank", F.row_number().over(w_exact))
+            .filter(F.col("rank") <= int(n_per_group))
+        )
+        dm = self.catalog.read("docmap").select("doc_ord", *id_out)
+        return (
+            dm.join(F.broadcast(ranked), "doc_ord")
+            .select(group_col, "best_score", "rank", *id_out, "score")
+            .orderBy(F.desc("best_score"), F.asc(group_col), F.asc("rank"))
+        )
+
+    def query_rescored(
+        self, query: str, phrase: str,
+        window: int = 50, weight: float = 1.0, k: int = 10,
+    ) -> DataFrame:
+        """The rescore-window pattern: re-rank the BM25 top-``window``
+        docs by boosting exact-phrase occurrences from the positional
+        index — ``rescored = round(score + weight · phrase_freq, 4)``
+        (one boundary round over the already-4dp base score, so an SQL
+        engine recomputing the same expression matches bit-for-bit).
+        Returns (*id_cols, score, rescored) top-``k`` by (rescored
+        desc, *id_cols asc). Docs outside the window never re-enter —
+        the rescore contract (proximity is a reranker, not a recall
+        path); an empty ``phrase`` degrades to the base ranking with
+        ``rescored == score``.
+
+        Scale shape: the expensive proximity evidence is evaluated
+        only against the window — ``phrase_query``'s pruned-pos-block
+        relation is semi-joined down to the ≤ window broadcast ids
+        BEFORE the left join, so no phrase-frequency row for an
+        unranked doc ever crosses an exchange."""
+        from antidb_spark.functions.analyze import py_tokens
+
+        base = self.query_pinned(query, k=int(window))
+        ids = list(self.id_cols)
+        if not py_tokens(phrase):
+            out = base.withColumn("rescored", F.col("score"))
+        else:
+            from antidb_spark.operators.phrase import phrase_query
+
+            ph = phrase_query(self, phrase).join(
+                F.broadcast(base.select(*ids)), ids
+            )
+            out = (
+                base.join(F.broadcast(ph), ids, "left")
+                .withColumn(
+                    "rescored",
+                    F.round(
+                        F.col("score")
+                        + F.lit(float(weight))
+                        * F.coalesce(F.col("phrase_freq"), F.lit(0)),
+                        4,
+                    ),
+                )
+                .drop("phrase_freq")
+            )
+        return (
+            out.select(*ids, "score", "rescored")
+            .orderBy(F.desc("rescored"), *[F.asc(c) for c in ids])
+            .limit(int(k))
+        )
+
     def query_filtered(
         self, query: str, where: str, k: int = 10,
         require_all: bool = False, exclude: str | None = None,

@@ -572,3 +572,104 @@ def test_complete_prefix_ranking(built):
     assert b.complete("", k=5).count() == 0
     assert b.complete_local("", k=5) == []
     assert b.complete("zzzznotaprefix", k=5).count() == 0
+
+
+def test_group_top_hits_matches_bruteforce(spark, built):
+    """Per-group top-n hits == pandas two-level ranking over the
+    oracle-pinned per-doc scores; both the group cut and the
+    per-group cut provably bite."""
+    b, corpus = built
+    n, kg = 2, 3
+    allsc = _all_scores(b)
+    meta = corpus.select("conv_id", "turn_idx", "role").toPandas()
+    j = allsc.merge(meta, on=["conv_id", "turn_idx"])
+    best = j.groupby("role")["score"].max().rename("best_score")
+    winners = (
+        best.reset_index()
+        .sort_values(["best_score", "role"], ascending=[False, True])
+        .head(kg)
+    )
+    assert j["role"].nunique() > kg or kg >= j["role"].nunique()
+    rows = []
+    for _, g in winners.iterrows():
+        members = (
+            j[j["role"] == g["role"]]
+            .sort_values(["score", "conv_id", "turn_idx"],
+                         ascending=[False, True, True])
+            .head(n)
+        )
+        for rank, (_, m) in enumerate(members.iterrows(), start=1):
+            rows.append([g["role"], g["best_score"], rank,
+                         m["conv_id"], int(m["turn_idx"]), m["score"]])
+    got = b.group_top_hits(QUERY, "role", n_per_group=n, k_groups=kg)
+    assert got.columns == [
+        "role", "best_score", "rank", "conv_id", "turn_idx", "score"
+    ]
+    assert got.toPandas().values.tolist() == rows
+    # per-group cut bites: every winner group has more than n matches
+    assert all(
+        (j["role"] == r).sum() > n for r in winners["role"]
+    )
+
+
+def test_group_top_hits_id_component_and_validation(built):
+    b, corpus = built
+    # grouping by an id component (conv_id) drops it from member cols
+    got = b.group_top_hits(QUERY, "conv_id", n_per_group=2, k_groups=5)
+    df = got.toPandas()
+    assert got.columns == [
+        "conv_id", "best_score", "rank", "turn_idx", "score"
+    ]
+    assert df["conv_id"].nunique() == 5
+    assert df.groupby("conv_id")["rank"].max().le(2).all()
+    # group winners' best == their rank-1 member score
+    r1 = df[df["rank"] == 1]
+    assert (r1["best_score"] == r1["score"]).all()
+    # unknown group column raises; empty query → empty, contract schema
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="docmeta column"):
+        b.group_top_hits(QUERY, "nope")
+    empty = b.group_top_hits("***", "role")
+    assert empty.count() == 0
+    assert empty.columns == [
+        "role", "best_score", "rank", "conv_id", "turn_idx", "score"
+    ]
+
+
+def test_query_rescored_matches_bruteforce(built):
+    """Rescore window == pandas recompute: base top-window scores +
+    weight·phrase_freq (from the oracle-pinned ad-hoc phrase search),
+    one 4dp boundary round; docs outside the window never re-enter."""
+    import numpy as np
+
+    from antidb_spark.operators.phrase import phrase_search
+
+    b, corpus = built
+    phrase, window, weight, k = "of the", 30, 0.2, 10
+    base = b.query_pinned(QUERY, k=window).toPandas()
+    ph = phrase_search(corpus, phrase).toPandas()
+    m = base.merge(ph, on=["conv_id", "turn_idx"], how="left")
+    m["phrase_freq"] = m["phrase_freq"].fillna(0).astype(int)
+    assert (m["phrase_freq"] > 0).any()  # the boost must bite
+    m["rescored"] = np.round(
+        m["score"] + weight * m["phrase_freq"], 4
+    )
+    want = (
+        m.sort_values(["rescored", "conv_id", "turn_idx"],
+                      ascending=[False, True, True])
+        .head(k)[["conv_id", "turn_idx", "score", "rescored"]]
+    )
+    got = b.query_rescored(
+        QUERY, phrase, window=window, weight=weight, k=k
+    ).toPandas()
+    assert got.values.tolist() == want.values.tolist()
+    # rescoring provably reorders vs the plain ranking
+    plain = b.query_pinned(QUERY, k=k).toPandas()
+    assert got[["conv_id", "turn_idx"]].values.tolist() != \
+        plain[["conv_id", "turn_idx"]].values.tolist()
+    # empty phrase degrades to the base ranking with rescored == score
+    deg = b.query_rescored(QUERY, "", window=window, k=k).toPandas()
+    assert deg[["conv_id", "turn_idx", "score"]].values.tolist() == \
+        plain.values.tolist()
+    assert (deg["rescored"] == deg["score"]).all()
