@@ -996,6 +996,72 @@ def _q_rescored_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+KMEANS_K, KMEANS_ITERS = 10, 2
+
+
+def _q_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed k-means (topic clustering / domain mixing): every
+    embedding labeled with its Lloyd-converged cluster — exact
+    integer arithmetic end-to-end (quantize → int64 distances/sums →
+    one floor-div per centroid component) so the unrolled SQL oracle
+    reproduces all 500 labels bit-for-bit."""
+    from antidb_spark.operators.cluster import kmeans_assign
+
+    vec = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return kmeans_assign(vec, k=KMEANS_K, iters=KMEANS_ITERS)
+
+
+def _kmeans_oracle(k: int, iters: int, scale: int = 1_000_000) -> str:
+    """Unrolled Lloyd iterations in SQL (mirrors
+    operators/cluster.py::kmeans_assign): md5-ranked init, int64
+    squared-L2 argmin with ties to the smallest cell, per-(cell,
+    component) exact integer sums, floor(sum/count) centroid update,
+    empty cells keeping their previous centroid."""
+    def assign(name: str, cents: str) -> str:
+        return f"""{name} AS (SELECT vec_id, cell FROM (
+    SELECT q.vec_id, c.cell,
+           row_number() OVER (PARTITION BY q.vec_id ORDER BY
+             list_sum(list_transform(generate_series(1, len(q.qv)),
+               i -> (q.qv[i] - c.cv[i]) * (q.qv[i] - c.cv[i]))) ASC,
+             c.cell ASC) AS rn
+    FROM q, {cents} c) t WHERE rn = 1)"""
+
+    parts = [
+        f"""q AS (SELECT vec_id,
+       list_transform(embedding,
+         x -> CAST(floor(x::DOUBLE * {scale}.0) AS BIGINT)) AS qv
+     FROM embeddings)""",
+        f"""c0 AS (SELECT row_number() OVER (ORDER BY h, vec_id) - 1 AS cell,
+              qv AS cv
+       FROM (SELECT vec_id, qv, md5(CAST(vec_id AS VARCHAR)) AS h
+             FROM q ORDER BY h, vec_id LIMIT {k}) t)""",
+    ]
+    for t in range(1, iters + 1):
+        parts.append(assign(f"a{t}", f"c{t - 1}"))
+        parts.append(
+            f"""s{t} AS (SELECT a.cell, i.i AS idx,
+                sum(q.qv[i.i])::BIGINT AS s, count(*)::BIGINT AS cnt
+         FROM a{t} a JOIN q USING (vec_id),
+              unnest(generate_series(1, len(q.qv))) AS i(i)
+         GROUP BY 1, 2)"""
+        )
+        parts.append(
+            f"""m{t} AS (SELECT cell,
+                list(CAST(floor(s / cnt) AS BIGINT) ORDER BY idx) AS cv
+         FROM s{t} GROUP BY cell)"""
+        )
+        parts.append(
+            f"""c{t} AS (SELECT p.cell, coalesce(m.cv, p.cv) AS cv
+         FROM c{t - 1} p LEFT JOIN m{t} m USING (cell))"""
+        )
+    parts.append(assign("af", f"c{iters}"))
+    body = ",\n".join(parts)
+    return f"""
+WITH {body}
+SELECT vec_id, cell::INT AS cluster FROM af ORDER BY vec_id
+"""
+
+
 def _q_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup GROUPS from pairwise minhash verdicts: connected
     components (min-label propagation) over the minhash_dups pair
@@ -1463,6 +1529,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "complete_prefix": _q_complete,
         "group_hits": _q_group_hits,
         "rescored_topk": _q_rescored_topk,
+        "kmeans_clusters": _q_kmeans,
         "dup_groups": _q_dup_groups,
         "curated": _q_curated,
         "clone_candidates": _q_clone_candidates,
@@ -3010,6 +3077,7 @@ FROM documents
     out["rescored_topk"] = _rescored_oracle(
         FLAGSHIP_QUERY, RESCORE_PHRASE, RESCORE_W, RESCORE_WT, 10
     )
+    out["kmeans_clusters"] = _kmeans_oracle(KMEANS_K, KMEANS_ITERS)
     out["dup_groups"] = _dup_groups_oracle(0.7)
     out["curated"] = _curated_oracle(0.6, ("en",))
     out["time_travel"] = _TIME_TRAVEL_ORACLE

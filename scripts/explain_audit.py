@@ -223,6 +223,30 @@ def main() -> None:
             "TakeOrdered over groups. No corpus scan, no global sort.",
             plan_of(b.query_grouped("the kemuba0 data", ["conv_id"], k=5)),
         ))
+
+        sections.append((
+            "per-group top hits (group_top_hits two-phase top-n)",
+            "Term-pruned scoring feeds TWO row_number windows: the first "
+            "partitioned by (group, shuffle-partition id) — spreading a "
+            "hot group across tasks before any per-group sort — the "
+            "second (exact) sees only the ≤ n·n_part remnant. The "
+            "k_groups winners arrive as a BroadcastExchange filter "
+            "BEFORE both windows; the final order is over ≤ k·n rows.",
+            plan_of(b.group_top_hits("the kemuba0 data", "conv_id",
+                                     n_per_group=2, k_groups=5)),
+        ))
+
+        sections.append((
+            "rescore window (query_rescored phrase rerank)",
+            "The base top-window resolves first (TakeOrdered on the "
+            "narrow scored relation); the positional evidence is a "
+            "pos_blocks scan with In(term,…) pushdown whose phrase "
+            "relation is inner-joined to the broadcast window ids "
+            "BEFORE the left join — proximity rows for unranked docs "
+            "never cross an exchange; the rescored cut is TakeOrdered.",
+            plan_of(b.query_rescored("the kemuba0 data", "the data",
+                                     window=20, k=5)),
+        ))
         t.unpersist()
 
     from antidb_spark.operators.dedup import minhash_signatures
@@ -252,6 +276,20 @@ def main() -> None:
         "with map-side partial aggregation; ONE shuffle keyed on doc_id, "
         "no Python anywhere.",
         plan_of(minhash_signatures(docs)),
+    ))
+
+    from antidb_spark.operators.cluster import kmeans_assign
+
+    kvecs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    sections.append((
+        "k-means assignment (exact-integer Lloyd step)",
+        "The k centroids broadcast-nested-loop against the quantized "
+        "vectors (no shuffle for the distance evaluation — codegen'd "
+        "int64 zip_with/aggregate); the argmin is a map-side-combinable "
+        "min(struct(dist, cell)) keyed by vector id — never a per-vector "
+        "window sort. Update-step sums (not shown: driver-collected "
+        "k·dim rows) are the same map-combinable shape.",
+        plan_of(kmeans_assign(kvecs, k=4, iters=0)),
     ))
 
     from antidb_spark.operators.hybrid import hybrid_topk
@@ -556,6 +594,31 @@ def main() -> None:
                        "join",
                        "BroadcastExchange" in perc_plan
                        and "SortMergeJoin" not in perc_plan))
+        gth_plan = by_title["per-group top hits (group_top_hits "
+                            "two-phase top-n)"]
+        checks.append(("group_top_hits: two-phase windows + broadcast "
+                       "winners, no sort-merge join",
+                       gth_plan.count("Window") >= 2
+                       and "BroadcastExchange" in gth_plan
+                       and "SortMergeJoin" not in gth_plan))
+        res_plan2 = by_title["rescore window (query_rescored phrase "
+                             "rerank)"]
+        checks.append(("rescored: pos_blocks term pushdown, window ids "
+                       "broadcast, TakeOrdered cut",
+                       "pos_blocks" in res_plan2
+                       and "BroadcastExchange" in res_plan2
+                       and "TakeOrderedAndProject" in res_plan2
+                       and "SortMergeJoin" not in res_plan2))
+        km_plan = by_title["k-means assignment (exact-integer Lloyd step)"]
+        # "applySchemaToPythonRDD" names the driver-built k-row centroid
+        # relation (benign); the check targets Python EVAL operators.
+        checks.append(("kmeans: centroid broadcast (no shuffle for "
+                       "distances), map-combinable argmin, no Python "
+                       "eval",
+                       "BroadcastNestedLoopJoin" in km_plan
+                       and "partial_min" in km_plan
+                       and "BatchEvalPython" not in km_plan
+                       and "ArrowEval" not in km_plan))
         f.write("## Property checks\n\n")
         for name, ok in checks:
             f.write(f"- {'PASS' if ok else 'FAIL'}: {name}\n")
