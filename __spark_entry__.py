@@ -996,6 +996,46 @@ def _q_rescored_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+TEMP_TAU, TEMP_FRAC = 0.5, 0.5
+
+
+def _q_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled mixture resampling over the skewed lang
+    strata (en 218 vs fr 64 at sf0.01): tau=0.5 sqrt-flattens the mix,
+    upweighting minority languages at a 50% overall budget; rates are
+    derived from the observed counts, thresholds applied through the
+    deterministic split_bucket hash."""
+    from antidb_spark.operators.datasets import temperature_mix
+
+    return temperature_mix(
+        _docs(spark, sf_dir), "lang", tau=TEMP_TAU,
+        target_frac=TEMP_FRAC, salt="t1",
+    ).select("doc_id", "lang", "bucket")
+
+
+# mirrors datasets.temperature_mix at tau=0.5: sqrt weights (IEEE
+# correctly-rounded, cross-engine exact), Z folded in sorted-stratum
+# order via list_sum(list(... ORDER BY st)), the same left-assoc
+# rate expression, floor-threshold over the split_bucket hash.
+_TEMP_MIX_ORACLE = f"""
+WITH counts AS (SELECT lang AS st, count(*)::BIGINT AS n
+                FROM documents GROUP BY 1),
+z AS (SELECT list_sum(list(sqrt(n::DOUBLE) ORDER BY st)) AS z,
+             sum(n)::BIGINT AS tot FROM counts),
+thr AS (SELECT st,
+        CAST(floor(least(1.0,
+             {TEMP_FRAC} * tot * sqrt(n::DOUBLE) / z / n)
+             * 10000.0) AS BIGINT) AS t
+        FROM counts, z)
+SELECT d.doc_id AS doc_id, d.lang AS lang,
+       ('0x' || substr(md5('t1:' || d.doc_id::VARCHAR), 1, 8))::BIGINT
+           % 10000 AS bucket
+FROM documents d JOIN thr ON thr.st = d.lang
+WHERE ('0x' || substr(md5('t1:' || d.doc_id::VARCHAR), 1, 8))::BIGINT
+          % 10000 < thr.t
+"""
+
+
 KMEANS_K, KMEANS_ITERS = 10, 2
 
 
@@ -1530,6 +1570,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "group_hits": _q_group_hits,
         "rescored_topk": _q_rescored_topk,
         "kmeans_clusters": _q_kmeans,
+        "temperature_mix": _q_temperature_mix,
         "dup_groups": _q_dup_groups,
         "curated": _q_curated,
         "clone_candidates": _q_clone_candidates,
@@ -3078,6 +3119,7 @@ FROM documents
         FLAGSHIP_QUERY, RESCORE_PHRASE, RESCORE_W, RESCORE_WT, 10
     )
     out["kmeans_clusters"] = _kmeans_oracle(KMEANS_K, KMEANS_ITERS)
+    out["temperature_mix"] = _TEMP_MIX_ORACLE
     out["dup_groups"] = _dup_groups_oracle(0.7)
     out["curated"] = _curated_oracle(0.6, ("en",))
     out["time_travel"] = _TIME_TRAVEL_ORACLE

@@ -10,6 +10,8 @@ projection (README.md:53) applied to corpus curation.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -144,6 +146,81 @@ def stratified_sample(
             F.col(stratum_col) == name, int(round(r * SPLIT_BUCKETS))
         ).otherwise(thr)
     return corpus.withColumn("bucket", b).filter(F.col("bucket") < thr)
+
+
+def temperature_mix(
+    corpus: DataFrame,
+    stratum_col: str,
+    tau: float = 0.5,
+    target_frac: float = 0.5,
+    id_col: str = "doc_id",
+    salt: str = "t1",
+) -> DataFrame:
+    """Temperature-scaled mixture resampling (the data-mixture
+    reweighting of multilingual/multi-domain training pipelines):
+    derive each stratum's sampling rate from its OBSERVED size so the
+    kept mix follows ``p_i ∝ n_i^tau`` at an overall ``target_frac``
+    budget — ``tau=1`` is proportional (every stratum keeps exactly
+    ``target_frac``), ``tau→0`` flattens toward uniform per-stratum
+    counts, upweighting minority strata.
+
+    ``rate_i = min(1, target_frac · N · n_i^tau / Z / n_i)`` with
+    ``Z = Σ n_i^tau`` folded in sorted-stratum order (the float
+    discipline), thresholded as ``floor(rate_i · 10000)`` over the
+    same deterministic ``split_bucket`` as `dataset_split` — so the
+    keep decision is growth-stable and nested exactly like
+    `stratified_sample`, but the rates come from the data, not the
+    caller. NULL strata are excluded (the terms-agg missing rule).
+    For ``tau=0.5`` the weight is ``sqrt`` (IEEE-correctly-rounded →
+    bit-reproducible cross-engine); other ``tau`` use ``pow``, whose
+    last-ulp behavior is libm-specific — fine for training, not
+    pinned by an oracle.
+
+    Scale shape: ONE map-combinable count keyed by stratum (#strata
+    driver rows — bounded like the centroid relation), then a pure
+    broadcast-free projection+filter the scan absorbs; zero shuffles
+    over the corpus. Output: the input columns + ``bucket``.
+    Compose with `cluster.kmeans_assign` for topic-balanced mixes:
+    cluster → join labels → temperature_mix(stratum_col="cluster").
+    """
+    if tau <= 0:
+        raise ValueError(f"tau must be > 0, got {tau}")
+    if not (0.0 < target_frac <= 1.0):
+        raise ValueError(
+            f"target_frac must be in (0,1], got {target_frac}"
+        )
+    rows = (
+        corpus.filter(F.col(stratum_col).isNotNull())
+        .groupBy(stratum_col)
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()  # bounded: one row per stratum
+    )
+    counts = sorted((r[stratum_col], int(r["n"])) for r in rows)
+    if not counts:
+        return corpus.filter(F.lit(False)).withColumn(
+            "bucket", F.lit(0).cast("long")
+        )
+    tot = sum(n for _, n in counts)
+    weights = [
+        math.sqrt(float(n)) if tau == 0.5 else math.pow(float(n), tau)
+        for _, n in counts
+    ]
+    z = 0.0
+    for w in weights:  # fixed-order fold, sorted-stratum order
+        z += w
+    thr: dict = {}
+    for (st, n), w in zip(counts, weights):
+        rate = min(1.0, target_frac * tot * w / z / n)
+        thr[st] = int(math.floor(rate * SPLIT_BUCKETS))
+    b = split_bucket(id_col, salt)
+    t = F.lit(-1)
+    for st in sorted(thr):
+        t = F.when(F.col(stratum_col) == st, thr[st]).otherwise(t)
+    return (
+        corpus.filter(F.col(stratum_col).isNotNull())
+        .withColumn("bucket", b)
+        .filter(F.col("bucket") < t)
+    )
 
 
 def pack_sequences(

@@ -518,3 +518,91 @@ def test_shuffle_order_dense_deterministic_resaltable(spark):
         range(500), key=lambda i: (hashlib.md5(f"sh1:{i}".encode()).hexdigest(), i)
     )
     assert [d for d, _ in sorted(a.items(), key=lambda kv: kv[1])] == want
+
+
+# ---------------------------------------------------------- temperature
+
+
+def test_temperature_mix_matches_bruteforce(spark):
+    """Kept set == pandas recompute of the rate derivation (sqrt
+    weights, sorted-stratum fold, floor thresholds, split_bucket)."""
+    import hashlib
+    import math
+
+    from antidb_spark.operators.datasets import temperature_mix
+
+    # skewed strata: en 600, de 150, fr 50 (+ nulls, excluded)
+    rows = [(i, "en") for i in range(600)]
+    rows += [(600 + i, "de") for i in range(150)]
+    rows += [(750 + i, "fr") for i in range(50)]
+    rows += [(800 + i, None) for i in range(20)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    tau, frac, salt = 0.5, 0.5, "tx"
+    got = temperature_mix(
+        df, "lang", tau=tau, target_frac=frac, salt=salt
+    ).toPandas()
+
+    counts = {"de": 150, "en": 600, "fr": 50}
+    tot = 800
+    z = 0.0
+    for st in sorted(counts):
+        z += math.sqrt(float(counts[st]))
+    thr = {
+        st: int(math.floor(
+            min(1.0, frac * tot * math.sqrt(float(n)) / z / n) * 10000
+        ))
+        for st, n in counts.items()
+    }
+
+    def bucket(i):
+        h = hashlib.md5(f"{salt}:{i}".encode()).hexdigest()
+        return int(h[:8], 16) % 10_000
+
+    want = sorted(
+        (i, st) for i, st in rows
+        if st is not None and bucket(i) < thr[st]
+    )
+    assert sorted(zip(got["doc_id"], got["lang"])) == want
+    assert len(got) > 0
+    # temperature upweights the minority: fr keep-RATE > en keep-rate
+    kept = got.groupby("lang").size()
+    assert kept["fr"] / 50 > kept["en"] / 600
+    # nulls excluded entirely
+    assert got["lang"].notna().all()
+
+
+def test_temperature_mix_tau1_is_proportional(spark):
+    """tau=1 degrades to a uniform target_frac rate for every stratum
+    (w=n cancels): thresholds equal, mix proportions preserved."""
+    from antidb_spark.operators.datasets import (
+        stratified_sample,
+        temperature_mix,
+    )
+
+    rows = [(i, "en" if i % 3 else "de") for i in range(900)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    got = temperature_mix(
+        df, "lang", tau=1.0, target_frac=0.4, salt="ty"
+    )
+    flat = stratified_sample(
+        df, {"en": 0.4, "de": 0.4}, "lang", salt="ty"
+    )
+    assert sorted(r["doc_id"] for r in got.collect()) == \
+        sorted(r["doc_id"] for r in flat.collect())
+
+
+def test_temperature_mix_validates(spark):
+    from antidb_spark.operators.datasets import temperature_mix
+
+    df = spark.createDataFrame([(1, "en")], "doc_id long, lang string")
+    with pytest.raises(ValueError, match="tau"):
+        temperature_mix(df, "lang", tau=0.0)
+    with pytest.raises(ValueError, match="target_frac"):
+        temperature_mix(df, "lang", target_frac=0.0)
+    # all-null strata → empty result with a bucket column, no error
+    dfn = spark.createDataFrame(
+        [(1, None), (2, None)], "doc_id long, lang string"
+    )
+    out = temperature_mix(dfn, "lang")
+    assert out.count() == 0
+    assert "bucket" in out.columns
