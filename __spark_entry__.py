@@ -1102,6 +1102,56 @@ SELECT vec_id, cell::INT AS cluster FROM af ORDER BY vec_id
 """
 
 
+def _q_cluster_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Topic-balanced mixing, end-to-end: k-means labels every doc's
+    embedding (vec_id ≡ doc_id), then temperature_mix resamples with
+    the CLUSTER as the stratum — the composed curation move
+    ("cluster the corpus, flatten the topic mix") with both stages
+    oracled as one SQL recompute."""
+    from antidb_spark.operators.cluster import kmeans_assign
+    from antidb_spark.operators.datasets import temperature_mix
+
+    vec = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    labels = kmeans_assign(
+        vec, k=KMEANS_K, iters=KMEANS_ITERS
+    ).withColumnRenamed("vec_id", "doc_id")
+    joined = _docs(spark, sf_dir).join(labels, "doc_id")
+    return temperature_mix(
+        joined, "cluster", tau=TEMP_TAU, target_frac=TEMP_FRAC,
+        salt="c1",
+    ).select("doc_id", "cluster", "bucket")
+
+
+def _cluster_mix_oracle(
+    k: int, iters: int, frac: float, salt: str
+) -> str:
+    """kmeans ∘ temperature_mix composed in SQL: the unrolled Lloyd
+    labels feed the same sqrt/fold/floor-threshold rate derivation,
+    with the cluster id as the stratum."""
+    inner = _kmeans_oracle(k, iters).strip()
+    return f"""
+WITH lab AS ({inner}),
+counts AS (SELECT l.cluster AS st, count(*)::BIGINT AS n
+           FROM lab l JOIN documents d ON d.doc_id = l.vec_id
+           GROUP BY 1),
+z AS (SELECT list_sum(list(sqrt(n::DOUBLE) ORDER BY st)) AS z,
+             sum(n)::BIGINT AS tot FROM counts),
+thr AS (SELECT st,
+        CAST(floor(least(1.0,
+             {frac} * tot * sqrt(n::DOUBLE) / z / n)
+             * 10000.0) AS BIGINT) AS t
+        FROM counts, z)
+SELECT d.doc_id AS doc_id, l.cluster AS cluster,
+       ('0x' || substr(md5('{salt}:' || d.doc_id::VARCHAR), 1, 8))::BIGINT
+           % 10000 AS bucket
+FROM documents d
+JOIN lab l ON l.vec_id = d.doc_id
+JOIN thr ON thr.st = l.cluster
+WHERE ('0x' || substr(md5('{salt}:' || d.doc_id::VARCHAR), 1, 8))::BIGINT
+          % 10000 < thr.t
+"""
+
+
 def _q_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup GROUPS from pairwise minhash verdicts: connected
     components (min-label propagation) over the minhash_dups pair
@@ -1571,6 +1621,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rescored_topk": _q_rescored_topk,
         "kmeans_clusters": _q_kmeans,
         "temperature_mix": _q_temperature_mix,
+        "cluster_mix": _q_cluster_mix,
         "dup_groups": _q_dup_groups,
         "curated": _q_curated,
         "clone_candidates": _q_clone_candidates,
@@ -3120,6 +3171,9 @@ FROM documents
     )
     out["kmeans_clusters"] = _kmeans_oracle(KMEANS_K, KMEANS_ITERS)
     out["temperature_mix"] = _TEMP_MIX_ORACLE
+    out["cluster_mix"] = _cluster_mix_oracle(
+        KMEANS_K, KMEANS_ITERS, TEMP_FRAC, "c1"
+    )
     out["dup_groups"] = _dup_groups_oracle(0.7)
     out["curated"] = _curated_oracle(0.6, ("en",))
     out["time_travel"] = _TIME_TRAVEL_ORACLE

@@ -109,3 +109,25 @@ def test_kmeans_validates(spark):
     got = kmeans_assign(df, k=2, iters=0).toPandas()
     want, _ = _ref_kmeans(X, list(range(4)), k=2, iters=0)
     assert got["cluster"].tolist() == want.tolist()
+
+
+def test_cluster_mix_composition(spark):
+    """kmeans → temperature_mix composes: every kept row carries its
+    cluster label, and flattening upweights the smallest cluster's
+    keep-rate relative to the largest."""
+    from antidb_spark.operators.datasets import temperature_mix
+
+    rng = np.random.RandomState(19)
+    X = rng.uniform(-0.5, 0.5, size=(90, DIM)).astype(np.float32)
+    df = _vectors(spark, X)
+    labels = kmeans_assign(df, k=3, iters=2)
+    mixed = temperature_mix(
+        labels, "cluster", tau=0.5, target_frac=0.5, id_col="vec_id",
+        salt="cm",
+    ).toPandas()
+    sizes = labels.toPandas().groupby("cluster").size()
+    assert len(mixed) > 0
+    kept = mixed.groupby("cluster").size().reindex(sizes.index).fillna(0)
+    rates = kept / sizes
+    if sizes.max() > sizes.min():
+        assert rates[sizes.idxmin()] >= rates[sizes.idxmax()]
