@@ -1051,54 +1051,109 @@ def _q_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kmeans_assign(vec, k=KMEANS_K, iters=KMEANS_ITERS)
 
 
-def _kmeans_oracle(k: int, iters: int, scale: int = 1_000_000) -> str:
-    """Unrolled Lloyd iterations in SQL (mirrors
-    operators/cluster.py::kmeans_assign): md5-ranked init, int64
-    squared-L2 argmin with ties to the smallest cell, per-(cell,
-    component) exact integer sums, floor(sum/count) centroid update,
-    empty cells keeping their previous centroid."""
-    def assign(name: str, cents: str) -> str:
-        return f"""{name} AS (SELECT vec_id, cell FROM (
+_QUANTIZE_CTE = (
+    "q AS (SELECT vec_id, list_transform(embedding, "
+    "x -> CAST(floor(x::DOUBLE * 1000000.0) AS BIGINT)) AS qv "
+    "FROM embeddings)"
+)
+
+
+def _lloyd_assign_cte(name: str, src: str, cents: str) -> str:
+    """One exact-int argmin assignment pass (ties → smallest cell)."""
+    return f"""{name} AS (SELECT vec_id, cell FROM (
     SELECT q.vec_id, c.cell,
            row_number() OVER (PARTITION BY q.vec_id ORDER BY
              list_sum(list_transform(generate_series(1, len(q.qv)),
                i -> (q.qv[i] - c.cv[i]) * (q.qv[i] - c.cv[i]))) ASC,
              c.cell ASC) AS rn
-    FROM q, {cents} c) t WHERE rn = 1)"""
+    FROM {src} q, {cents} c) t WHERE rn = 1)"""
 
+
+def _lloyd_ctes(p: str, src: str, k: int, iters: int) -> tuple[str, str]:
+    """The unrolled Lloyd chain over an (vec_id, qv) CTE ``src``
+    (mirrors operators/cluster.py::lloyd_centroids): md5-ranked init,
+    int64 squared-L2 argmin with ties to the smallest cell, exact
+    per-(cell, component) integer sums, floor(sum/count) update, empty
+    cells keeping their previous centroid. Returns (cte_body,
+    final_centroids_cte_name); all internal names carry prefix ``p``
+    so several chains (the PQ subspaces) coexist in one query."""
     parts = [
-        f"""q AS (SELECT vec_id,
-       list_transform(embedding,
-         x -> CAST(floor(x::DOUBLE * {scale}.0) AS BIGINT)) AS qv
-     FROM embeddings)""",
-        f"""c0 AS (SELECT row_number() OVER (ORDER BY h, vec_id) - 1 AS cell,
-              qv AS cv
+        f"""{p}c0 AS (SELECT row_number() OVER (ORDER BY h, vec_id) - 1
+              AS cell, qv AS cv
        FROM (SELECT vec_id, qv, md5(CAST(vec_id AS VARCHAR)) AS h
-             FROM q ORDER BY h, vec_id LIMIT {k}) t)""",
+             FROM {src} ORDER BY h, vec_id LIMIT {k}) t)""",
     ]
     for t in range(1, iters + 1):
-        parts.append(assign(f"a{t}", f"c{t - 1}"))
+        parts.append(_lloyd_assign_cte(f"{p}a{t}", src, f"{p}c{t - 1}"))
         parts.append(
-            f"""s{t} AS (SELECT a.cell, i.i AS idx,
+            f"""{p}s{t} AS (SELECT a.cell, i.i AS idx,
                 sum(q.qv[i.i])::BIGINT AS s, count(*)::BIGINT AS cnt
-         FROM a{t} a JOIN q USING (vec_id),
+         FROM {p}a{t} a JOIN {src} q USING (vec_id),
               unnest(generate_series(1, len(q.qv))) AS i(i)
          GROUP BY 1, 2)"""
         )
         parts.append(
-            f"""m{t} AS (SELECT cell,
+            f"""{p}m{t} AS (SELECT cell,
                 list(CAST(floor(s / cnt) AS BIGINT) ORDER BY idx) AS cv
-         FROM s{t} GROUP BY cell)"""
+         FROM {p}s{t} GROUP BY cell)"""
         )
         parts.append(
-            f"""c{t} AS (SELECT p.cell, coalesce(m.cv, p.cv) AS cv
-         FROM c{t - 1} p LEFT JOIN m{t} m USING (cell))"""
+            f"""{p}c{t} AS (SELECT p.cell, coalesce(m.cv, p.cv) AS cv
+         FROM {p}c{t - 1} p LEFT JOIN {p}m{t} m USING (cell))"""
         )
-    parts.append(assign("af", f"c{iters}"))
+    return ",\n".join(parts), f"{p}c{iters}"
+
+
+def _kmeans_oracle(k: int, iters: int) -> str:
+    """Unrolled Lloyd in SQL (mirrors cluster.py::kmeans_assign)."""
+    chain, cents = _lloyd_ctes("", "q", k, iters)
+    final = _lloyd_assign_cte("af", "q", cents)
+    return f"""
+WITH {_QUANTIZE_CTE},
+{chain},
+{final}
+SELECT vec_id, cell::INT AS cluster FROM af ORDER BY vec_id
+"""
+
+
+def _pq_oracle(
+    m: int, k: int, iters: int, dsub: int, probe_id: int, topk: int,
+) -> str:
+    """Product quantization oracle (mirrors operators/pq.py): per
+    subspace, the SAME unrolled Lloyd over the slice trains the
+    codebook, an int argmin assigns the code, and the ADC score is the
+    exact int64 sum of probe-slice→codeword distances — no float
+    anywhere after quantization, so every ranking value is
+    bit-reproducible."""
+    parts = [_QUANTIZE_CTE]
+    d_terms = []
+    for j in range(m):
+        lo, hi = j * dsub + 1, (j + 1) * dsub
+        parts.append(
+            f"q{j} AS (SELECT vec_id, qv[{lo}:{hi}] AS qv FROM q)"
+        )
+        chain, cents = _lloyd_ctes(f"b{j}", f"q{j}", k, iters)
+        parts.append(chain)
+        parts.append(_lloyd_assign_cte(f"cd{j}", f"q{j}", cents))
+        parts.append(
+            f"""d{j} AS (SELECT cd.vec_id,
+        list_sum(list_transform(generate_series(1, {dsub}),
+          i -> (p.qv[i] - cb.cv[i]) * (p.qv[i] - cb.cv[i]))) AS d
+      FROM cd{j} cd JOIN {cents} cb USING (cell),
+           (SELECT qv[{lo}:{hi}] AS qv FROM q
+            WHERE vec_id = {probe_id}) p)"""
+        )
+        d_terms.append(f"d{j}.d")
+    joins = "d0" + "".join(
+        f" JOIN d{j} USING (vec_id)" for j in range(1, m)
+    )
     body = ",\n".join(parts)
     return f"""
 WITH {body}
-SELECT vec_id, cell::INT AS cluster FROM af ORDER BY vec_id
+SELECT vec_id, ({' + '.join(d_terms)})::BIGINT AS qdist
+FROM {joins}
+ORDER BY qdist ASC, vec_id ASC
+LIMIT {topk}
 """
 
 
@@ -1346,6 +1401,34 @@ def _q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _q_ann_persisted(spark, sf_dir, "ivf")
+
+
+PQ_M, PQ_K, PQ_ITERS = 8, 16, 2
+
+
+def _q_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compressed-vector ANN (product quantization): 64-float vectors
+    stored as 8 codebook codes; probe = ADC scan of the narrow codes
+    table with exact-int64 distance tables — the vec_id=0 probe's own
+    vector must rank first (a duplicate attains the minimum possible
+    ADC distance, the PQ invariant)."""
+    import shutil
+    import tempfile
+
+    from antidb_spark.operators.pq import build_pq
+
+    probe = _probe_vec(spark, sf_dir)
+    root = tempfile.mkdtemp(prefix="antidb_entry_pq_")
+    try:
+        idx = build_pq(
+            spark, root, "pq", _vecs(spark, sf_dir),
+            m=PQ_M, k=PQ_K, iters=PQ_ITERS,
+        )
+        out = idx.topk(probe, k=10).cache()
+        out.count()  # materialize before the temp dir is removed
+        return out
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
 
 
 def _vecs_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1628,6 +1711,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cosine_topk": _q_ann_cosine_topk,
         "ann_lsh_topk": _q_ann_lsh_topk,
         "ann_ivf_topk": _q_ann_ivf_topk,
+        "pq_topk": _q_pq_topk,
         "embedding_dups": _q_embedding_dups,
         "media_meta": _q_media_meta,
         "media_features": _q_media_features,
@@ -3174,6 +3258,7 @@ FROM documents
     out["cluster_mix"] = _cluster_mix_oracle(
         KMEANS_K, KMEANS_ITERS, TEMP_FRAC, "c1"
     )
+    out["pq_topk"] = _pq_oracle(PQ_M, PQ_K, PQ_ITERS, 64 // PQ_M, 0, 10)
     out["dup_groups"] = _dup_groups_oracle(0.7)
     out["curated"] = _curated_oracle(0.6, ("en",))
     out["time_travel"] = _TIME_TRAVEL_ORACLE

@@ -78,26 +78,25 @@ def _assign(q: DataFrame, cdf: DataFrame) -> DataFrame:
     )
 
 
-def kmeans_assign(
-    vectors: DataFrame,
-    k: int = 10,
-    iters: int = 2,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
-    scale: int = SCALE,
-) -> DataFrame:
-    """Lloyd k-means over ``vectors(id_col, vec_col: array<float>)``:
-    ``iters`` assign/update rounds from the md5-ranked deterministic
-    init, then the final assignment against the last centroids.
-    Returns (id_col, cluster int) — every input vector labeled. A cell
-    that loses all members keeps its previous centroid (the standard
-    empty-cluster rule). Exact integer arithmetic end-to-end (module
-    docstring), so any SQL engine unrolling the same rounds reproduces
-    every label bit-for-bit."""
+def _cdf(spark, cents: list[list[int]]) -> DataFrame:
+    return spark.createDataFrame(
+        [(i, c) for i, c in enumerate(cents)],
+        "cell int, cv array<long>",
+    )
+
+
+def lloyd_centroids(
+    q: DataFrame, id_col: str, k: int, iters: int
+) -> list[list[int]]:
+    """The Lloyd core over an already-quantized ``(id_col, qv:
+    array<long>)`` relation: md5-ranked init, ``iters`` assign/update
+    rounds, empty cells keeping their previous centroid. Returns the
+    final centroids (cell i = i-th by (md5(id), id)). Shared by
+    `kmeans_assign` (full vectors) and `pq.build_pq` (per-subspace
+    slices — the product-quantization codebooks)."""
     if k < 1 or iters < 0:
         raise ValueError("k >= 1 and iters >= 0 required")
-    spark = vectors.sparkSession
-    q = _quantized(vectors, id_col, vec_col, scale)
+    spark = q.sparkSession
     init = (
         q.withColumn("h", F.md5(F.col(id_col).cast("string")))
         .orderBy("h", id_col)
@@ -107,16 +106,9 @@ def kmeans_assign(
     )
     if len(init) < k:
         raise ValueError(f"k={k} exceeds the {len(init)} input vectors")
-    cents = [list(r.qv) for r in init]  # cell i = i-th by (md5, id)
-
-    def cdf():
-        return spark.createDataFrame(
-            [(i, c) for i, c in enumerate(cents)],
-            "cell int, cv array<long>",
-        )
-
+    cents = [list(r.qv) for r in init]
     for _ in range(iters):
-        a = _assign(q, cdf())
+        a = _assign(q, _cdf(spark, cents))
         sums = (
             a.join(q, id_col)
             .select("cell", F.posexplode("qv").alias("idx", "v"))
@@ -133,8 +125,29 @@ def kmeans_assign(
             cents[cell] = [
                 int(math.floor(s / cnt)) for _, s, cnt in comps
             ]
+    return cents
+
+
+def kmeans_assign(
+    vectors: DataFrame,
+    k: int = 10,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = SCALE,
+) -> DataFrame:
+    """Lloyd k-means over ``vectors(id_col, vec_col: array<float>)``:
+    ``iters`` assign/update rounds from the md5-ranked deterministic
+    init, then the final assignment against the last centroids.
+    Returns (id_col, cluster int) — every input vector labeled. A cell
+    that loses all members keeps its previous centroid (the standard
+    empty-cluster rule). Exact integer arithmetic end-to-end (module
+    docstring), so any SQL engine unrolling the same rounds reproduces
+    every label bit-for-bit."""
+    q = _quantized(vectors, id_col, vec_col, scale)
+    cents = lloyd_centroids(q, id_col, k, iters)
     return (
-        _assign(q, cdf())
+        _assign(q, _cdf(vectors.sparkSession, cents))
         .select(id_col, F.col("cell").alias("cluster"))
         .orderBy(id_col)
     )

@@ -279,8 +279,24 @@ def main() -> None:
     ))
 
     from antidb_spark.operators.cluster import kmeans_assign
+    from antidb_spark.operators.pq import build_pq
 
     kvecs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    with tempfile.TemporaryDirectory(prefix="audit_pq_") as pqroot:
+        pq = build_pq(spark, pqroot, "pq", kvecs, m=8, k=16, iters=0)
+        probe = [float(v) for v in
+                 kvecs.filter(F.col("vec_id") == 0).first()["embedding"]]
+        pq_plan_df = pq.topk(probe, k=5)
+        sections.append((
+            "PQ probe (asymmetric-distance scan of the codes table)",
+            "A probe is a ZERO-JOIN scan of the narrow committed codes "
+            "relation (id + m small ints — ~50× narrower than the "
+            "vectors): the m distance tables ride as literal arrays, "
+            "the score is codegen'd element_at sums, the cut is "
+            "TakeOrdered. No vector bytes are read at query time.",
+            plan_of(pq_plan_df),
+        ))
+        pq_plan = plan_of(pq_plan_df)
     sections.append((
         "k-means assignment (exact-integer Lloyd step)",
         "The k centroids broadcast-nested-loop against the quantized "
@@ -609,6 +625,12 @@ def main() -> None:
                        and "BroadcastExchange" in res_plan2
                        and "TakeOrderedAndProject" in res_plan2
                        and "SortMergeJoin" not in res_plan2))
+        checks.append(("pq probe: zero-join codes scan, TakeOrdered, "
+                       "no Python eval",
+                       "Join" not in pq_plan
+                       and "TakeOrderedAndProject" in pq_plan
+                       and "BatchEvalPython" not in pq_plan
+                       and "ArrowEval" not in pq_plan))
         km_plan = by_title["k-means assignment (exact-integer Lloyd step)"]
         # "applySchemaToPythonRDD" names the driver-built k-row centroid
         # relation (benign); the check targets Python EVAL operators.

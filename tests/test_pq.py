@@ -1,0 +1,98 @@
+"""Product quantization (operators/pq.py): the ADC invariants, the
+warm tier, reopen-by-name, and partitioning determinism. The full
+pipeline (per-subspace Lloyd codebooks → codes → ADC ranking) is
+hash-pinned against the DuckDB oracle by the driver's `pq_topk`
+entry; these tests pin the operator-level contracts."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from antidb_spark.operators.pq import build_pq, open_pq
+
+DIM = 16
+
+
+def _vectors(spark, X: np.ndarray, ids=None):
+    ids = ids if ids is not None else range(len(X))
+    rows = [(int(i), [float(v) for v in x.astype(np.float32)])
+            for i, x in zip(ids, X)]
+    return spark.createDataFrame(
+        rows, "vec_id bigint, embedding array<float>"
+    )
+
+
+@pytest.fixture(scope="module")
+def built(spark, tmp_path_factory):
+    rng = np.random.RandomState(23)
+    X = rng.uniform(-0.5, 0.5, size=(80, DIM)).astype(np.float32)
+    X[64] = X[0]  # exact duplicate of the probe vector
+    df = _vectors(spark, X)
+    root = str(tmp_path_factory.mktemp("pqidx"))
+    idx = build_pq(spark, root, "pq", df, m=4, k=8, iters=2)
+    return idx, X, root
+
+
+def test_pq_duplicate_attains_minimum(built):
+    """An exact duplicate of the probe gets the probe's own per-slice
+    argmin codewords, hence the MINIMUM possible ADC distance — both
+    copies must head the ranking (id-asc tie)."""
+    idx, X, _ = built
+    probe = [float(v) for v in X[0]]
+    top = idx.topk(probe, k=5).toPandas()
+    assert top["vec_id"].tolist()[:2] == [0, 64]
+    assert top["qdist"].iloc[0] == top["qdist"].iloc[1]
+    assert (top["qdist"].iloc[2:] >= top["qdist"].iloc[0]).all()
+
+
+def test_pq_local_matches_spark(built):
+    idx, X, _ = built
+    for pid in (0, 7, 33):
+        probe = [float(v) for v in X[pid]]
+        spark_top = [
+            (int(a), int(b))
+            for a, b in idx.topk(probe, k=10).toPandas().values.tolist()
+        ]
+        assert idx.topk_local(probe, k=10) == spark_top
+
+
+def test_pq_reopen_by_name(spark, built):
+    idx, X, root = built
+    probe = [float(v) for v in X[3]]
+    re = open_pq(spark, root, "pq")
+    assert re.topk_local(probe, k=10) == idx.topk_local(probe, k=10)
+
+
+def test_pq_partitioning_invariant(spark, tmp_path):
+    """Committed codes (and therefore every ranking) are independent
+    of the input's physical partitioning."""
+    rng = np.random.RandomState(31)
+    X = rng.uniform(-0.5, 0.5, size=(50, DIM)).astype(np.float32)
+    a = build_pq(spark, str(tmp_path / "a"), "pq",
+                 _vectors(spark, X), m=4, k=8, iters=1)
+    b = build_pq(spark, str(tmp_path / "b"), "pq",
+                 _vectors(spark, X).repartition(11), m=4, k=8, iters=1)
+    ca = a.catalog.read("pq").orderBy("vec_id").toPandas()
+    cb = b.catalog.read("pq").orderBy("vec_id").toPandas()
+    assert ca["codes"].apply(list).tolist() == \
+        cb["codes"].apply(list).tolist()
+
+
+def test_pq_validates_subspaces(spark):
+    rng = np.random.RandomState(5)
+    X = rng.uniform(-0.5, 0.5, size=(10, DIM)).astype(np.float32)
+    df = _vectors(spark, X)
+    with pytest.raises(ValueError, match="divisible"):
+        build_pq(spark, "/tmp/never", "pq", df, m=5)
+
+
+def test_pq_codes_are_narrow(built):
+    """The committed codes relation is (id, m small ints) — the
+    compression that makes the 100 TB ADC scan feasible."""
+    idx, _, _ = built
+    codes = idx.catalog.read("pq")
+    assert codes.columns == ["vec_id", "codes"]
+    row = codes.first()
+    assert len(row["codes"]) == 4
+    assert all(0 <= c < 8 for c in row["codes"])
