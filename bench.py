@@ -344,6 +344,30 @@ def run_suite(spark, docs, transcripts, n_turns):
         )
         timed("decontam", lambda: decontaminate(docs, bench_set).count())
 
+    # --- clustering / compressed-vector ANN -------------------------------
+    if any(phase_on(p) for p in ("kmeans", "pq_build", "pq_warm")):
+        from antidb_spark.operators.cluster import kmeans_assign
+        from antidb_spark.operators.pq import build_pq
+
+        vecs = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+        if phase_on("kmeans"):
+            timed("kmeans",
+                  lambda: kmeans_assign(vecs, k=16, iters=2).count())
+        if phase_on("pq_build") or phase_on("pq_warm"):
+            def bpq():
+                return build_pq(
+                    spark, os.path.join(work_root, "pq"), "pq", vecs,
+                    m=8, k=16, iters=1,
+                )
+
+            pqi = timed("pq_build", bpq) if phase_on("pq_build") else bpq()
+            if phase_on("pq_warm"):
+                probe_rows = vecs.orderBy("vec_id").limit(20).collect()
+                probes = [[float(v) for v in r["embedding"]]
+                          for r in probe_rows]
+                warm_median("pq_warm", probes,
+                            lambda p: pqi.topk_local(p, k=10))
+
     shutil.rmtree(work_root, ignore_errors=True)
     return timings, extras, sub
 
