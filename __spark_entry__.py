@@ -1052,7 +1052,7 @@ def _q_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _QUANTIZE_CTE = (
-    "q AS (SELECT vec_id, list_transform(embedding, "
+    "q AS MATERIALIZED (SELECT vec_id, list_transform(embedding, "
     "x -> CAST(floor(x::DOUBLE * 1000000.0) AS BIGINT)) AS qv "
     "FROM embeddings)"
 )
@@ -1060,7 +1060,7 @@ _QUANTIZE_CTE = (
 
 def _lloyd_assign_cte(name: str, src: str, cents: str) -> str:
     """One exact-int argmin assignment pass (ties → smallest cell)."""
-    return f"""{name} AS (SELECT vec_id, cell FROM (
+    return f"""{name} AS MATERIALIZED (SELECT vec_id, cell FROM (
     SELECT q.vec_id, c.cell,
            row_number() OVER (PARTITION BY q.vec_id ORDER BY
              list_sum(list_transform(generate_series(1, len(q.qv)),
@@ -1078,7 +1078,7 @@ def _lloyd_ctes(p: str, src: str, k: int, iters: int) -> tuple[str, str]:
     final_centroids_cte_name); all internal names carry prefix ``p``
     so several chains (the PQ subspaces) coexist in one query."""
     parts = [
-        f"""{p}c0 AS (SELECT row_number() OVER (ORDER BY h, vec_id) - 1
+        f"""{p}c0 AS MATERIALIZED (SELECT row_number() OVER (ORDER BY h, vec_id) - 1
               AS cell, qv AS cv
        FROM (SELECT vec_id, qv, md5(CAST(vec_id AS VARCHAR)) AS h
              FROM {src} ORDER BY h, vec_id LIMIT {k}) t)""",
@@ -1086,19 +1086,19 @@ def _lloyd_ctes(p: str, src: str, k: int, iters: int) -> tuple[str, str]:
     for t in range(1, iters + 1):
         parts.append(_lloyd_assign_cte(f"{p}a{t}", src, f"{p}c{t - 1}"))
         parts.append(
-            f"""{p}s{t} AS (SELECT a.cell, i.i AS idx,
+            f"""{p}s{t} AS MATERIALIZED (SELECT a.cell, i.i AS idx,
                 sum(q.qv[i.i])::BIGINT AS s, count(*)::BIGINT AS cnt
          FROM {p}a{t} a JOIN {src} q USING (vec_id),
               unnest(generate_series(1, len(q.qv))) AS i(i)
          GROUP BY 1, 2)"""
         )
         parts.append(
-            f"""{p}m{t} AS (SELECT cell,
+            f"""{p}m{t} AS MATERIALIZED (SELECT cell,
                 list(CAST(floor(s / cnt) AS BIGINT) ORDER BY idx) AS cv
          FROM {p}s{t} GROUP BY cell)"""
         )
         parts.append(
-            f"""{p}c{t} AS (SELECT p.cell, coalesce(m.cv, p.cv) AS cv
+            f"""{p}c{t} AS MATERIALIZED (SELECT p.cell, coalesce(m.cv, p.cv) AS cv
          FROM {p}c{t - 1} p LEFT JOIN {p}m{t} m USING (cell))"""
         )
     return ",\n".join(parts), f"{p}c{iters}"
@@ -1130,13 +1130,13 @@ def _pq_oracle(
     for j in range(m):
         lo, hi = j * dsub + 1, (j + 1) * dsub
         parts.append(
-            f"q{j} AS (SELECT vec_id, qv[{lo}:{hi}] AS qv FROM q)"
+            f"q{j} AS MATERIALIZED (SELECT vec_id, qv[{lo}:{hi}] AS qv FROM q)"
         )
         chain, cents = _lloyd_ctes(f"b{j}", f"q{j}", k, iters)
         parts.append(chain)
         parts.append(_lloyd_assign_cte(f"cd{j}", f"q{j}", cents))
         parts.append(
-            f"""d{j} AS (SELECT cd.vec_id,
+            f"""d{j} AS MATERIALIZED (SELECT cd.vec_id,
         list_sum(list_transform(generate_series(1, {dsub}),
           i -> (p.qv[i] - cb.cv[i]) * (p.qv[i] - cb.cv[i]))) AS d
       FROM cd{j} cd JOIN {cents} cb USING (cell),
@@ -1204,6 +1204,102 @@ JOIN lab l ON l.vec_id = d.doc_id
 JOIN thr ON thr.st = l.cluster
 WHERE ('0x' || substr(md5('{salt}:' || d.doc_id::VARCHAR), 1, 8))::BIGINT
           % 10000 < thr.t
+"""
+
+
+IVFPQ_CELLS, IVFPQ_NPROBE = 8, 2
+
+
+def _q_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ (the canonical large-scale ANN layout): coarse Lloyd
+    cells make the probe sublinear, residual-encoded PQ codes make
+    what it reads ~50× narrower — the probe scans only its 2 nearest
+    cells' manifest-pruned files and ranks by exact-int64 residual
+    ADC."""
+    import shutil
+    import tempfile
+
+    from antidb_spark.operators.pq import build_ivfpq
+
+    probe = _probe_vec(spark, sf_dir)
+    root = tempfile.mkdtemp(prefix="antidb_entry_ivfpq_")
+    try:
+        idx = build_ivfpq(
+            spark, root, "ivfpq", _vecs(spark, sf_dir),
+            n_cells=IVFPQ_CELLS, coarse_iters=KMEANS_ITERS,
+            m=PQ_M, k=PQ_K, iters=PQ_ITERS,
+        )
+        out = idx.topk(probe, k=10, n_probe=IVFPQ_NPROBE).cache()
+        out.count()  # materialize before the temp dir is removed
+        return out
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+def _ivfpq_oracle(
+    n_cells: int, coarse_iters: int, m: int, k: int, iters: int,
+    dsub: int, probe_id: int, n_probe: int, topk: int,
+) -> str:
+    """IVF-PQ oracle (mirrors operators/pq.py::build_ivfpq/
+    IvfPqIndex.topk): the coarse Lloyd chain assigns cells, residuals
+    (int64 subtraction) feed per-subspace Lloyd codebooks, the probe's
+    n_probe nearest cells gate the candidates, and the ADC score is
+    the exact int64 sum of (probe − cell-centroid − codeword)² over
+    the subspaces — the whole structure re-derived from the base
+    table."""
+    parts = [_QUANTIZE_CTE]
+    coarse_chain, gcents = _lloyd_ctes("g", "q", n_cells, coarse_iters)
+    parts.append(coarse_chain)
+    parts.append(_lloyd_assign_cte("ga", "q", gcents))
+    parts.append(
+        f"""r AS MATERIALIZED (SELECT q.vec_id, a.cell,
+        list_transform(generate_series(1, len(q.qv)),
+          i -> q.qv[i] - cc.cv[i]) AS qv
+      FROM q JOIN ga a USING (vec_id)
+      JOIN {gcents} cc ON cc.cell = a.cell)"""
+    )
+    d_terms = []
+    for j in range(m):
+        lo, hi = j * dsub + 1, (j + 1) * dsub
+        parts.append(
+            f"r{j} AS MATERIALIZED (SELECT vec_id, qv[{lo}:{hi}] AS qv FROM r)"
+        )
+        chain, cents = _lloyd_ctes(f"b{j}", f"r{j}", k, iters)
+        parts.append(chain)
+        parts.append(_lloyd_assign_cte(f"cd{j}", f"r{j}", cents))
+        parts.append(
+            f"""d{j} AS MATERIALIZED (SELECT cd.vec_id,
+        list_sum(list_transform(generate_series(1, {dsub}),
+          i -> ((p.qv[{lo} + i - 1] - cc.cv[{lo} + i - 1]) - cb.cv[i])
+             * ((p.qv[{lo} + i - 1] - cc.cv[{lo} + i - 1]) - cb.cv[i])))
+          AS d
+      FROM cd{j} cd
+      JOIN ga ON ga.vec_id = cd.vec_id
+      JOIN pc ON pc.cell = ga.cell
+      JOIN {gcents} cc ON cc.cell = ga.cell
+      JOIN {cents} cb ON cb.cell = cd.cell,
+      p)"""
+        )
+        d_terms.append(f"d{j}.d")
+    probe_ctes = f"""p AS MATERIALIZED (SELECT qv FROM q WHERE vec_id = {probe_id}),
+pc AS MATERIALIZED (SELECT cell FROM (
+    SELECT c.cell, row_number() OVER (ORDER BY
+      list_sum(list_transform(generate_series(1, len(p.qv)),
+        i -> (p.qv[i] - c.cv[i]) * (p.qv[i] - c.cv[i]))) ASC,
+      c.cell ASC) AS rn
+    FROM {gcents} c, p) t WHERE rn <= {n_probe})"""
+    # pc must precede the d{j} CTEs that reference it
+    parts.insert(4, probe_ctes)
+    joins = "d0" + "".join(
+        f" JOIN d{j} USING (vec_id)" for j in range(1, m)
+    )
+    body = ",\n".join(parts)
+    return f"""
+WITH {body}
+SELECT vec_id, ({' + '.join(d_terms)})::BIGINT AS qdist
+FROM {joins}
+ORDER BY qdist ASC, vec_id ASC
+LIMIT {topk}
 """
 
 
@@ -1712,6 +1808,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_topk": _q_ann_lsh_topk,
         "ann_ivf_topk": _q_ann_ivf_topk,
         "pq_topk": _q_pq_topk,
+        "ivfpq_topk": _q_ivfpq_topk,
         "embedding_dups": _q_embedding_dups,
         "media_meta": _q_media_meta,
         "media_features": _q_media_features,
@@ -3259,6 +3356,10 @@ FROM documents
         KMEANS_K, KMEANS_ITERS, TEMP_FRAC, "c1"
     )
     out["pq_topk"] = _pq_oracle(PQ_M, PQ_K, PQ_ITERS, 64 // PQ_M, 0, 10)
+    out["ivfpq_topk"] = _ivfpq_oracle(
+        IVFPQ_CELLS, KMEANS_ITERS, PQ_M, PQ_K, PQ_ITERS,
+        64 // PQ_M, 0, IVFPQ_NPROBE, 10,
+    )
     out["dup_groups"] = _dup_groups_oracle(0.7)
     out["curated"] = _curated_oracle(0.6, ("en",))
     out["time_travel"] = _TIME_TRAVEL_ORACLE

@@ -297,6 +297,26 @@ def main() -> None:
             plan_of(pq_plan_df),
         ))
         pq_plan = plan_of(pq_plan_df)
+
+    from antidb_spark.operators.pq import build_ivfpq
+
+    with tempfile.TemporaryDirectory(prefix="audit_ivfpq_") as iroot:
+        ipq = build_ivfpq(spark, iroot, "ivfpq", kvecs,
+                          n_cells=4, coarse_iters=0, m=8, k=16, iters=0)
+        probe = [float(v) for v in
+                 kvecs.filter(F.col("vec_id") == 0).first()["embedding"]]
+        ipq_df = ipq.topk(probe, k=5, n_probe=2)
+        sections.append((
+            "IVF-PQ probe (cell-pruned residual ADC)",
+            "Each probed cell is a SEPARATE manifest-pruned scan of the "
+            "cell-sorted codes table — the cell predicate must show as "
+            "PushedFilters so row groups outside the probed cells never "
+            "decode; per-cell residual distance tables ride as literals, "
+            "the union of n_probe scans is cut by TakeOrdered. No "
+            "vector bytes, no joins at query time.",
+            plan_of(ipq_df),
+        ))
+        ivfpq_plan = plan_of(ipq_df)
     sections.append((
         "k-means assignment (exact-integer Lloyd step)",
         "The k centroids broadcast-nested-loop against the quantized "
@@ -631,6 +651,12 @@ def main() -> None:
                        and "TakeOrderedAndProject" in pq_plan
                        and "BatchEvalPython" not in pq_plan
                        and "ArrowEval" not in pq_plan))
+        checks.append(("ivfpq probe: cell pushdown on the codes scans, "
+                       "TakeOrdered, no joins",
+                       "PushedFilters: [IsNotNull(cell), EqualTo(cell"
+                       in ivfpq_plan
+                       and "TakeOrderedAndProject" in ivfpq_plan
+                       and "Join" not in ivfpq_plan))
         km_plan = by_title["k-means assignment (exact-integer Lloyd step)"]
         # "applySchemaToPythonRDD" names the driver-built k-row centroid
         # relation (benign); the check targets Python EVAL operators.

@@ -96,3 +96,68 @@ def test_pq_codes_are_narrow(built):
     row = codes.first()
     assert len(row["codes"]) == 4
     assert all(0 <= c < 8 for c in row["codes"])
+
+
+# ---------------------------------------------------------------- IVF-PQ
+
+
+@pytest.fixture(scope="module")
+def built_ivfpq(spark, tmp_path_factory):
+    from antidb_spark.operators.pq import build_ivfpq
+
+    rng = np.random.RandomState(41)
+    X = rng.uniform(-0.5, 0.5, size=(80, DIM)).astype(np.float32)
+    X[64] = X[0]  # exact duplicate of the probe vector
+    df = _vectors(spark, X)
+    root = str(tmp_path_factory.mktemp("ivfpq"))
+    idx = build_ivfpq(spark, root, "ivfpq", df, n_cells=4,
+                      coarse_iters=1, m=4, k=8, iters=1)
+    return idx, X, root
+
+
+def test_ivfpq_duplicate_heads_ranking(built_ivfpq):
+    """An exact duplicate shares the probe's coarse cell AND its
+    residual codes, so both copies head the probed-cell ranking with
+    equal minimal ADC distance."""
+    idx, X, _ = built_ivfpq
+    probe = [float(v) for v in X[0]]
+    top = idx.topk(probe, k=5, n_probe=1).toPandas()
+    assert top["vec_id"].tolist()[:2] == [0, 64]
+    assert top["qdist"].iloc[0] == top["qdist"].iloc[1]
+
+
+def test_ivfpq_local_matches_spark(built_ivfpq):
+    idx, X, _ = built_ivfpq
+    for pid, np_ in ((0, 1), (9, 2), (33, 4)):
+        probe = [float(v) for v in X[pid]]
+        spark_top = [
+            (int(a), int(b))
+            for a, b in idx.topk(probe, k=10, n_probe=np_)
+            .toPandas().values.tolist()
+        ]
+        assert idx.topk_local(probe, k=10, n_probe=np_) == spark_top
+
+
+def test_ivfpq_probe_reads_only_probed_cells(built_ivfpq):
+    """n_probe=1 results come exclusively from the probe's nearest
+    coarse cell (the IVF pruning contract)."""
+    idx, X, _ = built_ivfpq
+    probe = [float(v) for v in X[7]]
+    cells = idx.probe_cells(probe, 1)
+    got = idx.topk(probe, k=50, n_probe=1).toPandas()
+    member = idx.catalog.read("ivfpq").toPandas()
+    cell_of = dict(zip(member["vec_id"], member["cell"]))
+    assert all(cell_of[v] == cells[0] for v in got["vec_id"])
+    # widening n_probe can only ADD candidates
+    wide = idx.topk(probe, k=50, n_probe=4).toPandas()
+    assert len(wide) >= len(got)
+
+
+def test_ivfpq_reopen_by_name(spark, built_ivfpq):
+    from antidb_spark.operators.pq import open_ivfpq
+
+    idx, X, root = built_ivfpq
+    probe = [float(v) for v in X[5]]
+    re = open_ivfpq(spark, root, "ivfpq")
+    assert re.topk_local(probe, k=10, n_probe=2) == \
+        idx.topk_local(probe, k=10, n_probe=2)
