@@ -1500,6 +1500,30 @@ def _q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 PQ_M, PQ_K, PQ_ITERS = 8, 16, 2
+PQ_SHORTLIST = 50
+_PQ_IDX: dict[str, object] = {}
+
+
+def _entry_pq(spark: SparkSession, sf_dir: str):
+    """Shared committed PQ index over the sf embeddings, built ONCE
+    per sf_dir in a process-lifetime temp dir (the build-once /
+    query-many shape `_entry_index` uses for the text index)."""
+    idx = _PQ_IDX.get(sf_dir)
+    if idx is None:
+        import atexit
+        import shutil
+        import tempfile
+
+        from antidb_spark.operators.pq import build_pq
+
+        root = tempfile.mkdtemp(prefix="antidb_entry_pq_")
+        atexit.register(shutil.rmtree, root, ignore_errors=True)
+        idx = build_pq(
+            spark, root, "pq", _vecs(spark, sf_dir),
+            m=PQ_M, k=PQ_K, iters=PQ_ITERS,
+        )
+        _PQ_IDX[sf_dir] = idx
+    return idx
 
 
 def _q_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1508,23 +1532,42 @@ def _q_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     table with exact-int64 distance tables — the vec_id=0 probe's own
     vector must rank first (a duplicate attains the minimum possible
     ADC distance, the PQ invariant)."""
-    import shutil
-    import tempfile
-
-    from antidb_spark.operators.pq import build_pq
-
     probe = _probe_vec(spark, sf_dir)
-    root = tempfile.mkdtemp(prefix="antidb_entry_pq_")
-    try:
-        idx = build_pq(
-            spark, root, "pq", _vecs(spark, sf_dir),
-            m=PQ_M, k=PQ_K, iters=PQ_ITERS,
-        )
-        out = idx.topk(probe, k=10).cache()
-        out.count()  # materialize before the temp dir is removed
-        return out
-    finally:
-        shutil.rmtree(root, ignore_errors=True)
+    return _entry_pq(spark, sf_dir).topk(probe, k=10)
+
+
+def _q_pq_refined(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The deployed two-stage ANN shape: ADC shortlist-50 from the
+    codes table, then an exact-int64 re-rank of ONLY those ids
+    against the base vectors — recall@k equals shortlist recall, the
+    refine cost is O(shortlist)."""
+    probe = _probe_vec(spark, sf_dir)
+    return _entry_pq(spark, sf_dir).topk_refined(
+        probe, _vecs(spark, sf_dir), k=10, shortlist=PQ_SHORTLIST
+    )
+
+
+def _pq_refined_oracle(
+    m: int, k: int, iters: int, dsub: int, probe_id: int,
+    shortlist: int, topk: int,
+) -> str:
+    """Two-stage oracle: the full PQ oracle at LIMIT ``shortlist``
+    gates an exact quantized re-rank."""
+    inner = _pq_oracle(m, k, iters, dsub, probe_id, shortlist).strip()
+    return f"""
+WITH short AS ({inner}),
+qx AS MATERIALIZED (SELECT vec_id, list_transform(embedding,
+       x -> CAST(floor(x::DOUBLE * 1000000.0) AS BIGINT)) AS qv
+     FROM embeddings),
+px AS MATERIALIZED (SELECT qv FROM qx WHERE vec_id = {probe_id})
+SELECT qx.vec_id,
+       list_sum(list_transform(generate_series(1, len(qx.qv)),
+         i -> (qx.qv[i] - px.qv[i]) * (qx.qv[i] - px.qv[i])))::BIGINT
+           AS qdist
+FROM qx JOIN short USING (vec_id), px
+ORDER BY qdist ASC, vec_id ASC
+LIMIT {topk}
+"""
 
 
 def _vecs_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1808,6 +1851,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_topk": _q_ann_lsh_topk,
         "ann_ivf_topk": _q_ann_ivf_topk,
         "pq_topk": _q_pq_topk,
+        "pq_refined": _q_pq_refined,
         "ivfpq_topk": _q_ivfpq_topk,
         "embedding_dups": _q_embedding_dups,
         "media_meta": _q_media_meta,
@@ -3356,6 +3400,9 @@ FROM documents
         KMEANS_K, KMEANS_ITERS, TEMP_FRAC, "c1"
     )
     out["pq_topk"] = _pq_oracle(PQ_M, PQ_K, PQ_ITERS, 64 // PQ_M, 0, 10)
+    out["pq_refined"] = _pq_refined_oracle(
+        PQ_M, PQ_K, PQ_ITERS, 64 // PQ_M, 0, PQ_SHORTLIST, 10
+    )
     out["ivfpq_topk"] = _ivfpq_oracle(
         IVFPQ_CELLS, KMEANS_ITERS, PQ_M, PQ_K, PQ_ITERS,
         64 // PQ_M, 0, IVFPQ_NPROBE, 10,
