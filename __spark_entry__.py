@@ -937,6 +937,26 @@ def _q_facet_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_facet_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cardinality aggregation (exact): distinct source values + doc
+    count over the flagship query's matching docs, served from the
+    committed docmeta table."""
+    return _entry_index(spark, sf_dir).facet_cardinality(
+        FLAGSHIP_QUERY, "source"
+    )
+
+
+def _facet_card_oracle(query: str, col: str) -> str:
+    in_list = ", ".join(f"'{t}'" for t in sorted(set(py_tokens(query))))
+    return f"""
+WITH {TOK_CTE}
+SELECT count(DISTINCT d.{col})::BIGINT AS n_values,
+       count(*)::BIGINT AS n_docs
+FROM documents d
+WHERE d.doc_id IN (SELECT doc_id FROM tok WHERE term IN ({in_list}))
+"""
+
+
 # foreground = the 25 docs containing the rare 'dup' (df=25 of 500):
 # a small, distinctive result set whose term distribution measurably
 # diverges from the corpus background — JLH scores are non-degenerate.
@@ -1837,6 +1857,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "score_explain": _q_score_explain,
         "percolate": _q_percolate,
         "facet_hist": _q_facet_hist,
+        "facet_card": _q_facet_card,
         "sig_terms": _q_sig_terms,
         "complete_prefix": _q_complete,
         "group_hits": _q_group_hits,
@@ -3386,6 +3407,7 @@ FROM documents
     out["score_explain"] = _explain_oracle(FLAGSHIP_QUERY, 10)
     out["percolate"] = _percolate_oracle()
     out["facet_hist"] = _facet_hist_oracle(FLAGSHIP_QUERY, "n_chars", 100)
+    out["facet_card"] = _facet_card_oracle(FLAGSHIP_QUERY, "source")
     out["sig_terms"] = _sig_terms_oracle(SIG_QUERY, 10, SIG_MIN_DC)
     out["complete_prefix"] = _complete_oracle(COMPLETE_PREFIX, COMPLETE_K)
     out["group_hits"] = _group_hits_oracle(

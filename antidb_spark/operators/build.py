@@ -2798,6 +2798,51 @@ class IndexBuilder:
             .orderBy(F.asc_nulls_first("bucket"))
         )
 
+    def facet_cardinality(
+        self, query: str, facet_col: str, require_all: bool = False,
+    ) -> DataFrame:
+        """Cardinality aggregation: the number of DISTINCT values a
+        docmeta column takes over the docs matching ``query`` (plus
+        the matching-doc count) — ES's cardinality agg, except EXACT:
+        at this engine's scale the distinct count is one map-side
+        partially-aggregated shuffle over candidate-set-sized rows, so
+        the HLL approximation buys nothing. Returns one row
+        (n_values, n_docs); NULL values don't count as a value (the
+        SQL COUNT DISTINCT rule). Same match-only candidate plan as
+        ``facet_counts``."""
+        from antidb_spark.functions.analyze import py_tokens
+
+        if not self.ckpt.is_done("docmeta"):
+            raise ValueError(
+                "docmeta not built (build_doc_meta(corpus, meta_cols))"
+            )
+        meta = self.catalog.read("docmeta")
+        if facet_col not in meta.columns:
+            raise ValueError(f"{facet_col!r} is not a docmeta column")
+        q_terms = sorted(set(py_tokens(query)))
+        if not q_terms:
+            return self.spark.createDataFrame(
+                [(0, 0)], "n_values bigint, n_docs bigint"
+            ).filter(F.lit(False))
+        blocks = self.catalog.read_pruned("blocks", "term", q_terms).filter(
+            F.col("term").isin(q_terms)
+        )
+        post = self._decoded_postings(blocks).select("term", "doc_ord")
+        if require_all:
+            cand = (
+                post.groupBy("doc_ord")
+                .agg(F.count_distinct("term").alias("_nt"))
+                .filter(F.col("_nt") == len(q_terms))
+                .select("doc_ord")
+            )
+        else:
+            cand = post.select("doc_ord").distinct()
+        cand = self._drop_tombstones(cand)
+        return meta.join(cand, "doc_ord", "left_semi").agg(
+            F.count_distinct(facet_col).alias("n_values"),
+            F.count(F.lit(1)).alias("n_docs"),
+        )
+
     def significant_terms(
         self, query: str, k: int = 10, min_doc_count: int = 3,
     ) -> DataFrame:

@@ -673,3 +673,22 @@ def test_query_rescored_matches_bruteforce(built):
     assert deg[["conv_id", "turn_idx", "score"]].values.tolist() == \
         plain.values.tolist()
     assert (deg["rescored"] == deg["score"]).all()
+
+
+def test_facet_cardinality_matches_bruteforce(spark, built):
+    b, corpus = built
+    got = b.facet_cardinality(QUERY, "role").toPandas()
+    allsc = _all_scores(b)
+    meta = corpus.select("conv_id", "turn_idx", "role").toPandas()
+    m = allsc.merge(meta, on=["conv_id", "turn_idx"])
+    assert got["n_values"].iloc[0] == m["role"].nunique()
+    assert got["n_docs"].iloc[0] == len(m)
+    # require_all shrinks the matching set, never grows it
+    conj = b.facet_cardinality(QUERY, "role", require_all=True).toPandas()
+    assert conj["n_docs"].iloc[0] <= got["n_docs"].iloc[0]
+    # empty query → empty frame; unknown column raises
+    assert b.facet_cardinality("***", "role").count() == 0
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="docmeta column"):
+        b.facet_cardinality(QUERY, "nope")
