@@ -937,6 +937,76 @@ def _q_facet_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# sources with a dup-containing doc: 17 of 20 at sf0.01 — the clause
+# conjunction provably drops groups; k=10 also cuts.
+GROUP_CLAUSES = ("dup", "join merge")
+
+
+def _q_group_must(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """has_child-style group boolean: sources having BOTH a doc
+    containing 'dup' AND a doc containing join∧merge (different docs
+    may satisfy different clauses), ranked by the sum of per-clause
+    best member scores."""
+    return _entry_index(spark, sf_dir).group_must_match(
+        list(GROUP_CLAUSES), "source", k=10
+    )
+
+
+def _group_must_oracle(
+    clauses: tuple[str, ...], group: str, k: int
+) -> str:
+    """group_must_match oracle: shared tok/post/dl/st CTEs, one
+    all-terms-filtered score CTE + group-max per clause, inner joins
+    across clauses = the conjunction, fixed-order sum of the 4dp
+    maxes rounded once."""
+    parts = [
+        TOK_CTE, POST_CTE, DL_CTE,
+        "st AS (SELECT count(*)::BIGINT AS n_docs, avg(dl) AS avgdl "
+        "FROM dl)",
+    ]
+    for i, clause in enumerate(clauses):
+        terms = sorted(set(py_tokens(clause)))
+        in_list = ", ".join(f"'{t}'" for t in terms)
+        contrib = sql_contribution(tf="p.tf", df="d.df", dl="l.dl",
+                                   avgdl="s.avgdl", n="s.n_docs")
+        sums = " + ".join(
+            f"coalesce(sum(CASE WHEN p.term = '{t}' THEN {contrib} "
+            "END), 0.0)"
+            for t in terms
+        )
+        parts.append(
+            f"dfs{i} AS (SELECT term, count(*)::BIGINT AS df FROM post "
+            f"WHERE term IN ({in_list}) GROUP BY term)"
+        )
+        parts.append(
+            f"""sc{i} AS (SELECT p.doc_id AS doc_id, round({sums}, 4) AS score
+  FROM post p JOIN dfs{i} d ON p.term = d.term
+  JOIN dl l ON p.doc_id = l.doc_id CROSS JOIN st s
+  GROUP BY p.doc_id
+  HAVING count(DISTINCT p.term) = {len(terms)})"""
+        )
+        parts.append(
+            f"""g{i} AS (SELECT doc.{group} AS grp, max(sc.score) AS best_{i}
+  FROM sc{i} sc JOIN documents doc ON doc.doc_id = sc.doc_id
+  WHERE doc.{group} IS NOT NULL GROUP BY 1)"""
+        )
+    joins = "g0" + "".join(
+        f" JOIN g{i} USING (grp)" for i in range(1, len(clauses))
+    )
+    bests = ", ".join(
+        f"g{i}.best_{i} AS best_{i}" for i in range(len(clauses))
+    )
+    total = " + ".join(f"g{i}.best_{i}" for i in range(len(clauses)))
+    body = ",\n".join(parts)
+    return f"""
+WITH {body}
+SELECT g0.grp AS {group}, {bests}, round({total}, 4) AS score
+FROM {joins}
+ORDER BY score DESC, {group} ASC
+LIMIT {k}
+"""
+
+
 def _q_facet_card(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cardinality aggregation (exact): distinct source values + doc
     count over the flagship query's matching docs, served from the
@@ -1858,6 +1928,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "percolate": _q_percolate,
         "facet_hist": _q_facet_hist,
         "facet_card": _q_facet_card,
+        "group_must": _q_group_must,
         "sig_terms": _q_sig_terms,
         "complete_prefix": _q_complete,
         "group_hits": _q_group_hits,
@@ -3408,6 +3479,7 @@ FROM documents
     out["percolate"] = _percolate_oracle()
     out["facet_hist"] = _facet_hist_oracle(FLAGSHIP_QUERY, "n_chars", 100)
     out["facet_card"] = _facet_card_oracle(FLAGSHIP_QUERY, "source")
+    out["group_must"] = _group_must_oracle(GROUP_CLAUSES, "source", 10)
     out["sig_terms"] = _sig_terms_oracle(SIG_QUERY, 10, SIG_MIN_DC)
     out["complete_prefix"] = _complete_oracle(COMPLETE_PREFIX, COMPLETE_K)
     out["group_hits"] = _group_hits_oracle(

@@ -2798,6 +2798,74 @@ class IndexBuilder:
             .orderBy(F.asc_nulls_first("bucket"))
         )
 
+    def group_must_match(
+        self, clauses: Sequence[str], group_col: str, k: int = 10,
+    ) -> DataFrame:
+        """Group-level boolean matching (the has_child / join-field
+        shape, natively useful on transcripts: "conversations with a
+        user turn about X AND a turn about Y" — different members may
+        satisfy different clauses). A group qualifies iff for EVERY
+        clause it has ≥ 1 member containing ALL that clause's terms;
+        qualifying groups rank by the SUM over clauses of the best
+        member's pinned score for that clause (the has_child
+        score_mode=max contract, summed across clauses in clause
+        order), ties group-asc. Returns (group_col, *best_i columns,
+        score) top-k.
+
+        Plan per clause: term-pruned scoring (postings-bounded, the
+        shared `_pinned_doc_scores` core) filtered to all-terms
+        members, ONE map-combinable group-max; clauses then inner-join
+        on the group (groups ≪ docs) — the conjunction across clauses
+        — and a TakeOrdered cuts. Nothing corpus-sized crosses an
+        exchange. Float discipline: each clause max is the 4dp-rounded
+        pinned score; the cross-clause sum is a fixed-order fold of
+        ≤ len(clauses) doubles, rounded once at 4dp."""
+        from functools import reduce
+
+        from antidb_spark.functions.analyze import py_tokens
+
+        if not clauses:
+            raise ValueError("at least one clause required")
+        if group_col in self.id_cols:
+            gsrc = self.catalog.read("docmap").select("doc_ord", group_col)
+        else:
+            if not self.ckpt.is_done("docmeta"):
+                raise ValueError(
+                    f"{group_col!r} is not an id column and docmeta is "
+                    "not built (build_doc_meta(corpus, meta_cols))"
+                )
+            meta = self.catalog.read("docmeta")
+            if group_col not in meta.columns:
+                raise ValueError(f"{group_col!r} is not a docmeta column")
+            gsrc = meta.select("doc_ord", group_col)
+        per_clause = []
+        for i, clause in enumerate(clauses):
+            q_terms = sorted(set(py_tokens(clause)))
+            if not q_terms:
+                raise ValueError(f"clause {i} has no tokens: {clause!r}")
+            scored = self._pinned_doc_scores(q_terms)
+            for j in range(len(q_terms)):  # all-terms member match
+                scored = scored.filter(F.col(f"c{j}").isNotNull())
+            scored = self._drop_tombstones(
+                scored.select("doc_ord", "score")
+            )
+            per_clause.append(
+                scored.join(gsrc, "doc_ord")
+                .filter(F.col(group_col).isNotNull())
+                .groupBy(group_col)
+                .agg(F.max("score").alias(f"best_{i}"))
+            )
+        joined = reduce(lambda a, b: a.join(b, group_col), per_clause)
+        total = reduce(
+            lambda a, b: a + b,
+            [F.col(f"best_{i}") for i in range(len(clauses))],
+        )
+        return (
+            joined.withColumn("score", F.round(total, 4))
+            .orderBy(F.desc("score"), F.asc(group_col))
+            .limit(k)
+        )
+
     def facet_cardinality(
         self, query: str, facet_col: str, require_all: bool = False,
     ) -> DataFrame:

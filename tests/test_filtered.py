@@ -692,3 +692,41 @@ def test_facet_cardinality_matches_bruteforce(spark, built):
 
     with _pt.raises(ValueError, match="docmeta column"):
         b.facet_cardinality(QUERY, "nope")
+
+
+def test_group_must_match_bruteforce(built):
+    """Group-level boolean (has_child shape): groups == convs having a
+    member matching EVERY clause; score == sum of per-clause best
+    member scores; conjunction provably drops groups."""
+    import numpy as np
+
+    b, corpus = built
+    clauses = ["kifaba1", "to and"]  # rare clause gates ~5 of 40 convs
+    per = []
+    for c in clauses:
+        m = b.query_pinned(c, k=1_000_000, require_all=True).toPandas()
+        per.append(m.groupby("conv_id")["score"].max())
+    both = sorted(set(per[0].index) & set(per[1].index))
+    assert 0 < len(both) < corpus.select("conv_id").distinct().count()
+    want = sorted(
+        (
+            (round(float(per[0][g] + per[1][g]), 4), g)
+            for g in both
+        ),
+        key=lambda t: (-t[0], t[1]),
+    )[:10]
+    got = b.group_must_match(clauses, "conv_id", k=10).toPandas()
+    assert got["conv_id"].tolist() == [g for _, g in want]
+    np.testing.assert_allclose(
+        got["score"], [s for s, _ in want], rtol=1e-9
+    )
+    assert (got["best_0"] <= got["score"]).all()
+    # validation: empty clause list / tokenless clause / unknown group
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="clause"):
+        b.group_must_match([], "conv_id")
+    with _pt.raises(ValueError, match="no tokens"):
+        b.group_must_match(["***"], "conv_id")
+    with _pt.raises(ValueError, match="docmeta column"):
+        b.group_must_match(["the"], "nope")
