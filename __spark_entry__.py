@@ -773,6 +773,61 @@ WHERE p0.term = '{terms[0]}' AND len({inter}) > 0
 """
 
 
+# 'table s*' completes through ALL SIX s-expansions at sf0.01
+# (scan/stream/small/spark/slow/sort; 141 docs, 164 anchors) — the
+# expansion genuinely drives the result, not one lucky term.
+PHRASE_PREFIX = "table s"
+
+
+def _q_phrase_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """match_phrase_prefix (search-as-you-type): docs where 'table' is
+    immediately followed by ANY term starting with 's', served from
+    the committed positional index with the prefix expanded against
+    the term dictionary."""
+    from antidb_spark.operators.phrase import phrase_prefix_query
+
+    return phrase_prefix_query(_entry_index(spark, sf_dir), PHRASE_PREFIX)
+
+
+def _phrase_prefix_oracle(phrase: str) -> str:
+    """match_phrase_prefix oracle: the `_phrase_oracle` position-
+    intersection with the LAST slot matched by LIKE prefix%. The
+    engine's max_expansions cap (128) exceeds the 6 matching vocab
+    terms at sf0.01, so the uncapped LIKE is the same set; the capped
+    behavior is pinned by unit tests."""
+    terms = py_tokens(phrase)
+    head, pref = terms[:-1], terms[-1]
+    assert head, "oracle covers the head+prefix shape"
+    uniq = ", ".join(f"'{t}'" for t in sorted(set(head)))
+    inter = "p0.positions"
+    for i in range(1, len(head)):
+        inter = (
+            f"list_intersect({inter}, "
+            f"list_transform(p{i}.positions, x -> x - {i}))"
+        )
+    inter = (
+        f"list_intersect({inter}, "
+        f"list_transform(pl.positions, x -> x - {len(head)}))"
+    )
+    joins = " ".join(
+        f"JOIN pp p{i} ON p0.doc_id = p{i}.doc_id AND p{i}.term = '{t}'"
+        for i, t in enumerate(head)
+        if i > 0
+    )
+    return f"""
+WITH {TOKARR_CTE},
+pos AS (SELECT doc_id, i.i - 1 AS p, toks[i.i] AS term
+        FROM tokarr, unnest(generate_series(1, len(toks))) AS i(i)),
+pp AS (SELECT doc_id, term, list_sort(list(p)) AS positions
+       FROM pos WHERE term IN ({uniq}) GROUP BY 1, 2),
+pl AS (SELECT doc_id, list_sort(list(p)) AS positions
+       FROM pos WHERE term LIKE '{pref}%' GROUP BY 1)
+SELECT p0.doc_id AS doc_id, len({inter})::BIGINT AS phrase_freq
+FROM pp p0 {joins} JOIN pl ON p0.doc_id = pl.doc_id
+WHERE p0.term = '{head[0]}' AND len({inter}) > 0
+"""
+
+
 def _q_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     from antidb_spark.operators.dedup import fingerprint
 
@@ -1905,6 +1960,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "interval_days": _q_interval_days,
         "phrase_search": _q_phrase_search,
         "phrase_adhoc": _q_phrase_adhoc,
+        "phrase_prefix": _q_phrase_prefix,
         "fingerprints": _q_fingerprints,
         "exact_dup_groups": _q_exact_dup_groups,
         "ngram_jaccard": _q_ngram_jaccard,
@@ -3449,6 +3505,7 @@ FROM documents
     # the persisted-index paths must answer exactly like the in-memory
     # KeyedIndex paths → same oracles
     out["phrase_search"] = _phrase_oracle(PHRASE_QUERY)
+    out["phrase_prefix"] = _phrase_prefix_oracle(PHRASE_PREFIX)
     out["phrase_adhoc"] = _phrase_oracle(PHRASE_QUERY)
     out["media_decode"] = MEDIA_DECODE_ORACLE
     out["keyed_eq_persisted"] = out["eq_lookup"]

@@ -377,7 +377,19 @@ def phrase_query(builder, phrase: str) -> DataFrame:
         raise ValueError("positional index not built (build_positional_index)")
     if not terms:
         return _empty_phrase_result(builder)
-    uniq = sorted(set(terms))
+    slot_rows = [(i, t) for i, t in enumerate(terms)]
+    return _slot_anchored_freq(builder, slot_rows, len(terms))
+
+
+def _slot_anchored_freq(builder, slot_rows, n_slots: int) -> DataFrame:
+    """The shared anchored-slot matcher behind `phrase_query` and
+    `phrase_prefix_query`: pruned pos_blocks decode → broadcast
+    (slot, term) fan-out → (doc, pos − slot) anchor counting. An
+    anchor qualifies when all ``n_slots`` slots are present; within a
+    slot an anchor can only arise once (one token per position), so a
+    plain count suffices even when a slot maps to MANY terms (the
+    prefix-expansion case)."""
+    uniq = sorted({t for _, t in slot_rows})
     blocks = builder.catalog.read_pruned("pos_blocks", "term", uniq).filter(
         F.col("term").isin(uniq)
     )
@@ -385,9 +397,7 @@ def phrase_query(builder, phrase: str) -> DataFrame:
         "term", "n_docs", "docs_packed", "tfs_packed", "pos_packed"
     ).mapInPandas(_decode_pos_blocks, schema=_DECODED_POS)
     spark = builder.spark
-    slots = spark.createDataFrame(
-        [(i, t) for i, t in enumerate(terms)], "slot int, term string"
-    )
+    slots = spark.createDataFrame(slot_rows, "slot int, term string")
     anchors = (
         decoded.join(F.broadcast(slots), "term")
         .select("doc_ord", (F.col("pos") - F.col("slot")).alias("anchor"))
@@ -396,7 +406,7 @@ def phrase_query(builder, phrase: str) -> DataFrame:
     matched = (
         anchors.groupBy("doc_ord", "anchor")
         .agg(F.count(F.lit(1)).alias("n_slots"))
-        .filter(F.col("n_slots") == len(terms))
+        .filter(F.col("n_slots") == n_slots)
     )
     freq = builder._drop_tombstones(
         matched.groupBy("doc_ord").agg(
@@ -409,6 +419,39 @@ def phrase_query(builder, phrase: str) -> DataFrame:
         .select(*builder.id_cols, "phrase_freq")
         .orderBy(F.desc("phrase_freq"), *[F.asc(c) for c in builder.id_cols])
     )
+
+
+def phrase_prefix_query(
+    builder, phrase: str, max_expansions: int | None = None
+) -> DataFrame:
+    """match_phrase_prefix: the LAST token of ``phrase`` matches as a
+    prefix ("spark qu" hits "spark query", "spark quantile", …) — the
+    search-as-you-type phrase query. Returns (*id_cols, phrase_freq)
+    where phrase_freq counts anchor positions completed by ANY
+    expansion; same ordering contract as `phrase_query`.
+
+    The prefix expands against the committed term dictionary
+    (`expand_prefix`: manifest RANGE prune + driver pyarrow, never a
+    vocabulary scan), capped at ``max_expansions`` lexicographically-
+    first terms (the engine cap, MAX_PREFIX_EXPANSIONS) — the ES
+    match_phrase_prefix contract. The expansions enter the SAME
+    anchored-slot plan as the exact phrase, all mapped to the last
+    slot: one token per position means an anchor still sees each slot
+    at most once, so no dedup pass is added. The pos_blocks scan
+    prunes to head terms + expansions."""
+    terms = py_tokens(phrase)
+    if not builder.ckpt.is_done("pos_blocks"):
+        raise ValueError("positional index not built (build_positional_index)")
+    if not terms:
+        return _empty_phrase_result(builder)
+    head, pref = terms[:-1], terms[-1]
+    exps = builder.expand_prefix(pref, max_expansions)
+    if not exps:
+        return _empty_phrase_result(builder)
+    slot_rows = [(i, t) for i, t in enumerate(head)] + [
+        (len(head), e) for e in exps
+    ]
+    return _slot_anchored_freq(builder, slot_rows, len(terms))
 
 
 def near_query(

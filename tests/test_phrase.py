@@ -206,3 +206,54 @@ def test_compaction_appends_positional_layer(spark, tmp_path):
         got = phrase_query(b, phrase).toPandas()
         want = phrase_query(b2, phrase).toPandas()
         assert got.values.tolist() == want.values.tolist(), phrase
+
+
+def _py_phrase_prefix(docs, phrase, expansions):
+    """Brute force: last token matches any of ``expansions``."""
+    terms = py_tokens(phrase)
+    head = terms[:-1]
+    out = {}
+    for i, text in docs:
+        toks = py_tokens(text)
+        n = sum(
+            1
+            for s in range(len(toks) - len(terms) + 1)
+            if toks[s:s + len(head)] == head
+            and toks[s + len(head)] in expansions
+        )
+        if n:
+            out[i] = n
+    return out
+
+
+@pytest.mark.parametrize("phrase", ["spark ru", "runs fa", "a b", "spark zz"])
+def test_phrase_prefix_matches_bruteforce(pos_builder, phrase):
+    """match_phrase_prefix == brute force over the dictionary-expanded
+    last token; ordering contract (freq desc, id asc) holds."""
+    from antidb_spark.operators.phrase import phrase_prefix_query
+
+    pref = phrase.split()[-1]
+    exps = set(pos_builder.expand_prefix(pref))
+    want = _py_phrase_prefix(DOCS, phrase, exps)
+    got = phrase_prefix_query(pos_builder, phrase).toPandas()
+    assert {int(r["doc_id"]): int(r["phrase_freq"])
+            for _, r in got.iterrows()} == want, phrase
+    freqs = got["phrase_freq"].tolist()
+    assert freqs == sorted(freqs, reverse=True)
+
+
+def test_phrase_prefix_cap_and_edges(pos_builder):
+    """max_expansions takes the lexicographically-first terms (the ES
+    contract); empty phrase / unknown prefix → empty, not an error."""
+    from antidb_spark.operators.phrase import phrase_prefix_query
+
+    # 'f' expands to {fast, far}; cap=1 keeps only 'far' (lex-first),
+    # dropping every 'spark runs fast' hit that 'fast' completed
+    full = phrase_prefix_query(pos_builder, "runs f").toPandas()
+    capped = phrase_prefix_query(
+        pos_builder, "runs f", max_expansions=1
+    ).toPandas()
+    assert set(pos_builder.expand_prefix("f", 1)) == {"far"}
+    assert capped["phrase_freq"].sum() < full["phrase_freq"].sum()
+    assert phrase_prefix_query(pos_builder, "").count() == 0
+    assert phrase_prefix_query(pos_builder, "spark zzz").count() == 0
