@@ -747,12 +747,49 @@ def phrase_warm(builder, phrase: str) -> pd.DataFrame:
     ``PHRASE_WARM_MAX_BLOCKS``, estimated from the terms table's df)
     transparently fall back to the distributed path."""
     terms = py_tokens(phrase)
-    cols = [*builder.id_cols, "phrase_freq"]
     if not builder.ckpt.is_done("pos_blocks"):
         raise ValueError("positional index not built (build_positional_index)")
     if not terms:
-        return pd.DataFrame(columns=cols)
-    uniq = sorted(set(terms))
+        return pd.DataFrame(columns=[*builder.id_cols, "phrase_freq"])
+    return _warm_slots(
+        builder, [[t] for t in terms],
+        lambda: phrase_query(builder, phrase),
+    )
+
+
+def phrase_prefix_warm(
+    builder, phrase: str, max_expansions: int | None = None
+) -> pd.DataFrame:
+    """Warm tier of ``phrase_prefix_query`` (match_phrase_prefix with
+    NO Spark job — the search-as-you-type regime this query exists
+    for): the dictionary-expanded last token becomes a multi-term
+    slot in the same numpy anchored-slot intersection; positions are
+    unique per doc, so the union over a slot's expansions stays
+    duplicate-free. Value-identical to the distributed path (pinned
+    by tests), with the same stopword-load fallback."""
+    terms = py_tokens(phrase)
+    if not builder.ckpt.is_done("pos_blocks"):
+        raise ValueError("positional index not built (build_positional_index)")
+    if not terms:
+        return pd.DataFrame(columns=[*builder.id_cols, "phrase_freq"])
+    head, pref = terms[:-1], terms[-1]
+    exps = builder.expand_prefix(pref, max_expansions)
+    if not exps:
+        return pd.DataFrame(columns=[*builder.id_cols, "phrase_freq"])
+    return _warm_slots(
+        builder, [[t] for t in head] + [exps],
+        lambda: phrase_prefix_query(builder, phrase, max_expansions),
+    )
+
+
+def _warm_slots(builder, slot_terms, fallback) -> pd.DataFrame:
+    """Shared warm anchored-slot matcher: each slot is a SET of terms
+    (singletons for the exact phrase, the expansion set for the
+    prefix slot); anchors survive a slot iff any of its terms sits at
+    anchor+slot. ``fallback`` supplies the distributed DataFrame when
+    the estimated block load exceeds the warm budget."""
+    cols = [*builder.id_cols, "phrase_freq"]
+    uniq = sorted({t for ts in slot_terms for t in ts})
     dfs = builder.catalog.read_pruned_arrow(
         "terms", "term", uniq, columns=["term", "df"]
     )
@@ -761,8 +798,7 @@ def phrase_warm(builder, phrase: str) -> pd.DataFrame:
         for d in dfs.column("df").to_pylist()
     )
     if est_blocks > PHRASE_WARM_MAX_BLOCKS:
-        out = phrase_query(builder, phrase).toPandas()
-        return out.reset_index(drop=True)
+        return fallback().toPandas().reset_index(drop=True)
     tbl = builder.catalog.read_pruned_arrow(
         "pos_blocks", "term", uniq,
         columns=["term", "n_docs", "docs_packed", "tfs_packed", "pos_packed"],
@@ -773,10 +809,11 @@ def phrase_warm(builder, phrase: str) -> pd.DataFrame:
     tindex = {t: i for i, t in enumerate(uniq_terms)}
     u_docs, doc_inv = np.unique(ords, return_inverse=True)
     anchors: np.ndarray | None = None
-    for i, t in enumerate(terms):
-        if t not in tindex:
+    for i, ts in enumerate(slot_terms):
+        ids = [tindex[t] for t in ts if t in tindex]
+        if not ids:
             return pd.DataFrame(columns=cols)
-        sel = (tids == tindex[t]) & (pos >= i)
+        sel = np.isin(tids, ids) & (pos >= i)
         keys = (doc_inv[sel] << _WARM_SHIFT) + (pos[sel] - i)
         keys = np.unique(keys)  # sorted for intersect1d's fast path
         anchors = (

@@ -257,3 +257,22 @@ def test_phrase_prefix_cap_and_edges(pos_builder):
     assert capped["phrase_freq"].sum() < full["phrase_freq"].sum()
     assert phrase_prefix_query(pos_builder, "").count() == 0
     assert phrase_prefix_query(pos_builder, "spark zzz").count() == 0
+
+
+@pytest.mark.parametrize("phrase", ["spark ru", "runs fa", "a b", "spark zz"])
+def test_phrase_prefix_warm_matches_query(pos_builder, phrase):
+    """Warm (no-Spark-job) prefix path value-identical to the
+    distributed one."""
+    from antidb_spark.operators.phrase import (
+        phrase_prefix_query,
+        phrase_prefix_warm,
+    )
+
+    got = phrase_prefix_warm(pos_builder, phrase)
+    want = phrase_prefix_query(pos_builder, phrase).toPandas()
+    assert got.values.tolist() == want.values.tolist(), phrase
+    capped = phrase_prefix_warm(pos_builder, phrase, max_expansions=1)
+    capped_want = phrase_prefix_query(
+        pos_builder, phrase, max_expansions=1
+    ).toPandas()
+    assert capped.values.tolist() == capped_want.values.tolist(), phrase
