@@ -2072,21 +2072,42 @@ class IndexBuilder:
         gcols = list(group_cols)
         unknown = [c for c in gcols if c not in self.id_cols]
         if unknown:
-            raise ValueError(
-                f"group_cols {unknown} not in id_cols {list(self.id_cols)}"
-            )
+            # group attributes may live in docmeta instead (documents:
+            # source/lang) — same resolution rule as group_top_hits
+            if not self.ckpt.is_done("docmeta"):
+                raise ValueError(
+                    f"group_cols {unknown} not in id_cols "
+                    f"{list(self.id_cols)} and docmeta is not built"
+                )
+            meta = self.catalog.read("docmeta")
+            missing = [c for c in gcols if c not in meta.columns]
+            if missing:
+                # one source serves the whole group key: mixing id
+                # components with docmeta attrs needs the attrs
+                # (or ids) duplicated into docmeta at build_doc_meta
+                raise ValueError(
+                    f"group_cols {missing} not all in docmeta columns "
+                    f"{[c for c in meta.columns if c != 'doc_ord']}"
+                )
         q_terms = sorted(set(py_tokens(query)))
         if not q_terms:
-            dm = self.catalog.read("docmap")
+            src = self.catalog.read("docmap") if not unknown \
+                else self.catalog.read("docmeta")
             schema = ", ".join(
-                [f"{c} {dm.schema[c].dataType.simpleString()}" for c in gcols]
+                [f"{c} {src.schema[c].dataType.simpleString()}"
+                 for c in gcols]
                 + ["n_hits bigint", "best_score double"]
             )
             return self.spark.createDataFrame([], schema)
-        scored = self._pinned_doc_scores(q_terms).select("doc_ord", "score")
-        dm = self.catalog.read("docmap").select("doc_ord", *gcols)
+        scored = self._drop_tombstones(
+            self._pinned_doc_scores(q_terms).select("doc_ord", "score")
+        )
+        gsrc = (
+            self.catalog.read("docmap") if not unknown
+            else self.catalog.read("docmeta")
+        ).select("doc_ord", *gcols)
         return (
-            scored.join(dm, "doc_ord")
+            scored.join(gsrc, "doc_ord")
             .groupBy(*gcols)
             .agg(
                 F.count(F.lit(1)).alias("n_hits"),

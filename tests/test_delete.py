@@ -355,3 +355,55 @@ def test_delete_everything_empties_results(spark, tmp_path):
     assert b.hit_count(QUERY).collect()[0]["n_docs"] == 0
     assert b.eq_terms("the").count() == 0
     corpus.unpersist()
+
+
+def test_grouped_excludes_tombstoned_docs(spark, tmp_path):
+    """query_grouped counts/ranks ALIVE docs only: deleting every turn
+    of the winning conversation removes the group, and partial deletes
+    shrink n_hits."""
+    import tempfile
+
+    from antidb_spark.operators.build import IndexBuilder
+    from antidb_spark.synth import synth_transcripts
+
+    t = synth_transcripts(spark, n_convs=10, seed=3).cache()
+    t.count()
+    b = IndexBuilder(spark, str(tmp_path / "gidx"))
+    b.build(t)
+    g0 = b.query_grouped("the", ["conv_id"], k=5).toPandas()
+    top = g0["conv_id"].iloc[0]
+    b.delete_docs(t.filter(t.conv_id == top).select("conv_id", "turn_idx"))
+    g1 = b.query_grouped("the", ["conv_id"], k=5).toPandas()
+    assert top not in set(g1["conv_id"])
+    # a partial delete shrinks the group's hit count, never grows it
+    nxt = g1["conv_id"].iloc[0]
+    before = int(g1.set_index("conv_id").loc[nxt, "n_hits"])
+    one = t.filter(t.conv_id == nxt).select("conv_id", "turn_idx").limit(1)
+    b.delete_docs(one)
+    g2 = b.query_grouped("the", ["conv_id"], k=5).toPandas()
+    after = g2.set_index("conv_id")["n_hits"].get(nxt, 0)
+    assert after == before - 1
+    t.unpersist()
+
+
+def test_grouped_over_docmeta_column(spark, tmp_path):
+    """query_grouped groups by a docmeta attribute (the group_top_hits
+    resolution rule), matching the ad-hoc rollup."""
+    import pytest as _pt
+    from pyspark.sql import functions as F
+
+    from antidb_spark.operators.build import IndexBuilder
+    from antidb_spark.operators.topk import bm25_grouped_topk
+    from antidb_spark.synth import synth_transcripts
+
+    t = synth_transcripts(spark, n_convs=10, seed=5).cache()
+    t.count()
+    b = IndexBuilder(spark, str(tmp_path / "gmeta"))
+    b.build(t)
+    b.build_doc_meta(t, ["role"])
+    got = b.query_grouped("the", ["role"], k=5).toPandas()
+    want = bm25_grouped_topk(t, "the", "role", k=5).toPandas()
+    assert got.values.tolist() == want.values.tolist()
+    with _pt.raises(ValueError, match="docmeta"):
+        b.query_grouped("the", ["nope"], k=5)
+    t.unpersist()
