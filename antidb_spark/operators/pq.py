@@ -487,14 +487,37 @@ def _books_as_lists(idx) -> list[list[list[int]]]:
     ]
 
 
-def append_pq(idx: PqIndex, vectors: DataFrame) -> PqIndex:
+def _ingest_props(idx, batch_tag: str | None):
+    """(skip, props) for an exactly-once tagged append: the tag list
+    rides the SAME manifest swap as the new files, so a re-delivered
+    micro-batch (foreachBatch recovery) either sees its tag and skips,
+    or re-appends cleanly — files from a crashed attempt stay
+    uncommitted-invisible (the catalog append contract)."""
+    props = dict(idx.catalog.manifest(idx.name)["props"])
+    if batch_tag is None:
+        return False, props
+    seen = list(props.get("ingested", []))
+    if batch_tag in seen:
+        return True, props
+    props["ingested"] = seen + [batch_tag]
+    return False, props
+
+
+def append_pq(
+    idx: PqIndex, vectors: DataFrame, batch_tag: str | None = None
+) -> PqIndex:
     """O(delta) vector append to a committed PQ index: new vectors
     encode under the COMMITTED codebooks (never retrained — the
     standard PQ append contract; re-train after heavy drift is a
     rebuild, the same append-vs-optimize maintenance split as the text
     index and LSH/IVF, ann.py:127-160). Committed files stay
     byte-untouched; the delta lands as fresh files visible at the
-    manifest swap."""
+    manifest swap. ``batch_tag`` makes the append EXACTLY-ONCE per tag
+    (the streaming foreachBatch contract): the tag commits atomically
+    with the files, a re-delivery skips."""
+    skip, props = _ingest_props(idx, batch_tag)
+    if skip:
+        return idx
     books = _books_as_lists(idx)
     q = _quantized(vectors, idx.id_col, idx.vec_col, idx.scale)
     codes = F.array(*[
@@ -503,19 +526,28 @@ def append_pq(idx: PqIndex, vectors: DataFrame) -> PqIndex:
     ])
     idx.catalog.write(
         q.select(idx.id_col, codes.alias("codes")),
-        idx.name, mode="append",
+        idx.name, mode="append", props=props,
     )
     return PqIndex(idx.spark, idx.catalog, idx.name)
 
 
-def append_ivfpq(idx: IvfPqIndex, vectors: DataFrame) -> IvfPqIndex:
+def append_ivfpq(
+    idx: IvfPqIndex, vectors: DataFrame, batch_tag: str | None = None
+) -> IvfPqIndex:
     """O(delta) append to a committed IVF-PQ index: new vectors assign
     to the COMMITTED coarse centroids, their residuals encode under
     the COMMITTED codebooks, and the delta lands as fresh
     ``cell``-stats'd files — probes keep pruning to their cells across
-    old and new files alike; committed files stay byte-untouched."""
+    old and new files alike; committed files stay byte-untouched.
+    ``batch_tag`` gives exactly-once tagged appends (see `append_pq`)
+    — the streaming vector-ingestion sink:
+    ``stream.writeStream.foreachBatch(lambda df, bid:
+    append_ivfpq(open_ivfpq(...), df, batch_tag=str(bid)))``."""
     from antidb_spark.operators.cluster import _assign, _cdf
 
+    skip, props = _ingest_props(idx, batch_tag)
+    if skip:
+        return idx
     spark = idx.spark
     books = _books_as_lists(idx)
     cents = [idx.centroids[c] for c in range(idx.n_cells)]
@@ -538,6 +570,6 @@ def append_ivfpq(idx: IvfPqIndex, vectors: DataFrame) -> IvfPqIndex:
         resid.select("cell", idx.id_col, codes.alias("codes"))
         .repartitionByRange(n_part, "cell", idx.id_col)
         .sortWithinPartitions("cell", idx.id_col),
-        idx.name, stats_cols=["cell"], mode="append",
+        idx.name, stats_cols=["cell"], mode="append", props=props,
     )
     return IvfPqIndex(spark, idx.catalog, idx.name)

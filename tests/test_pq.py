@@ -293,3 +293,63 @@ def test_pq_refined_recovers_exact_topk(spark, tmp_path):
             .toPandas().values.tolist()
         ]
         assert got == want
+
+
+# ------------------------------------------------ streaming ingestion
+
+
+def test_ivfpq_streaming_ingestion_exactly_once(spark, tmp_path):
+    """Vector micro-batches stream into a committed IVF-PQ index via
+    foreachBatch(append_ivfpq(batch_tag=...)): every streamed vector
+    becomes probeable, committed files stay byte-untouched per append,
+    and a re-delivered tag is a no-op (the exactly-once contract —
+    the tag commits atomically with the files)."""
+    from antidb_spark.operators.pq import append_ivfpq, build_ivfpq, open_ivfpq
+
+    rng = np.random.RandomState(67)
+    X = rng.uniform(-0.5, 0.5, size=(60, DIM)).astype(np.float32)
+    base = _vectors(spark, X[:30], ids=range(30))
+    root = str(tmp_path / "ivfpq_stream")
+    build_ivfpq(spark, root, "ivfpq", base, n_cells=3,
+                coarse_iters=1, m=4, k=8, iters=1)
+
+    src = str(tmp_path / "vec_src")
+    for i, lo in enumerate((30, 45)):
+        _vectors(spark, X[lo:lo + 15], ids=range(lo, lo + 15)) \
+            .coalesce(1).write.mode("append").parquet(src)
+    stream = (
+        spark.readStream
+        .schema("vec_id bigint, embedding array<float>")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+
+    def sink(df, bid):
+        append_ivfpq(open_ivfpq(spark, root, "ivfpq"), df,
+                     batch_tag=str(bid))
+
+    q = (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    idx = open_ivfpq(spark, root, "ivfpq")
+    assert idx.catalog.read("ivfpq").count() == 60
+    tags = idx.catalog.manifest("ivfpq")["props"]["ingested"]
+    assert len(tags) == len(set(tags)) >= 2
+    # a streamed vector is probeable through both tiers
+    probe = [float(v) for v in X[50]]
+    top = idx.topk(probe, k=3, n_probe=3).toPandas()
+    assert top["vec_id"].iloc[0] == 50
+    assert idx.topk_local(probe, k=3, n_probe=3) == [
+        (int(a), int(b)) for a, b in top.values.tolist()
+    ]
+    # re-delivering an already-committed tag is a byte-level no-op
+    before = _files_bytes(idx.catalog, "ivfpq")
+    again = append_ivfpq(idx, _vectors(spark, X[30:45], ids=range(30, 45)),
+                         batch_tag=tags[0])
+    assert _files_bytes(again.catalog, "ivfpq") == before
+    assert again.catalog.read("ivfpq").count() == 60
