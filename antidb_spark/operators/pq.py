@@ -487,19 +487,26 @@ def _books_as_lists(idx) -> list[list[list[int]]]:
     ]
 
 
+INGEST_TAG_TAIL = 1000
+
+
 def _ingest_props(idx, batch_tag: str | None):
     """(skip, props) for an exactly-once tagged append: the tag list
     rides the SAME manifest swap as the new files, so a re-delivered
     micro-batch (foreachBatch recovery) either sees its tag and skips,
     or re-appends cleanly — files from a crashed attempt stay
-    uncommitted-invisible (the catalog append contract)."""
+    uncommitted-invisible (the catalog append contract). The list is
+    trimmed to the last ``INGEST_TAG_TAIL`` tags — re-delivery only
+    ever concerns the batches in flight at a crash, never ancient
+    ones, so a bounded tail keeps the manifest O(1) over an unbounded
+    stream."""
     props = dict(idx.catalog.manifest(idx.name)["props"])
     if batch_tag is None:
         return False, props
     seen = list(props.get("ingested", []))
     if batch_tag in seen:
         return True, props
-    props["ingested"] = seen + [batch_tag]
+    props["ingested"] = (seen + [batch_tag])[-INGEST_TAG_TAIL:]
     return False, props
 
 
