@@ -107,6 +107,15 @@ def test_random_maintenance_reconciles_to_rebuild(spark, tmp_path, seed):
             i for i, txt in model.items() if "the" in txt.split()
         }
         assert got_ids == want_ids, (seed, step, op)
+        # grouped rollup sees the same alive membership (conv set AND
+        # per-conv hit counts — the n_hits leak a tombstone bug shows)
+        g = b.query_grouped("the", ["conv_id"], k=1_000_000).toPandas()
+        want_groups = {}
+        for c, _t in want_ids:
+            want_groups[c] = want_groups.get(c, 0) + 1
+        assert dict(zip(g["conv_id"], g["n_hits"])) == want_groups, (
+            seed, step, op,
+        )
 
     # final reconcile: optimize purges everything; every query path now
     # VALUE-identical to a fresh build over the model corpus
@@ -118,6 +127,9 @@ def test_random_maintenance_reconciles_to_rebuild(spark, tmp_path, seed):
         got = b.query_pinned(q, k=50).toPandas()
         want = ref.query_pinned(q, k=50).toPandas()
         assert got.values.tolist() == want.values.tolist(), (seed, q)
+    gg = b.query_grouped(QUERIES[0], ["conv_id"], k=50).toPandas()
+    gw = ref.query_grouped(QUERIES[0], ["conv_id"], k=50).toPandas()
+    assert gg.values.tolist() == gw.values.tolist(), seed
     warm = b.query_warm(QUERIES[0], k=10)
     batch = b.query_batch([QUERIES[0]], k=10).toPandas().drop(
         columns=["query_id"]
