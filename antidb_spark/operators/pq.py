@@ -449,6 +449,38 @@ class IvfPqIndex:
             out = out.unionByName(p)
         return out.orderBy(F.asc("qdist"), F.asc(self.id_col)).limit(k)
 
+    def topk_refined(
+        self,
+        probe: Sequence[float],
+        vectors: DataFrame,
+        k: int = 10,
+        shortlist: int = 50,
+        n_probe: int = 2,
+    ) -> DataFrame:
+        """Two-stage IVF-PQ (the full deployed shape): the cell-pruned
+        residual ADC scan produces a ``shortlist``, then ONLY those
+        ids re-rank by exact int64 squared L2 against the base
+        vectors (broadcast semi-join, O(shortlist) refine) — same
+        contract as ``PqIndex.topk_refined`` with the IVF pruning in
+        front."""
+        import math
+
+        short = self.topk(probe, k=int(shortlist), n_probe=n_probe) \
+            .select(self.id_col)
+        qp = F.array(*[
+            F.lit(int(math.floor(float(v) * float(self.scale))))
+            .cast("long")
+            for v in probe
+        ])
+        q = _quantized(vectors, self.id_col, self.vec_col, self.scale)
+        exact = _sqdist_expr(F.col("qv"), qp)
+        return (
+            q.join(F.broadcast(short), self.id_col)
+            .select(self.id_col, exact.alias("qdist"))
+            .orderBy(F.asc("qdist"), F.asc(self.id_col))
+            .limit(int(k))
+        )
+
     def topk_local(
         self, probe: Sequence[float], k: int = 10, n_probe: int = 2
     ):

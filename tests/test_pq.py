@@ -353,3 +353,24 @@ def test_ivfpq_streaming_ingestion_exactly_once(spark, tmp_path):
                          batch_tag=tags[0])
     assert _files_bytes(again.catalog, "ivfpq") == before
     assert again.catalog.read("ivfpq").count() == 60
+
+
+def test_ivfpq_refined_matches_exact_over_shortlist(built_ivfpq, spark):
+    """IVF-PQ two-stage refine: exact int64 re-rank of the cell-pruned
+    ADC shortlist — within the probed cells' shortlist the refined
+    top-k equals the true quantized ranking restricted to those ids."""
+    idx, X, _ = built_ivfpq
+    df = _vectors(spark, X)
+    q = np.floor(X.astype(np.float64) * 1_000_000).astype(np.int64)
+    for pid in (0, 9):
+        probe = [float(v) for v in X[pid]]
+        short = [v for v, _ in idx.topk_local(probe, k=20, n_probe=2)]
+        d = ((q - q[pid]) ** 2).sum(axis=1)
+        want = sorted(((int(d[i]), int(i)) for i in short))[:5]
+        got = [
+            (int(b), int(a))
+            for a, b in idx.topk_refined(
+                probe, df, k=5, shortlist=20, n_probe=2
+            ).toPandas().values.tolist()
+        ]
+        assert got == want
