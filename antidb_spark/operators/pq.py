@@ -513,6 +513,39 @@ def open_ivfpq(spark: SparkSession, root: str, name: str) -> IvfPqIndex:
     return IvfPqIndex(spark, Catalog(spark, root), name)
 
 
+def optimize_pq(idx) -> "PqIndex | IvfPqIndex":
+    """Force-merge for PQ/IVF-PQ codes tables (the vector-side analog
+    of the text index's ``optimize``): O(delta) appends accumulate
+    one small file run per batch — correct (probes read every
+    manifest file) but scattering the cell locality the IVF pruning
+    wants. This rewrites the codes into ONE freshly-sorted generation
+    via the crash-atomic ``Catalog.replace`` (old snapshot intact
+    until the swap), preserving codebooks/centroids/props verbatim —
+    codes never recompute, so every ranking is byte-identical before
+    and after. Out-of-band maintenance, never required for
+    correctness."""
+    is_ivf = isinstance(idx, IvfPqIndex)
+    df = idx.catalog.read(idx.name)
+    props = dict(idx.catalog.manifest(idx.name)["props"])
+    if is_ivf:
+        n_part = min(
+            idx.n_cells, idx.spark.sparkContext.defaultParallelism
+        )
+        df = df.repartitionByRange(
+            n_part, "cell", idx.id_col
+        ).sortWithinPartitions("cell", idx.id_col)
+        idx.catalog.replace(df, idx.name, stats_cols=["cell"],
+                            props=props)
+        return IvfPqIndex(idx.spark, idx.catalog, idx.name)
+    idx.catalog.replace(
+        df.repartitionByRange(
+            idx.spark.sparkContext.defaultParallelism, idx.id_col
+        ).sortWithinPartitions(idx.id_col),
+        idx.name, props=props,
+    )
+    return PqIndex(idx.spark, idx.catalog, idx.name)
+
+
 def _books_as_lists(idx) -> list[list[list[int]]]:
     return [
         [idx.books[j][c] for c in range(idx.k)] for j in range(idx.m)

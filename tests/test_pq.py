@@ -374,3 +374,40 @@ def test_ivfpq_refined_matches_exact_over_shortlist(built_ivfpq, spark):
             ).toPandas().values.tolist()
         ]
         assert got == want
+
+
+def test_optimize_pq_restores_single_run(spark, tmp_path):
+    """After several appends, optimize_pq rewrites the codes into one
+    fresh sorted generation: fewer files, identical rankings (codes
+    never recompute), codebooks/centroids/props preserved."""
+    from antidb_spark.operators.pq import (
+        append_ivfpq,
+        build_ivfpq,
+        open_ivfpq,
+        optimize_pq,
+    )
+
+    rng = np.random.RandomState(71)
+    X = rng.uniform(-0.5, 0.5, size=(60, DIM)).astype(np.float32)
+    root = str(tmp_path / "opt")
+    idx = build_ivfpq(spark, root, "ivfpq",
+                      _vectors(spark, X[:30], ids=range(30)),
+                      n_cells=3, coarse_iters=1, m=4, k=8, iters=1)
+    for lo in (30, 40, 50):
+        idx = append_ivfpq(
+            idx, _vectors(spark, X[lo:lo + 10], ids=range(lo, lo + 10))
+        )
+    probe = [float(v) for v in X[44]]
+    before_top = idx.topk_local(probe, k=10, n_probe=3)
+    n_files_before = len(idx.catalog.manifest("ivfpq")["files"])
+    opt = optimize_pq(idx)
+    n_files_after = len(opt.catalog.manifest("ivfpq")["files"])
+    assert n_files_after < n_files_before
+    assert opt.topk_local(probe, k=10, n_probe=3) == before_top
+    assert opt.topk(probe, k=10, n_probe=3).toPandas().values.tolist() \
+        == [[a, b] for a, b in before_top]
+    assert opt.centroids == idx.centroids and opt.books == idx.books
+    assert opt.catalog.read("ivfpq").count() == 60
+    # reopen-from-disk sees the optimized generation
+    re = open_ivfpq(spark, root, "ivfpq")
+    assert re.topk_local(probe, k=10, n_probe=3) == before_top
