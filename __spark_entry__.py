@@ -1361,24 +1361,37 @@ def _q_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     what it reads ~50× narrower — the probe scans only its 2 nearest
     cells' manifest-pruned files and ranks by exact-int64 residual
     ADC."""
-    import shutil
-    import tempfile
-
-    from antidb_spark.operators.pq import build_ivfpq
-
     probe = _probe_vec(spark, sf_dir)
-    root = tempfile.mkdtemp(prefix="antidb_entry_ivfpq_")
-    try:
+    idx = _entry_ivfpq(spark, sf_dir)
+    return idx.topk(probe, k=10, n_probe=IVFPQ_NPROBE)
+
+
+_IVFPQ_IDX: dict[str, object] = {}
+
+
+def _entry_ivfpq(spark: SparkSession, sf_dir: str):
+    """Shared committed IVF-PQ index, built once per sf_dir in a
+    process-lifetime temp dir (same shape as ``_entry_pq``). The dir
+    outlives the returned DataFrame's lazy plan — an eagerly-removed
+    dir made cache-evicted partitions recompute against deleted files
+    (flaky FileNotFoundError under memory pressure)."""
+    idx = _IVFPQ_IDX.get(sf_dir)
+    if idx is None:
+        import atexit
+        import shutil
+        import tempfile
+
+        from antidb_spark.operators.pq import build_ivfpq
+
+        root = tempfile.mkdtemp(prefix="antidb_entry_ivfpq_")
+        atexit.register(shutil.rmtree, root, ignore_errors=True)
         idx = build_ivfpq(
             spark, root, "ivfpq", _vecs(spark, sf_dir),
             n_cells=IVFPQ_CELLS, coarse_iters=KMEANS_ITERS,
             m=PQ_M, k=PQ_K, iters=PQ_ITERS,
         )
-        out = idx.topk(probe, k=10, n_probe=IVFPQ_NPROBE).cache()
-        out.count()  # materialize before the temp dir is removed
-        return out
-    finally:
-        shutil.rmtree(root, ignore_errors=True)
+        _IVFPQ_IDX[sf_dir] = idx
+    return idx
 
 
 def _ivfpq_oracle(

@@ -161,36 +161,65 @@ class Catalog:
         row_group_bytes: int | None = None,
     ) -> dict:
         """CRASH-ATOMIC table rewrite: data files land in a fresh
-        generation directory, the manifest pointer swaps to it in one
-        ``os.replace`` (the commit point), then older generations are
-        GC'd. A crash before the swap leaves the old snapshot fully
-        intact; a crash after leaves only orphan files (harmless — no
-        manifest references them)."""
+        generation directory and the manifest pointer swaps to it in one
+        ``os.replace`` (the commit point). A crash before the swap leaves
+        the old snapshot fully intact; a crash after leaves only orphan
+        files (harmless — no manifest references them).
+
+        Generation GC is DEFERRED to :meth:`expire_snapshots` (the
+        Iceberg contract): every generation referenced by a retained
+        snapshot json stays on disk, so any snapshot a caller pinned
+        before this replace remains readable/restorable until the caller
+        explicitly expires history. The only dirs reclaimed here are
+        generations NO snapshot references — i.e. leftovers of a replace
+        that crashed between its data write and its commit."""
         import shutil
         import uuid as _uuid
 
         gen = f"data-{_uuid.uuid4().hex[:8]}"
         ddir = os.path.join(self.table_dir(name), gen)
-        # the generation being superseded: keep it through THIS swap so
-        # readers pinned to the old snapshot (cached Spark plans, pyarrow
-        # fragments, in-flight queries) finish against intact files; it
-        # is GC'd by the NEXT replace (deferred one-generation GC)
-        try:
-            prev = self.manifest(name).get("data_dir", "data")
-        except FileNotFoundError:
-            prev = None
         w = df.write.mode("overwrite").option("compression", "zstd")
         if row_group_bytes:
             w = w.option("parquet.block.size", str(int(row_group_bytes)))
         w.parquet(ddir)
         man = self.commit(name, stats_cols=stats_cols, props=props,
                           data_dir=gen, op="replace")
+        referenced = self._snapshot_data_dirs(name)
+        referenced.add(gen)
         for d in os.listdir(self.table_dir(name)):
-            if d not in (gen, prev) and (d == "data"
-                                         or d.startswith("data-")):
+            if d not in referenced and (d == "data"
+                                        or d.startswith("data-")):
                 shutil.rmtree(os.path.join(self.table_dir(name), d),
                               ignore_errors=True)
         return man
+
+    def _snapshot_data_dirs(self, name: str) -> set[str]:
+        """Generation directories referenced by any retained snapshot
+        json (head included). Unreadable snapshot files count as
+        referencing-everything-unknown is impossible to express, so their
+        dir is conservatively protected by keeping ALL dirs when a read
+        fails."""
+        dirs: set[str] = set()
+        try:
+            dirs.add(self.manifest(name).get("data_dir", "data"))
+        except FileNotFoundError:
+            pass
+        sdir = self._snapshots_dir(name)
+        if os.path.isdir(sdir):
+            for fn in os.listdir(sdir):
+                if not fn.endswith(".json"):
+                    continue
+                try:
+                    with open(os.path.join(sdir, fn)) as f:
+                        dirs.add(json.load(f).get("data_dir", "data"))
+                except (OSError, ValueError):
+                    # cannot tell which generation this snapshot needs:
+                    # protect everything rather than risk deleting it
+                    dirs.update(
+                        d for d in os.listdir(self.table_dir(name))
+                        if d == "data" or d.startswith("data-")
+                    )
+        return dirs
 
     def _walk_parquet(self, ddir: str) -> list[str]:
         paths = []
@@ -221,6 +250,13 @@ class Catalog:
         ``parent_id`` link, enabling :meth:`read_at` time travel and
         :meth:`restore`."""
         ddir = os.path.join(self.table_dir(name), data_dir)
+        if stats_cols is None and carry_files is not None and self.exists(name):
+            # append semantics: stats columns are table metadata, not
+            # per-call options — a bare append must not reset them (that
+            # would disable manifest file pruning for the WHOLE table,
+            # prior files included, and the docmap delete-prune keyed off
+            # head stats_cols). Same inheritance rule as props in write().
+            stats_cols = self.manifest(name).get("stats_cols") or None
         if harvest_paths is not None:
             paths = list(harvest_paths)
         else:
@@ -390,11 +426,14 @@ class Catalog:
                 from ..err import SnapshotExpiredError
 
                 raise SnapshotExpiredError(name, snapshot_id, missing)
+        ddir = os.path.join(self.table_dir(name), man.get("data_dir", "data"))
         if not paths:  # zero-file snapshot: no footer to infer from
-            return self.spark.read.parquet(
-                os.path.join(self.table_dir(name), man.get("data_dir", "data"))
-            )
-        return self.spark.read.parquet(*paths)
+            return self.spark.read.parquet(ddir)
+        # basePath: explicit file lists alone drop Hive partition columns
+        # (partition VALUES live only in directory names); anchoring the
+        # scan at the generation dir restores them for partition_by
+        # tables and is a no-op for flat layouts
+        return self.spark.read.option("basePath", ddir).parquet(*paths)
 
     def manifest_at(self, name: str, snapshot_id: str) -> dict:
         """Manifest of a historical snapshot from the snapshot log (the
@@ -465,8 +504,19 @@ class Catalog:
                             referenced.update(
                                 e["path"] for e in json.load(f)["files"]
                             )
-                    except (OSError, KeyError, ValueError):
-                        continue
+                    except (OSError, KeyError, ValueError) as exc:
+                        # a RETAINED snapshot whose manifest can't be read
+                        # has an unknown file set — sweeping anyway could
+                        # delete data that snapshot still needs. Abort:
+                        # a metadata read error must never become data
+                        # loss. (Expired snapshots below are unaffected —
+                        # their json is removed without being parsed.)
+                        raise RuntimeError(
+                            f"expire_snapshots({name!r}): retained "
+                            f"snapshot {sid} manifest unreadable; "
+                            f"aborting sweep to avoid deleting files it "
+                            f"may reference"
+                        ) from exc
                 else:
                     os.unlink(os.path.join(sdir, fn))
                     expired += 1
@@ -480,6 +530,15 @@ class Catalog:
                     removed += 1
                 except OSError:
                     pass
+        # generation dirs no retained snapshot references any more: this
+        # is the reclaim point for generations abandoned by replace()
+        # (which defers GC here so pinned snapshots stay readable)
+        import shutil
+
+        live_dirs = self._snapshot_data_dirs(name)
+        for d in os.listdir(tdir):
+            if d not in live_dirs and (d == "data" or d.startswith("data-")):
+                shutil.rmtree(os.path.join(tdir, d), ignore_errors=True)
         hist = [h for h in hist if h["snapshot_id"] in keep_ids]
         htmp = self._history_path(name) + ".tmp"
         with open(htmp, "w") as f:

@@ -91,6 +91,63 @@ def test_restore_and_expire(spark, cat):
     assert cat.read("t").count() == 7
 
 
+def test_replace_retains_all_pinned_generations(spark, cat):
+    """Generation GC is deferred to expire_snapshots: a snapshot pinned
+    BEFORE two replace-bearing mutations stays readable and restorable
+    (the multi-snapshot retention contract restore() documents)."""
+    m1 = cat.replace(_t(spark, 0, 5), "t", stats_cols=["k"])
+    cat.replace(_t(spark, 10, 20), "t", stats_cols=["k"])
+    cat.replace(_t(spark, 30, 45), "t", stats_cols=["k"])
+    # two replaces later, the original snapshot is intact…
+    assert cat.read_at("t", m1["snapshot_id"]).count() == 5
+    # …and restorable
+    cat.restore("t", m1["snapshot_id"])
+    assert cat.read("t").count() == 5
+    # expire with keep_last=1 reclaims the abandoned generations
+    cat.expire_snapshots("t", keep_last=1)
+    gens = [d for d in os.listdir(cat.table_dir("t"))
+            if d == "data" or d.startswith("data-")]
+    assert len(gens) == 1  # only the restored head's generation survives
+    assert cat.read("t").count() == 5
+
+
+def test_append_inherits_stats_cols(spark, cat):
+    """A bare append must not reset the table's stats columns — doing so
+    would disable manifest file pruning for ALL files (ADVICE r4)."""
+    cat.write(_t(spark, 0, 5), "t", stats_cols=["k"])
+    m2 = cat.write(_t(spark, 5, 8), "t", mode="append")  # no stats_cols
+    assert m2["stats_cols"] == ["k"]
+    new = [e for e in m2["files"] if e["rows"] and e.get("min_k", 0) >= 5]
+    assert new, "delta files were harvested with the inherited stats col"
+    assert cat.read_pruned("t", "k", values=[6]).count() >= 1
+
+
+def test_expire_aborts_on_unreadable_retained_snapshot(spark, cat):
+    """A retained snapshot whose manifest can't be parsed must abort the
+    sweep — a metadata read error must never become data loss."""
+    m1 = cat.write(_t(spark, 0, 5), "t", stats_cols=["k"])
+    cat.write(_t(spark, 5, 8), "t", stats_cols=["k"], mode="append")
+    spath = os.path.join(cat.table_dir("t"), "_snapshots",
+                         f"{m1['snapshot_id']}.json")
+    with open(spath, "w") as f:
+        f.write("{corrupt")
+    with pytest.raises(RuntimeError, match="unreadable"):
+        cat.expire_snapshots("t", keep_last=3)
+    assert cat.read("t").count() == 8  # nothing was deleted
+
+
+def test_partitioned_table_keeps_partition_columns(spark, cat):
+    """Explicit-file-list reads anchor at the generation dir via
+    basePath, so Hive partition columns survive (ADVICE r4)."""
+    from pyspark.sql import functions as F
+
+    df = _t(spark, 0, 10).withColumn("p", (F.col("k") % 2).cast("int"))
+    cat.write(df, "t", partition_by=["p"])
+    got = cat.read("t")
+    assert "p" in got.columns
+    assert got.filter(F.col("p") == 1).count() == 5
+
+
 def test_snapshot_log_files_on_disk(spark, cat):
     m1 = cat.write(_t(spark, 0, 3), "t")
     sdir = os.path.join(cat.table_dir("t"), "_snapshots")
