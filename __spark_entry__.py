@@ -1926,61 +1926,16 @@ ORDER BY lang
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """ATTESTATION ROTATION NOTE: the driver records correctness rows
+    for only the FIRST 50 dict entries, so entry order rotates each
+    round, least-recently-driver-attested first. Round-5 order: the 30
+    entries with no driver row in any round (repetition … time_travel),
+    then the 13 last attested in round 3 (minhash_dups … frame_sample),
+    then 7 entries whose code paths changed this round, then the rest of
+    the round-4-attested block. Round 6 should move the tail block
+    (term_counts … ngram_jaccard) to the front."""
     return {
-        "term_counts": _q_term_counts,
-        "postings_tf": _q_postings,
-        "term_df": _q_term_df,
-        "doc_lengths": _q_doc_lengths,
-        "corpus_stats": _q_corpus_stats,
-        "topk_bm25": _q_topk_bm25,
-        "indexed_topk": _q_indexed_topk,
-        "filtered_topk": _q_filtered_topk,
-        "conjunctive_topk": _q_conjunctive_topk,
-        "not_topk": _q_not_topk,
-        "bool_topk": _q_bool_topk,
-        "bool_msm": _q_bool_msm,
-        "synonym_topk": _q_synonym_topk,
-        "bm25f_topk": _q_bm25f_topk,
-        "deleted_topk": _q_deleted_topk,
-        "prefix_topk": _q_prefix_topk,
-        "wildcard_topk": _q_wildcard_topk,
-        "near_search": _q_near_search,
-        "slop_phrase": _q_slop_phrase,
-        "facet_counts": _q_facet_counts,
-        "paged_topk": _q_paged_topk,
-        "more_like_this": _q_more_like_this,
-        "fuzzy_topk": _q_fuzzy_topk,
-        "regex_topk": _q_regex_topk,
-        "boosted_topk": _q_boosted_topk,
-        "decay_topk": _q_decay_topk,
-        "hit_count": _q_hit_count,
-        "grouped_topk": _q_grouped_topk,
-        "hybrid_topk": _q_hybrid_topk,
-        "sessionize": _q_sessionize,
-        "tumbling_counts": _q_tumbling_counts,
-        "merged_topk": _q_merged_topk,
-        "federated_topk": _q_federated_topk,
-        "spell_suggest": _q_spell_suggest,
-        "upsert_eq": _q_upsert_eq,
-        "upsert_topk": _q_upsert_topk,
-        "snippet_hits": _q_snippet_hits,
-        "eq_lookup": _q_eq_lookup,
-        "rng_lookup": _q_rng_lookup,
-        "keyed_eq_persisted": _q_keyed_eq_persisted,
-        "keyed_rng_persisted": _q_keyed_rng_persisted,
-        "lookup_dump": _q_lookup_dump,
-        "fallback_join": _q_fallback_join,
-        "interval_days": _q_interval_days,
-        "phrase_search": _q_phrase_search,
-        "phrase_adhoc": _q_phrase_adhoc,
-        "phrase_prefix": _q_phrase_prefix,
-        "fingerprints": _q_fingerprints,
-        "exact_dup_groups": _q_exact_dup_groups,
-        "ngram_jaccard": _q_ngram_jaccard,
-        "minhash_dups": _q_minhash_dups,
-        "simhash_dups": _q_simhash_dups,
-        "lang_id": _q_lang_id,
-        "quality": _q_quality,
+        # --- never driver-attested (rounds 1-4) — must be in the window
         "repetition": _q_repetition,
         "pii_redact": _q_pii_redact,
         "decontam": _q_decontam,
@@ -2007,19 +1962,76 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cluster_mix": _q_cluster_mix,
         "dup_groups": _q_dup_groups,
         "curated": _q_curated,
+        "pq_topk": _q_pq_topk,
+        "pq_refined": _q_pq_refined,
+        "ivfpq_topk": _q_ivfpq_topk,
+        "time_travel": _q_time_travel,
+        # --- last attested round 3
+        "minhash_dups": _q_minhash_dups,
+        "simhash_dups": _q_simhash_dups,
+        "lang_id": _q_lang_id,
+        "quality": _q_quality,
         "clone_candidates": _q_clone_candidates,
         "ann_cosine_topk": _q_ann_cosine_topk,
         "ann_lsh_topk": _q_ann_lsh_topk,
         "ann_ivf_topk": _q_ann_ivf_topk,
-        "pq_topk": _q_pq_topk,
-        "pq_refined": _q_pq_refined,
-        "ivfpq_topk": _q_ivfpq_topk,
         "embedding_dups": _q_embedding_dups,
         "media_meta": _q_media_meta,
         "media_features": _q_media_features,
         "media_decode": _q_media_decode,
         "frame_sample": _q_frame_sample,
-        "time_travel": _q_time_travel,
+        # --- round-4 attested, but their code paths changed this round
+        "fuzzy_topk": _q_fuzzy_topk,
+        "upsert_eq": _q_upsert_eq,
+        "upsert_topk": _q_upsert_topk,
+        "keyed_eq_persisted": _q_keyed_eq_persisted,
+        "keyed_rng_persisted": _q_keyed_rng_persisted,
+        "eq_lookup": _q_eq_lookup,
+        "rng_lookup": _q_rng_lookup,
+        # ---- driver window (50) ends here ----
+        "term_counts": _q_term_counts,
+        "postings_tf": _q_postings,
+        "term_df": _q_term_df,
+        "doc_lengths": _q_doc_lengths,
+        "corpus_stats": _q_corpus_stats,
+        "topk_bm25": _q_topk_bm25,
+        "indexed_topk": _q_indexed_topk,
+        "filtered_topk": _q_filtered_topk,
+        "conjunctive_topk": _q_conjunctive_topk,
+        "not_topk": _q_not_topk,
+        "bool_topk": _q_bool_topk,
+        "bool_msm": _q_bool_msm,
+        "synonym_topk": _q_synonym_topk,
+        "bm25f_topk": _q_bm25f_topk,
+        "deleted_topk": _q_deleted_topk,
+        "prefix_topk": _q_prefix_topk,
+        "wildcard_topk": _q_wildcard_topk,
+        "near_search": _q_near_search,
+        "slop_phrase": _q_slop_phrase,
+        "facet_counts": _q_facet_counts,
+        "paged_topk": _q_paged_topk,
+        "more_like_this": _q_more_like_this,
+        "regex_topk": _q_regex_topk,
+        "boosted_topk": _q_boosted_topk,
+        "decay_topk": _q_decay_topk,
+        "hit_count": _q_hit_count,
+        "grouped_topk": _q_grouped_topk,
+        "hybrid_topk": _q_hybrid_topk,
+        "sessionize": _q_sessionize,
+        "tumbling_counts": _q_tumbling_counts,
+        "merged_topk": _q_merged_topk,
+        "federated_topk": _q_federated_topk,
+        "spell_suggest": _q_spell_suggest,
+        "snippet_hits": _q_snippet_hits,
+        "lookup_dump": _q_lookup_dump,
+        "fallback_join": _q_fallback_join,
+        "interval_days": _q_interval_days,
+        "phrase_search": _q_phrase_search,
+        "phrase_adhoc": _q_phrase_adhoc,
+        "phrase_prefix": _q_phrase_prefix,
+        "fingerprints": _q_fingerprints,
+        "exact_dup_groups": _q_exact_dup_groups,
+        "ngram_jaccard": _q_ngram_jaccard,
     }
 
 
