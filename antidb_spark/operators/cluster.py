@@ -25,13 +25,13 @@ integer arithmetic**.
   lexicographic ``min(struct(dist, cell))`` — a map-combinable aggregate,
   NOT a per-vector window sort.
 
-Scale shape per iteration: one broadcast cross-join of the k centroids
-against the vectors (no shuffle), one map-combinable ``min(struct)``
-agg keyed by vector id, one map-combinable sum keyed by
-(cell, component) — k·dim rows collected to the driver (bounded:
-centroids are driver-sized by definition, exactly like IVF's committed
-centroid table, ann.py:166-205). ``iters+1`` passes over the source —
-cache upstream if it is not a cheap columnar scan.
+Scale shape per iteration: centroids broadcast into a ZERO-SHUFFLE
+Arrow-batched argmin kernel (functions/veccarrier.py — plan size O(1)
+at any k·dim, never Catalyst literals), then one map-combinable sum
+keyed by (cell, component) — k·dim rows collected to the driver
+(bounded: centroids are driver-sized by definition, exactly like IVF's
+committed centroid table, ann.py:166-205). ``iters+1`` passes over the
+source — cache upstream if it is not a cheap columnar scan.
 
 Reference analog: the reference has no clustering; this extends the
 pipeline axis the way `similarity.py`/`ann.py` do (README's ANN app,
@@ -60,22 +60,18 @@ def _quantized(
     )
 
 
-def _assign(q: DataFrame, cdf: DataFrame) -> DataFrame:
-    """(id, qv) × broadcast centroids → (id, cell) by exact int64
-    squared-L2 argmin, ties to the smallest cell."""
-    dist = F.aggregate(
-        F.zip_with("qv", "cv", lambda x, y: (x - y) * (x - y)),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc + x,
-    )
-    scored = q.crossJoin(F.broadcast(cdf)).select(
-        q.columns[0], F.struct(dist.alias("d"), F.col("cell")).alias("dc")
-    )
-    return (
-        scored.groupBy(q.columns[0])
-        .agg(F.min("dc").alias("m"))
-        .select(q.columns[0], F.col("m.cell").alias("cell"))
-    )
+def _assign(q: DataFrame, cents: list[list[int]]) -> DataFrame:
+    """(id, qv) → (id, cell) by exact int64 squared-L2 argmin, ties to
+    the smallest cell. Centroids ride a broadcast into an Arrow-batched
+    numpy kernel (functions/veccarrier.py): ZERO shuffle (the previous
+    crossJoin+groupBy carrier re-shuffled all N rows per Lloyd round)
+    and O(1) plan size at any k·dim. int64 math is order-free, so cell
+    labels are bit-identical to the relational carrier."""
+    from antidb_spark.functions.veccarrier import assign_min_cell
+
+    id_col = q.columns[0]
+    cell_of = assign_min_cell(q.sparkSession, cents)
+    return q.select(id_col, cell_of(F.col("qv")).alias("cell"))
 
 
 def _cdf(spark, cents: list[list[int]]) -> DataFrame:
@@ -96,7 +92,6 @@ def lloyd_centroids(
     slices — the product-quantization codebooks)."""
     if k < 1 or iters < 0:
         raise ValueError("k >= 1 and iters >= 0 required")
-    spark = q.sparkSession
     init = (
         q.withColumn("h", F.md5(F.col(id_col).cast("string")))
         .orderBy("h", id_col)
@@ -108,7 +103,7 @@ def lloyd_centroids(
         raise ValueError(f"k={k} exceeds the {len(init)} input vectors")
     cents = [list(r.qv) for r in init]
     for _ in range(iters):
-        a = _assign(q, _cdf(spark, cents))
+        a = _assign(q, cents)
         sums = (
             a.join(q, id_col)
             .select("cell", F.posexplode("qv").alias("idx", "v"))
@@ -147,7 +142,7 @@ def kmeans_assign(
     q = _quantized(vectors, id_col, vec_col, scale)
     cents = lloyd_centroids(q, id_col, k, iters)
     return (
-        _assign(q, _cdf(vectors.sparkSession, cents))
+        _assign(q, cents)
         .select(id_col, F.col("cell").alias("cluster"))
         .orderBy(id_col)
     )

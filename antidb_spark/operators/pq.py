@@ -26,12 +26,14 @@ codeword argmins — so planted duplicates always rank first.
 
 Scale shape: training = m bounded Lloyd runs (broadcast centroids,
 map-combinable argmin/sums — cluster.py docstring); code assignment is
-ONE zero-shuffle projection (all m codebooks are literal arrays in the
-plan, the argmin is array_position(array_min) over codegen'd int
-expressions); the committed codes table is ``n × (id + m ints)`` —
-~50× narrower than the vectors; a probe is a zero-join scan of that
-table with the m distance TABLES (k·m ints, driver-computed from the
-committed codebooks) embedded as literals, cut by TakeOrdered.
+ONE zero-shuffle projection — all m codebooks ride a Spark BROADCAST
+into an Arrow-batched numpy argmin kernel (functions/veccarrier.py),
+so plan size is O(1) at any (m, k, dsub): production PQ shapes (m=64,
+k=256 → ~260k codebook ints) would blow JVM 64 KB codegen limits as
+Catalyst literals. The committed codes table is ``n × (id + m ints)``
+— ~50× narrower than the vectors; a probe is a zero-join scan of that
+table scored by the m distance TABLES (k·m ints, driver-computed from
+the committed codebooks, broadcast the same way), cut by TakeOrdered.
 
 Reference tie-in: extends the ANN axis beyond the README app
 (from_readme_ann.py:16-109) the same way ann.py does — build committed
@@ -57,17 +59,6 @@ def _sqdist_expr(a, b):
     )
 
 
-def _code_expr(slice_col, codebook: list[list[int]]):
-    """argmin codeword index for one subspace, ties to the smallest
-    index (array_position returns the FIRST match)."""
-    cws = F.array(*[
-        F.array(*[F.lit(int(x)).cast("long") for x in cw])
-        for cw in codebook
-    ])
-    d = F.transform(cws, lambda cw: _sqdist_expr(slice_col, cw))
-    return (F.array_position(d, F.array_min(d)) - 1).cast("int")
-
-
 def _train_books(
     q: DataFrame, id_col: str, m: int, dsub: int, k: int, iters: int,
 ) -> list[list[list[int]]]:
@@ -76,12 +67,15 @@ def _train_books(
     vectors once (every subspace's init centroids are slices of the
     same vectors — exactly what per-subspace `lloyd_centroids` would
     pick, since the ranking ignores the values); each round evaluates
-    every subspace's argmin as literal-codebook expressions in ONE
-    pass and folds all (subspace, cell, component) integer sums in ONE
-    map-combinable aggregate (m·k·dsub driver rows). Identical math —
-    and therefore bit-identical codebooks — to m independent runs; m×
+    every subspace's argmin in ONE pass through the broadcast-codebook
+    Arrow kernel (veccarrier.pq_encode — plan size O(1) at any
+    m·k·dsub) and folds all (subspace, cell, component) integer sums in
+    ONE map-combinable aggregate (m·k·dsub driver rows). Identical math
+    — and therefore bit-identical codebooks — to m independent runs; m×
     fewer jobs and m× fewer data passes."""
     import math
+
+    from antidb_spark.functions.veccarrier import pq_encode
 
     if k < 1 or iters < 0:
         raise ValueError("k >= 1 and iters >= 0 required")
@@ -99,18 +93,18 @@ def _train_books(
         for j in range(m)
     ]
     for _ in range(iters):
+        enc = pq_encode(q.sparkSession, books)
         entries = F.array(*[
             F.struct(
                 F.lit(j).alias("j"),
-                _code_expr(
-                    F.slice("qv", j * dsub + 1, dsub), books[j]
-                ).alias("cell"),
+                F.element_at("codes", j + 1).alias("cell"),
                 F.slice("qv", j * dsub + 1, dsub).alias("sv"),
             )
             for j in range(m)
         ])
         sums = (
-            q.select(F.explode(entries).alias("e"))
+            q.withColumn("codes", enc(F.col("qv")))
+            .select(F.explode(entries).alias("e"))
             .select("e.j", "e.cell", F.posexplode("e.sv").alias("idx", "v"))
             .groupBy("j", "cell", "idx")
             .agg(F.sum("v").alias("s"), F.count(F.lit(1)).alias("cnt"))
@@ -161,12 +155,11 @@ def build_pq(
         ).coalesce(1),
         f"{name}_codebooks",
     )
-    codes = F.array(*[
-        _code_expr(F.slice("qv", j * dsub + 1, dsub), books[j])
-        for j in range(m)
-    ])
+    from antidb_spark.functions.veccarrier import pq_encode
+
+    enc = pq_encode(spark, books)
     catalog.write(
-        q.select(id_col, codes.alias("codes")),
+        q.select(id_col, enc(F.col("qv")).alias("codes")),
         name,
         props={
             "kind": "pq", "id_col": id_col, "vec_col": vec_col,
@@ -211,17 +204,15 @@ class PqIndex:
 
     def topk(self, probe: Sequence[float], k: int = 10) -> DataFrame:
         """(id, qdist) top-k by ascending ADC distance, ties id-asc —
-        a zero-join scan of the codes table with the distance tables
-        as literal arrays, cut by TakeOrdered."""
-        tables = self._tables(probe)
-        score = None
-        for j, tbl in enumerate(tables):
-            lit = F.array(*[F.lit(int(v)).cast("long") for v in tbl])
-            term = F.element_at(lit, F.element_at("codes", j + 1) + 1)
-            score = term if score is None else score + term
+        a zero-join scan of the codes table scored by the broadcast
+        distance tables (veccarrier.adc_score — plan size O(1) at any
+        m·k), cut by TakeOrdered."""
+        from antidb_spark.functions.veccarrier import adc_score
+
+        score_of = adc_score(self.spark, self._tables(probe))
         return (
             self.catalog.read(self.name)
-            .select(self.id_col, score.alias("qdist"))
+            .select(self.id_col, score_of(F.col("codes")).alias("qdist"))
             .orderBy(F.asc("qdist"), F.asc(self.id_col))
             .limit(k)
         )
@@ -319,7 +310,7 @@ def build_ivfpq(
     q = _quantized(vectors, id_col, vec_col, scale)
     coarse = lloyd_centroids(q, id_col, n_cells, coarse_iters)
     cdf = _cdf(spark, coarse)
-    assigned = _assign(q, cdf)  # (id, cell)
+    assigned = _assign(q, coarse)  # (id, cell)
     resid = (
         q.join(assigned, id_col)
         .join(F.broadcast(cdf), "cell")
@@ -328,6 +319,8 @@ def build_ivfpq(
             F.zip_with("qv", "cv", lambda x, y: x - y).alias("qv"),
         )
     )
+    from antidb_spark.functions.veccarrier import pq_encode
+
     books = _train_books(
         resid.select(id_col, "qv"), id_col, m, dsub, k, iters
     )
@@ -347,13 +340,10 @@ def build_ivfpq(
         ).coalesce(1),
         f"{name}_codebooks",
     )
-    codes = F.array(*[
-        _code_expr(F.slice("qv", j * dsub + 1, dsub), books[j])
-        for j in range(m)
-    ])
+    enc = pq_encode(spark, books)
     n_part = min(n_cells, spark.sparkContext.defaultParallelism)
     catalog.write(
-        resid.select("cell", id_col, codes.alias("codes"))
+        resid.select("cell", id_col, enc(F.col("qv")).alias("codes"))
         .repartitionByRange(n_part, "cell", id_col)
         .sortWithinPartitions("cell", id_col),
         name,
@@ -429,20 +419,18 @@ class IvfPqIndex:
         self, probe: Sequence[float], k: int = 10, n_probe: int = 2
     ) -> DataFrame:
         """(id, qdist) over the probed cells only: each cell's scan is
-        manifest-pruned to its files, scores are literal-table
-        element_at sums, the union is cut by TakeOrdered."""
+        manifest-pruned to its files and scored by that cell's broadcast
+        residual distance tables (veccarrier.adc_score — O(1) plan size
+        at any m·k), the union is cut by TakeOrdered."""
+        from antidb_spark.functions.veccarrier import adc_score
+
         parts = []
         for cell in self.probe_cells(probe, n_probe):
-            tables = self._cell_tables(probe, cell)
-            score = None
-            for j, tbl in enumerate(tables):
-                lit = F.array(*[F.lit(int(v)).cast("long") for v in tbl])
-                term = F.element_at(lit, F.element_at("codes", j + 1) + 1)
-                score = term if score is None else score + term
+            score_of = adc_score(self.spark, self._cell_tables(probe, cell))
             parts.append(
                 self.catalog.read_pruned(self.name, "cell", values=[cell])
                 .filter(F.col("cell") == cell)
-                .select(self.id_col, score.alias("qdist"))
+                .select(self.id_col, score_of(F.col("codes")).alias("qdist"))
             )
         out = parts[0]
         for p in parts[1:]:
@@ -587,17 +575,15 @@ def append_pq(
     manifest swap. ``batch_tag`` makes the append EXACTLY-ONCE per tag
     (the streaming foreachBatch contract): the tag commits atomically
     with the files, a re-delivery skips."""
+    from antidb_spark.functions.veccarrier import pq_encode
+
     skip, props = _ingest_props(idx, batch_tag)
     if skip:
         return idx
-    books = _books_as_lists(idx)
+    enc = pq_encode(idx.spark, _books_as_lists(idx))
     q = _quantized(vectors, idx.id_col, idx.vec_col, idx.scale)
-    codes = F.array(*[
-        _code_expr(F.slice("qv", j * idx.dsub + 1, idx.dsub), books[j])
-        for j in range(idx.m)
-    ])
     idx.catalog.write(
-        q.select(idx.id_col, codes.alias("codes")),
+        q.select(idx.id_col, enc(F.col("qv")).alias("codes")),
         idx.name, mode="append", props=props,
     )
     return PqIndex(idx.spark, idx.catalog, idx.name)
@@ -615,31 +601,28 @@ def append_ivfpq(
     — the streaming vector-ingestion sink:
     ``stream.writeStream.foreachBatch(lambda df, bid:
     append_ivfpq(open_ivfpq(...), df, batch_tag=str(bid)))``."""
+    from antidb_spark.functions.veccarrier import pq_encode
     from antidb_spark.operators.cluster import _assign, _cdf
 
     skip, props = _ingest_props(idx, batch_tag)
     if skip:
         return idx
     spark = idx.spark
-    books = _books_as_lists(idx)
     cents = [idx.centroids[c] for c in range(idx.n_cells)]
     cdf = _cdf(spark, cents)
     q = _quantized(vectors, idx.id_col, idx.vec_col, idx.scale)
     resid = (
-        q.join(_assign(q, cdf), idx.id_col)
+        q.join(_assign(q, cents), idx.id_col)
         .join(F.broadcast(cdf), "cell")
         .select(
             idx.id_col, "cell",
             F.zip_with("qv", "cv", lambda x, y: x - y).alias("qv"),
         )
     )
-    codes = F.array(*[
-        _code_expr(F.slice("qv", j * idx.dsub + 1, idx.dsub), books[j])
-        for j in range(idx.m)
-    ])
+    enc = pq_encode(spark, _books_as_lists(idx))
     n_part = min(idx.n_cells, spark.sparkContext.defaultParallelism)
     idx.catalog.write(
-        resid.select("cell", idx.id_col, codes.alias("codes"))
+        resid.select("cell", idx.id_col, enc(F.col("qv")).alias("codes"))
         .repartitionByRange(n_part, "cell", idx.id_col)
         .sortWithinPartitions("cell", idx.id_col),
         idx.name, stats_cols=["cell"], mode="append", props=props,

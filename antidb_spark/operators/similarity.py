@@ -210,16 +210,24 @@ def ivf_assign(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """(id, embedding, cell): nearest-centroid assignment via a literal
-    centroid array — broadcast-free map-only pass (C is small).
+    """(id, embedding, cell): nearest-centroid assignment — the
+    centroid matrix rides a Spark BROADCAST into an Arrow-batched
+    argmax-cosine kernel (functions/veccarrier.cos_assign), so the
+    pass stays map-only/zero-shuffle with O(1) plan size at any C·dim
+    (literal centroid expressions grew the plan by k·dim doubles — at
+    production IVF shapes, 10⁴ cells × 10³ dims, that's 10⁷ literals).
+    The kernel replays the F.aggregate left-fold association order
+    component-by-component, so every cosine double — and therefore
+    every assignment and the DuckDB oracle hash — is bit-identical to
+    the literal-expression carrier it replaces; ties still break to
+    the smallest cell (numpy argmax = first maximum)."""
+    from antidb_spark.functions.veccarrier import cos_assign
 
-    Argmax is array_position(scores, array_max(scores)) — linear
-    expression size in C (a chained when-else would nest the running
-    best twice per step → 2^C expression blowup that stalls Catalyst)."""
     v = F.col(vec_col)
-    scores = F.array(*[cosine(v, _probe_lit(c)) for c in centroids])
-    cell = (F.array_position(scores, F.array_max(scores)) - 1).cast("int")
-    return vectors.select(F.col(id_col), v.alias(vec_col), cell.alias("cell"))
+    cell_of = cos_assign(vectors.sparkSession, np.asarray(centroids))
+    return vectors.select(
+        F.col(id_col), v.alias(vec_col), cell_of(v).alias("cell")
+    )
 
 
 def sample_centroids(
@@ -229,25 +237,34 @@ def sample_centroids(
     """Deterministic centroid pick: the n_cells lowest-md5(id·seed)
     vectors AMONG the ~1/16 slice whose md5 starts with '0' — the hash
     filter bounds the TakeOrdered input so no corpus-wide ordered scan
-    ever carries full vectors (falls back to the unsliced order only
-    when the corpus is too small to fill the slice). Stable across
-    partitioning, and reproducible in ANSI SQL (md5 of id || seed)."""
+    ever carries full vectors. The underfilled-slice fallback (only
+    reachable when the corpus is within a small factor of n_cells —
+    P[slice < n_cells] is negligible once N ≳ 64·n_cells) is capped the
+    same way: it TakeOrders the NARROW (hash, id) projection corpus-wide
+    and fetches only the n_cells winners' vectors via a broadcast
+    semi-join, so full vectors never ride an ordered exchange on either
+    path. Stable across partitioning, and reproducible in ANSI SQL
+    (md5 of id || seed)."""
     h = F.md5(F.concat(F.col(id_col).cast("string"), F.lit(str(seed))))
-    sliced = (
+    rows = (
         vectors.filter(F.substring(h, 1, 1) == "0")
         .select(id_col, vec_col)
         .orderBy(h, F.col(id_col))
         .limit(n_cells)
         .collect()
     )
-    rows = sliced
     if len(rows) < n_cells:
-        rows = (
-            vectors.select(id_col, vec_col)
+        ids = [
+            r[0]
+            for r in vectors.select(id_col)
             .orderBy(h, F.col(id_col))
             .limit(n_cells)
             .collect()
-        )
+        ]
+        picked = vectors.filter(F.col(id_col).isin(ids)) \
+            .select(id_col, vec_col).collect()
+        by_id = {r[0]: r for r in picked}
+        rows = [by_id[i] for i in ids]
     return np.array([r[vec_col] for r in rows], dtype=np.float64)
 
 

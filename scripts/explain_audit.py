@@ -291,9 +291,11 @@ def main() -> None:
             "PQ probe (asymmetric-distance scan of the codes table)",
             "A probe is a ZERO-JOIN scan of the narrow committed codes "
             "relation (id + m small ints — ~50× narrower than the "
-            "vectors): the m distance tables ride as literal arrays, "
-            "the score is codegen'd element_at sums, the cut is "
-            "TakeOrdered. No vector bytes are read at query time.",
+            "vectors): the m distance tables ride as ONE BROADCAST into "
+            "an Arrow-batched numpy kernel (veccarrier.adc_score — plan "
+            "size O(1) at any m·k; literals would blow 64 KB codegen at "
+            "production m=64/k=256), the cut is TakeOrdered. No vector "
+            "bytes are read at query time.",
             plan_of(pq_plan_df),
         ))
         pq_plan = plan_of(pq_plan_df)
@@ -311,21 +313,66 @@ def main() -> None:
             "Each probed cell is a SEPARATE manifest-pruned scan of the "
             "cell-sorted codes table — the cell predicate must show as "
             "PushedFilters so row groups outside the probed cells never "
-            "decode; per-cell residual distance tables ride as literals, "
-            "the union of n_probe scans is cut by TakeOrdered. No "
-            "vector bytes, no joins at query time.",
+            "decode; per-cell residual distance tables ride as per-cell "
+            "broadcasts into the Arrow ADC kernel, the union of n_probe "
+            "scans is cut by TakeOrdered. No vector bytes, no joins at "
+            "query time.",
             plan_of(ipq_df),
         ))
         ivfpq_plan = plan_of(ipq_df)
     sections.append((
         "k-means assignment (exact-integer Lloyd step)",
-        "The k centroids broadcast-nested-loop against the quantized "
-        "vectors (no shuffle for the distance evaluation — codegen'd "
-        "int64 zip_with/aggregate); the argmin is a map-side-combinable "
-        "min(struct(dist, cell)) keyed by vector id — never a per-vector "
-        "window sort. Update-step sums (not shown: driver-collected "
-        "k·dim rows) are the same map-combinable shape.",
+        "The k centroids ride ONE BROADCAST into an Arrow-batched int64 "
+        "argmin kernel (veccarrier.assign_min_cell): ZERO exchanges "
+        "before the final orderBy — the previous crossJoin+groupBy "
+        "carrier re-shuffled all N rows per Lloyd round, and literal "
+        "centroids would grow the plan by k·dim ints. Update-step sums "
+        "(not shown: driver-collected k·dim rows) stay map-combinable.",
         plan_of(kmeans_assign(kvecs, k=4, iters=0)),
+    ))
+
+    # Production-shape plan-size ceiling (round-4 verdict): the broadcast
+    # carrier must keep the PLAN O(1) at real PQ/IVF sizes — m=64, k=256,
+    # dsub=16 (262,144 codebook ints) and 256×1024 kmeans centroids —
+    # shapes that as Catalyst literals blew 64 KB JVM codegen limits.
+    import numpy as _np
+
+    from antidb_spark.functions.veccarrier import (
+        adc_score,
+        assign_min_cell,
+        pq_encode,
+    )
+
+    rng = _np.random.default_rng(0)
+    wide = spark.range(4).select(
+        F.col("id").alias("vec_id"),
+        F.transform(
+            F.sequence(F.lit(1), F.lit(1024)),
+            lambda i: (i * 2654435761 % 1000003).cast("long"),
+        ).alias("qv"),
+    )
+    enc = pq_encode(
+        spark, rng.integers(-1000, 1000, size=(64, 256, 16)).tolist())
+    prod_enc_plan = plan_of(
+        wide.select("vec_id", enc(F.col("qv")).alias("codes")))
+    score_of = adc_score(
+        spark, rng.integers(0, 10**6, size=(64, 256)).tolist())
+    prod_adc_plan = plan_of(
+        wide.select("vec_id", enc(F.col("qv")).alias("codes"))
+        .select("vec_id", score_of(F.col("codes")).alias("qdist")))
+    cell_of = assign_min_cell(
+        spark, rng.integers(-1000, 1000, size=(256, 1024)).tolist())
+    prod_asn_plan = plan_of(
+        wide.select("vec_id", cell_of(F.col("qv")).alias("cell")))
+    sections.append((
+        "production-shape PQ/kmeans plans (m=64, k=256, dsub=16)",
+        "The 262k-int codebook, 16k-int ADC tables, and 256×1024 "
+        "centroid matrix are ABSENT from the plans (broadcast-carried); "
+        "each plan stays a few hundred bytes of scan→ArrowEval→project "
+        "regardless of codebook shape.",
+        f"encode plan {len(prod_enc_plan)} chars / adc plan "
+        f"{len(prod_adc_plan)} chars / assign plan "
+        f"{len(prod_asn_plan)} chars\n\n" + prod_enc_plan,
     ))
 
     from antidb_spark.operators.hybrid import hybrid_topk
@@ -646,11 +693,11 @@ def main() -> None:
                        and "TakeOrderedAndProject" in res_plan2
                        and "SortMergeJoin" not in res_plan2))
         checks.append(("pq probe: zero-join codes scan, TakeOrdered, "
-                       "no Python eval",
+                       "Arrow-batched ADC (no row-at-a-time Python)",
                        "Join" not in pq_plan
                        and "TakeOrderedAndProject" in pq_plan
                        and "BatchEvalPython" not in pq_plan
-                       and "ArrowEval" not in pq_plan))
+                       and "ArrowEvalPython" in pq_plan))
         checks.append(("ivfpq probe: cell pushdown on the codes scans, "
                        "TakeOrdered, no joins",
                        "PushedFilters: [IsNotNull(cell), EqualTo(cell"
@@ -658,15 +705,19 @@ def main() -> None:
                        and "TakeOrderedAndProject" in ivfpq_plan
                        and "Join" not in ivfpq_plan))
         km_plan = by_title["k-means assignment (exact-integer Lloyd step)"]
-        # "applySchemaToPythonRDD" names the driver-built k-row centroid
-        # relation (benign); the check targets Python EVAL operators.
-        checks.append(("kmeans: centroid broadcast (no shuffle for "
-                       "distances), map-combinable argmin, no Python "
-                       "eval",
-                       "BroadcastNestedLoopJoin" in km_plan
-                       and "partial_min" in km_plan
+        checks.append(("kmeans: broadcast-carrier argmin — zero "
+                       "exchanges before the output sort, Arrow-batched "
+                       "kernel, no joins, no row-at-a-time Python",
+                       "Join" not in km_plan
+                       and "ArrowEvalPython" in km_plan
                        and "BatchEvalPython" not in km_plan
-                       and "ArrowEval" not in km_plan))
+                       and km_plan.count("Exchange") <= 2))
+        checks.append(("production shape (m=64,k=256,dsub=16): plans "
+                       "stay O(1) — no codebook/centroid literals",
+                       len(prod_enc_plan) < 8000
+                       and len(prod_adc_plan) < 8000
+                       and len(prod_asn_plan) < 8000
+                       and "ArrowEvalPython" in prod_enc_plan))
         f.write("## Property checks\n\n")
         for name, ok in checks:
             f.write(f"- {'PASS' if ok else 'FAIL'}: {name}\n")
