@@ -107,10 +107,11 @@ def run_suite(spark, docs, transcripts, n_turns):
         timings[name] = round(statistics.median(lat), 4)
 
     # --- index build over synthetic transcripts (north-rule flagship) ---
-    index_phases = ("index_build", "bm25_batch", "bm25_warm", "grouped",
+    index_phases = ("index_build", "bm25_batch", "stopword_batch",
+                    "bm25_warm", "grouped",
                     "pos_build", "phrase_warm", "snippet_warm", "near_warm",
                     "slop_warm", "prefix_warm", "wildcard_warm",
-                    "upsert_delta")
+                    "fuzzy_warm", "upsert_delta")
     builder = None
     if any(phase_on(p) for p in index_phases):
         builder = IndexBuilder(spark, os.path.join(work_root, "idx"))
@@ -125,6 +126,24 @@ def run_suite(spark, docs, transcripts, n_turns):
     if phase_on("bm25_batch"):
         queries = query_set(N_QUERIES)
         timed("bm25_batch", lambda: builder.query_batch(queries, k=10).count())
+
+    if phase_on("stopword_batch"):
+        # the degenerate all-equal-key nightmare (reference tests.py:432-477,
+        # every row under ONE key): a batch of queries made ONLY of the
+        # corpus's top-df terms — the postings skew block-max pruning +
+        # the bucketed blob shuffle must bound. Target: within ~3× of the
+        # mixed-frequency bm25_batch floor.
+        top_terms = [
+            r["term"]
+            for r in builder.catalog.read("terms")
+            .orderBy(F.desc("df"), "term").limit(8).collect()
+        ]
+        stop_qs = [
+            f"{top_terms[i % 8]} {top_terms[(i + 3) % 8]}"
+            for i in range(N_QUERIES)
+        ]
+        timed("stopword_batch",
+              lambda: builder.query_batch(stop_qs, k=10).count())
 
     if phase_on("bm25_warm"):
         v = vocabulary(2000)
@@ -195,6 +214,20 @@ def run_suite(spark, docs, transcripts, n_turns):
         pats = [f"*{v[i][-3:]}" for i in range(800, 810)] * 2
         warm_median("wildcard_warm", pats,
                     lambda p: builder.query_wildcard_warm(p, k=10))
+
+    if phase_on("fuzzy_warm"):
+        # edit-distance-1 probes with the FIRST char substituted (no
+        # prefix prune could serve them): expansion is a SymSpell
+        # deletion-neighborhood point read (terms_del builds in the
+        # untimed warm-up call), scoring is the shared warm core —
+        # zero Spark jobs end to end
+        v = vocabulary(2000)
+        fprobes = [
+            ("x" if v[i][0] != "x" else "y") + v[i][1:]
+            for i in range(850, 860)
+        ] * 2
+        warm_median("fuzzy_warm", fprobes,
+                    lambda p: builder.query_fuzzy_warm(p, k=10))
 
     # --- O(delta) upsert: replace ~0.1% of the committed corpus ---------
     # LAST of the index-dependent phases: it mutates the builder (old
@@ -382,10 +415,11 @@ def main() -> None:
     docs.count()  # warm the scan / JVM
 
     transcripts, n_turns = None, 0
-    index_phases = ("index_build", "bm25_batch", "bm25_warm", "grouped",
+    index_phases = ("index_build", "bm25_batch", "stopword_batch",
+                    "bm25_warm", "grouped",
                     "pos_build", "phrase_warm", "snippet_warm", "near_warm",
                     "slop_warm", "prefix_warm", "wildcard_warm",
-                    "upsert_delta")
+                    "fuzzy_warm", "upsert_delta")
     if any(phase_on(p) for p in index_phases):
         transcripts = synth_transcripts(spark, n_convs=N_CONVS).cache()
         n_turns = transcripts.count()  # materialize outside any timer
@@ -429,6 +463,12 @@ def main() -> None:
         }
     if "bm25_batch" in timings:
         extras["queries_per_sec"] = round(N_QUERIES / timings["bm25_batch"], 2)
+    if "stopword_batch" in timings:
+        extras["stopword_queries_per_sec"] = round(
+            N_QUERIES / timings["stopword_batch"], 2
+        )
+    if "fuzzy_warm" in timings:
+        extras["fuzzy_warm_ms"] = round(1000 * timings["fuzzy_warm"], 2)
     if "bm25_warm" in timings:
         extras["bm25_warm_ms"] = round(1000 * timings["bm25_warm"], 2)
     if "phrase_warm" in timings:

@@ -111,6 +111,82 @@ def test_query_fuzzy_equals_pinned_over_expansion(built):
     assert got.values.tolist() == want.values.tolist()
 
 
+def test_symspell_equals_distributed_scan(built):
+    """The deletion-neighborhood point read must return EXACTLY the
+    distributed length-banded Levenshtein scan's expansion (the
+    SymSpell theorem guarantees the candidate superset; the shared
+    verify+cap make the outputs identical)."""
+    b, corpus = built
+    vocab = _vocab(corpus)
+    probe = _fuzzy_probe(vocab)
+    for d in (1, 2):
+        sym = b.expand_fuzzy(probe, max_edits=d)
+        scan = b._expand_fuzzy_scan(
+            probe, d, IndexBuilder.MAX_FUZZY_EXPANSIONS)
+        assert sym == scan
+    # common in-vocabulary word too (dense neighborhood)
+    word = sorted(t for t in vocab if len(t) >= 4)[0]
+    assert b.expand_fuzzy(word, max_edits=1) == b._expand_fuzzy_scan(
+        word, 1, IndexBuilder.MAX_FUZZY_EXPANSIONS)
+
+
+def test_query_fuzzy_warm_matches_spark_path(built):
+    """Same contract as the prefix/wildcard warm tiers: bit-identical
+    to query_batch over the expansion, rank-identical to the pinned
+    query_fuzzy."""
+    b, corpus = built
+    probe = _fuzzy_probe(_vocab(corpus))
+    exp = b.expand_fuzzy(probe, max_edits=2)
+    warm = b.query_fuzzy_warm(probe, k=10, max_edits=2)
+    batch = b.query_batch([exp], k=10).toPandas().drop(columns=["query_id"])
+    assert warm.values.tolist() == batch.values.tolist()  # bit-identical
+    pinned = b.query_fuzzy(probe, k=10, max_edits=2).toPandas()
+    assert warm[["conv_id", "turn_idx"]].values.tolist() == \
+        pinned[["conv_id", "turn_idx"]].values.tolist()  # rank-identical
+    assert b.query_fuzzy_warm("qqqqqqqq", k=10).empty
+
+
+def test_suggest_symspell_equals_scan_ranking(built):
+    """SymSpell-served suggestions must reproduce the distributed
+    scan's (dist asc, df desc, term asc) ranking exactly."""
+    b, corpus = built
+    vocab = _vocab(corpus)
+    probe = _fuzzy_probe(vocab)
+    got = [tuple(r) for r in b.suggest(probe, k=5, max_edits=2).collect()]
+    dist = F.levenshtein(F.col("term"), F.lit(probe))
+    want = [
+        tuple(r)
+        for r in b.catalog.read("terms")
+        .filter((dist <= 2) & (F.col("term") != probe))
+        .select(F.col("term").alias("suggestion"), dist.alias("dist"), "df")
+        .orderBy("dist", F.desc("df"), "suggestion")
+        .limit(5)
+        .collect()
+    ]
+    assert got == want
+
+
+def test_terms_del_resyncs_after_vocab_change(spark, tmp_path):
+    """A vocabulary-changing mutation must invalidate the committed
+    deletion table (src_snapshot pin) so fuzzy sees the new terms."""
+    import pandas as pd
+
+    from antidb_spark.synth import synth_transcripts
+
+    corpus = synth_transcripts(spark, n_convs=6, seed=21)
+    b = IndexBuilder(spark, str(tmp_path / "fz2"))
+    b.build(corpus)
+    assert b.expand_fuzzy("zzglorp", max_edits=1) == []
+    assert b.catalog.exists("terms_del")
+    b.upsert_docs(
+        spark.createDataFrame(pd.DataFrame([{
+            "conv_id": "c-new", "turn_idx": 0,
+            "role": "user", "text": "zzglorq zzglorq arrives",
+        }])),
+    )
+    assert b.expand_fuzzy("zzglorp", max_edits=1) == ["zzglorq"]
+
+
 def test_query_fuzzy_no_match_is_empty(built):
     b, _ = built
     out = b.query_fuzzy("qqqqqqqq", k=10, max_edits=1)
