@@ -1787,10 +1787,12 @@ def _q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """REAL codec round-trip: genuine PNG/WAV payloads encoded from
-    sha256-derived bytes, decoded with the pure-stdlib decoders; the
-    oracle recomputes the statistics from the derivation WITHOUT
-    decoding, so hash equality proves decode(encode(x)) == x."""
+    """REAL codec round-trip: genuine PNG/WAV/MP4 payloads encoded
+    from sha256-derived bytes, decoded with the pure-stdlib decoders
+    (pixels/samples for PNG/WAV; ISO-BMFF box parse — mvhd duration,
+    tkhd width/height, track count, mdat stats — for MP4); the oracle
+    recomputes the statistics from the derivation WITHOUT decoding,
+    so hash equality proves decode(encode(x)) == x."""
     from antidb_spark.operators.multimodal import decode_media, real_media_table
 
     return decode_media(real_media_table(_docs(spark, sf_dir)))
@@ -1803,21 +1805,35 @@ b AS (SELECT doc_id, i.i AS i,
              ('0x' || substr(hx, 2 * i.i + 1, 2))::INT AS byte
       FROM h, unnest(generate_series(0, 63)) AS i(i)),
 img AS (SELECT doc_id, round(avg(byte), 6) AS mv FROM b
-        WHERE doc_id % 2 = 0 GROUP BY doc_id),
+        WHERE doc_id % 3 = 0 GROUP BY doc_id),
 sraw AS (SELECT doc_id, i // 2 AS si,
                 CASE WHEN i % 2 = 0 THEN byte ELSE byte * 256 END AS part
-         FROM b WHERE doc_id % 2 = 1),
+         FROM b WHERE doc_id % 3 = 1),
 sval AS (SELECT doc_id, si, sum(part) AS v FROM sraw GROUP BY 1, 2),
 ssgn AS (SELECT doc_id, si,
                 CASE WHEN v >= 32768 THEN v - 65536 ELSE v END AS sv
          FROM sval),
 wav AS (SELECT doc_id, round(avg(abs(sv)), 6) AS mv FROM ssgn
-        GROUP BY doc_id)
+        GROUP BY doc_id),
+mp4 AS (SELECT doc_id,
+               max(CASE WHEN i = 0 THEN byte END) AS b0,
+               max(CASE WHEN i = 1 THEN byte END) AS b1,
+               max(CASE WHEN i = 2 THEN byte END) AS b2,
+               max(CASE WHEN i = 3 THEN byte END) AS b3,
+               round(avg(byte), 6) AS mv
+        FROM b WHERE doc_id % 3 = 2 GROUP BY doc_id)
 SELECT doc_id::BIGINT AS media_id, 'image/png' AS media_type,
-       8 AS width, 8 AS height, NULL::INT AS n_samples, mv AS mean_val
+       8 AS width, 8 AS height, NULL::INT AS n_samples,
+       NULL::INT AS duration_ms, NULL::INT AS n_tracks, mv AS mean_val
 FROM img
 UNION ALL
-SELECT doc_id::BIGINT, 'audio/wav', NULL, NULL, 32, mv FROM wav
+SELECT doc_id::BIGINT, 'audio/wav', NULL, NULL, 32, NULL, NULL, mv
+FROM wav
+UNION ALL
+SELECT doc_id::BIGINT, 'video/mp4',
+       (16 * (1 + b2 % 64))::INT, (16 * (1 + b3 % 64))::INT, NULL,
+       (1000 + (b0 + 256 * b1) % 60000)::INT, 1::INT, mv
+FROM mp4
 """
 
 

@@ -152,3 +152,107 @@ def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
             raise NotImplementedError("decoder supports PCM16 mono")
         frames = wf.readframes(wf.getnframes())
         return np.frombuffer(frames, dtype="<i2"), wf.getframerate()
+
+
+# --- MP4 container (ISO BMFF box parse — metadata only) -------------------
+#
+# A video DECODER is genuinely outside stdlib reach (no libav here), but
+# the CONTAINER is just length-prefixed boxes (ISO/IEC 14496-12 §4.2):
+# ftyp / moov(mvhd, trak(tkhd)…) / mdat. Parsing mvhd (timescale,
+# duration) and tkhd (track count, presentation width/height) is pure
+# struct reads — so container metadata is REAL here and only frame
+# decode remains stubbed (multimodal.sample_frames).
+
+
+def _mp4_box(tag: bytes, body: bytes) -> bytes:
+    return struct.pack(">I", len(body) + 8) + tag + body
+
+
+def encode_mp4(
+    duration_ms: int,
+    width: int,
+    height: int,
+    payload: bytes = b"",
+    timescale: int = 1000,
+) -> bytes:
+    """Minimal valid MP4: ftyp + moov(mvhd + trak(tkhd)) + mdat.
+    Deterministic bytes (fixed brands, zeroed timestamps), so payloads
+    are oracle-hashable."""
+    dur = int(duration_ms * timescale // 1000)
+    ftyp = _mp4_box(b"ftyp", b"isom" + struct.pack(">I", 0) + b"isom")
+    matrix = struct.pack(">9I", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0,
+                         0x40000000)
+    mvhd = _mp4_box(
+        b"mvhd",
+        struct.pack(">B3xIIII", 0, 0, 0, timescale, dur)   # v0, ts, dur
+        + struct.pack(">IHH8x", 0x10000, 0x0100, 0)        # rate, volume
+        + matrix
+        + struct.pack(">6I", 0, 0, 0, 0, 0, 0)             # pre_defined
+        + struct.pack(">I", 2),                            # next_track_id
+    )
+    tkhd = _mp4_box(
+        b"tkhd",
+        # v0 layout: ver/flags, creation, modification, track_id,
+        # reserved, duration, reserved(8), layer/alt/volume/reserved
+        struct.pack(">B3xIIIII8x", 0, 0, 0, 1, 0, dur)
+        + struct.pack(">HHHH", 0, 0, 0, 0)
+        + matrix
+        + struct.pack(">II", width << 16, height << 16),   # 16.16 fixed
+    )
+    moov = _mp4_box(b"moov", mvhd + _mp4_box(b"trak", tkhd))
+    return ftyp + moov + _mp4_box(b"mdat", payload)
+
+
+def _iter_boxes(data: bytes, start: int, end: int):
+    off = start
+    while off + 8 <= end:
+        (size,) = struct.unpack(">I", data[off:off + 4])
+        tag = data[off + 4:off + 8]
+        body = off + 8
+        if size == 1:  # 64-bit largesize
+            (size,) = struct.unpack(">Q", data[off + 8:off + 16])
+            body = off + 16
+        elif size == 0:  # box extends to EOF
+            size = end - off
+        if size < 8 or off + size > end:
+            raise ValueError(f"bad box size {size} at offset {off}")
+        yield tag, body, off + size
+        off += size
+
+
+def parse_mp4(data: bytes) -> dict:
+    """MP4 bytes → {timescale, duration_ms, n_tracks, width, height,
+    mdat: bytes}. Handles mvhd/tkhd versions 0 and 1; width/height are
+    the FIRST track's presentation size (16.16 fixed → int)."""
+    if len(data) < 8 or data[4:8] != b"ftyp":
+        raise ValueError("not an MP4 (missing leading ftyp box)")
+    out: dict = {"timescale": None, "duration_ms": None, "n_tracks": 0,
+                 "width": None, "height": None, "mdat": b""}
+    for tag, body, bend in _iter_boxes(data, 0, len(data)):
+        if tag == b"mdat":
+            out["mdat"] = data[body:bend]
+        elif tag == b"moov":
+            for t2, b2, e2 in _iter_boxes(data, body, bend):
+                if t2 == b"mvhd":
+                    ver = data[b2]
+                    if ver == 1:
+                        ts, dur = struct.unpack(
+                            ">IQ", data[b2 + 20:b2 + 32])
+                    else:
+                        ts, dur = struct.unpack(
+                            ">II", data[b2 + 12:b2 + 20])
+                    out["timescale"] = ts
+                    out["duration_ms"] = int(dur * 1000 // ts)
+                elif t2 == b"trak":
+                    out["n_tracks"] += 1
+                    for t3, b3, _e3 in _iter_boxes(data, b2, e2):
+                        if t3 == b"tkhd" and out["width"] is None:
+                            ver = data[b3]
+                            wh_off = b3 + (88 if ver == 1 else 76)
+                            w, h = struct.unpack(
+                                ">II", data[wh_off:wh_off + 8])
+                            out["width"] = w >> 16
+                            out["height"] = h >> 16
+    if out["timescale"] is None:
+        raise ValueError("missing moov/mvhd box")
+    return out

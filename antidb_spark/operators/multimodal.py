@@ -5,16 +5,18 @@ Design (per the task brief): image/audio/video payloads are opaque
 plumbing — schemas, partition-preserving mapInPandas, Arrow batch
 shapes, UDF signatures — is real and tested. Codecs:
 
-- **REAL** PNG and WAV decode (pure stdlib, ``functions/mediacodec``):
-  ``real_media_table`` builds genuine PNG/WAV payloads and
-  ``decode_media`` decodes them — the driver oracle recomputes the
-  decoded statistics from the payloads' deterministic derivation
-  WITHOUT decoding, so the hash check proves the encode∘decode
-  round-trip end-to-end.
-- mp4 remains STUBBED (``decode_image(fake=True)`` /
-  ``sample_frames``): a video demuxer is genuinely outside stdlib
-  reach; the deterministic fake keeps the Arrow plumbing exercised and
-  pinned.
+- **REAL** PNG and WAV decode, and **REAL** MP4 container metadata
+  (pure stdlib, ``functions/mediacodec``): ``real_media_table`` builds
+  genuine PNG/WAV/MP4 payloads and ``decode_media`` decodes them —
+  pixels/samples for PNG/WAV, ISO-BMFF box parse (mvhd duration,
+  timescale, tkhd width/height, track count, mdat stats) for MP4. The
+  driver oracle recomputes the decoded statistics from the payloads'
+  deterministic derivation WITHOUT decoding, so the hash check proves
+  the encode∘decode round-trip end-to-end.
+- Only mp4 FRAME decode remains STUBBED (``decode_image(fake=True)``
+  / ``sample_frames``): a video frame decoder is genuinely outside
+  stdlib reach; the deterministic fake keeps the Arrow plumbing
+  exercised and pinned.
 
 The media relation itself is synthesized from any text corpus
 (``as_media_table``): payload = utf-8 bytes of the text, media_type
@@ -218,6 +220,8 @@ DECODED_SCHEMA = T.StructType(
         T.StructField("width", T.IntegerType(), True),
         T.StructField("height", T.IntegerType(), True),
         T.StructField("n_samples", T.IntegerType(), True),
+        T.StructField("duration_ms", T.IntegerType(), True),
+        T.StructField("n_tracks", T.IntegerType(), True),
         T.StructField("mean_val", T.DoubleType(), False),
     ]
 )
@@ -237,22 +241,38 @@ def _derived_bytes(text: str) -> bytes:
 def real_media_table(
     corpus: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
-    """(media_id, media_type, payload) with GENUINE payload bytes:
-    even ids → 8×8 greyscale PNG, odd ids → 32-sample PCM16 WAV, both
-    encoded from the sha256-derived bytes of the text (mediacodec)."""
-    from antidb_spark.functions.mediacodec import encode_png, encode_wav
+    """(media_id, media_type, payload) with GENUINE payload bytes,
+    cycled by id mod 3: 8×8 greyscale PNG / 32-sample PCM16 WAV / MP4
+    container (ftyp+moov(mvhd,trak(tkhd))+mdat), all encoded from the
+    sha256-derived bytes of the text (mediacodec). The MP4's metadata
+    derives from the first bytes — duration_ms = 1000 + (b0 ‖ b1) %
+    60000, width/height = 16·(1 + b2/b3 % 64) — and its mdat carries
+    the 64 bytes, so the container round-trip is oracle-checkable."""
+    from antidb_spark.functions.mediacodec import (
+        encode_mp4,
+        encode_png,
+        encode_wav,
+    )
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for batch in batches:
             rows = []
             for mid, text in zip(batch[id_col], batch[text_col]):
                 b = _derived_bytes(text)
-                if int(mid) % 2 == 0:
+                r = int(mid) % 3
+                if r == 0:
                     px = np.frombuffer(b, dtype=np.uint8).reshape(8, 8)
                     rows.append((int(mid), "image/png", encode_png(px)))
-                else:
+                elif r == 1:
                     smp = np.frombuffer(b, dtype="<i2")
                     rows.append((int(mid), "audio/wav", encode_wav(smp)))
+                else:
+                    rows.append((int(mid), "video/mp4", encode_mp4(
+                        1000 + (b[0] | (b[1] << 8)) % 60000,
+                        16 * (1 + b[2] % 64),
+                        16 * (1 + b[3] % 64),
+                        payload=b,
+                    )))
             yield pd.DataFrame(
                 rows, columns=[f.name for f in REAL_MEDIA_SCHEMA.fields]
             )
@@ -263,11 +283,19 @@ def real_media_table(
 
 
 def decode_media(media: DataFrame) -> DataFrame:
-    """REAL decode of PNG/WAV payloads (no fakes): per-payload
-    (media_id, media_type, width, height, n_samples, mean_val) where
-    mean_val = mean pixel value (PNG) / mean |sample| (WAV), rounded
-    6dp. Arrow-batched mapInPandas; payloads never touch the driver."""
-    from antidb_spark.functions.mediacodec import decode_png, decode_wav
+    """REAL decode of PNG/WAV/MP4 payloads (no fakes): per-payload
+    (media_id, media_type, width, height, n_samples, duration_ms,
+    n_tracks, mean_val) where mean_val = mean pixel value (PNG) /
+    mean |sample| (WAV) / mean mdat byte (MP4), rounded 6dp. MP4
+    metadata (mvhd duration·timescale, tkhd presentation size, track
+    count) comes from the pure-stdlib ISO-BMFF box parse — only FRAME
+    decode remains stubbed (needs libav). Arrow-batched mapInPandas;
+    payloads never touch the driver."""
+    from antidb_spark.functions.mediacodec import (
+        decode_png,
+        decode_wav,
+        parse_mp4,
+    )
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for batch in batches:
@@ -280,17 +308,26 @@ def decode_media(media: DataFrame) -> DataFrame:
                     px = decode_png(data)
                     rows.append(
                         (int(mid), mtype, px.shape[1], px.shape[0], None,
-                         round(float(px.mean()), 6))
+                         None, None, round(float(px.mean()), 6))
                     )
                 elif mtype == "audio/wav":
                     smp, _rate = decode_wav(data)
                     rows.append(
                         (int(mid), mtype, None, None, int(smp.size),
+                         None, None,
                          round(float(np.abs(smp.astype(np.float64)).mean()), 6))
+                    )
+                elif mtype == "video/mp4":
+                    m = parse_mp4(data)
+                    md = np.frombuffer(m["mdat"], dtype=np.uint8)
+                    rows.append(
+                        (int(mid), mtype, m["width"], m["height"], None,
+                         int(m["duration_ms"]), int(m["n_tracks"]),
+                         round(float(md.mean()) if md.size else 0.0, 6))
                     )
                 else:
                     raise NotImplementedError(
-                        f"no stdlib decoder for {mtype} (mp4 stays stubbed)"
+                        f"no stdlib decoder for {mtype}"
                     )
             yield pd.DataFrame(
                 rows, columns=[f.name for f in DECODED_SCHEMA.fields]

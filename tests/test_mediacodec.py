@@ -100,13 +100,57 @@ def test_decode_media_matches_direct(spark):
     }
     for i in range(8):
         b = _derived_bytes(f"document number {i} text")
-        if i % 2 == 0:
+        if i % 3 == 0:
             px = np.frombuffer(b, dtype=np.uint8).astype(np.float64)
             assert rows[i]["media_type"] == "image/png"
             assert (rows[i]["width"], rows[i]["height"]) == (8, 8)
             assert rows[i]["mean_val"] == round(float(px.mean()), 6)
-        else:
+        elif i % 3 == 1:
             smp = np.abs(np.frombuffer(b, dtype="<i2").astype(np.float64))
             assert rows[i]["media_type"] == "audio/wav"
             assert rows[i]["n_samples"] == 32
             assert rows[i]["mean_val"] == round(float(smp.mean()), 6)
+        else:
+            # MP4: metadata from the ISO-BMFF box parse must equal the
+            # derivation the encoder used; mdat stats round-trip too
+            assert rows[i]["media_type"] == "video/mp4"
+            assert rows[i]["duration_ms"] == 1000 + (b[0] | (b[1] << 8)) % 60000
+            assert rows[i]["width"] == 16 * (1 + b[2] % 64)
+            assert rows[i]["height"] == 16 * (1 + b[3] % 64)
+            assert rows[i]["n_tracks"] == 1
+            mdat = np.frombuffer(b, dtype=np.uint8).astype(np.float64)
+            assert rows[i]["mean_val"] == round(float(mdat.mean()), 6)
+
+
+def test_mp4_box_roundtrip_and_versions():
+    """encode_mp4 → parse_mp4 round-trips metadata and mdat; the parser
+    also handles version-1 (64-bit) mvhd/tkhd boxes from other muxers."""
+    import struct
+
+    from antidb_spark.functions.mediacodec import encode_mp4, parse_mp4
+
+    b = encode_mp4(4321, 640, 360, payload=b"hello" * 10)
+    m = parse_mp4(b)
+    assert (m["duration_ms"], m["width"], m["height"], m["n_tracks"],
+            m["timescale"]) == (4321, 640, 360, 1, 1000)
+    assert m["mdat"] == b"hello" * 10
+
+    def box(tag, body):
+        return struct.pack(">I", len(body) + 8) + tag + body
+
+    mvhd1 = box(b"mvhd", struct.pack(">B3xQQIQ", 1, 0, 0, 90000,
+                                     90000 * 7) + b"\x00" * 80)
+    tkhd1 = box(b"tkhd", struct.pack(">B3xQQI4xQ8x", 1, 0, 0, 1, 90000 * 7)
+                + struct.pack(">HHHH", 0, 0, 0, 0) + b"\x00" * 36
+                + struct.pack(">II", 1280 << 16, 720 << 16))
+    data = (box(b"ftyp", b"isom" + b"\x00" * 4 + b"isom")
+            + box(b"moov", mvhd1 + box(b"trak", tkhd1))
+            + box(b"mdat", b"x"))
+    m = parse_mp4(data)
+    assert (m["duration_ms"], m["width"], m["height"]) == (7000, 1280, 720)
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        parse_mp4(b"\x00\x00\x00\x08free")  # no ftyp
+    with _pytest.raises(ValueError):
+        parse_mp4(encode_mp4(1, 1, 1)[:20] + b"\xff" * 8)  # bad box size
