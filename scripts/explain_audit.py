@@ -544,7 +544,12 @@ def main() -> None:
         "percolate (standing-query matching)",
         "The registered query side broadcasts twice (terms, term "
         "counts); the only exchange is the doc-keyed match aggregate — "
-        "per-batch cost is O(batch tokens), never O(corpus).",
+        "per-batch cost is O(batch tokens), never O(corpus). The same "
+        "broadcast shape is pinned at 10,000 registered queries by "
+        "tests/test_explain_percolate.py::"
+        "test_percolate_scale_broadcast_and_correct (BroadcastHashJoin, "
+        "no SortMergeJoin, ≤2 hash exchanges — the match aggregate's "
+        "partial/final pair).",
         plan_of(percolate(docs, perc_queries)),
     ))
 

@@ -196,3 +196,45 @@ def test_connected_dup_groups_diameter_guard(spark):
     # ...and raises (never returns a partial grouping) when capped
     with pytest.raises(RuntimeError):
         connected_dup_groups(chain, max_iter=2)
+
+
+def test_percolate_scale_broadcast_and_correct(spark):
+    """10⁴ standing queries (the alerting-at-scale shape): the query
+    side must STAY broadcast — no sort-merge join, no corpus-side
+    exchange before the match aggregate — and matches must equal the
+    brute-force set intersection on a sampled batch."""
+    import itertools
+
+    from antidb_spark.functions.analyze import py_tokens
+
+    v = vocabulary(2000)
+    pairs = list(itertools.islice(
+        ((a, b) for a in range(0, 2000, 7) for b in range(3, 2000, 11)),
+        10_000,
+    ))
+    qdf = spark.createDataFrame(
+        [(f"q{i:05d}", f"{v[a]} {v[b]}") for i, (a, b) in enumerate(pairs)],
+        "query_id string, query_text string",
+    )
+    docs = synth_transcripts(spark, n_convs=8, seed=3).select(
+        F.monotonically_increasing_id().alias("doc_id"), "text"
+    ).cache()
+    out = percolate(docs, qdf)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    # the ONLY exchange is the (doc, query) match aggregate — the doc
+    # token stream itself never shuffles before the broadcast join
+    assert plan.count("Exchange hashpartitioning") <= 2  # partial+final agg
+
+    got = {(r["doc_id"], r["query_id"]) for r in out.collect()}
+    queries = {f"q{i:05d}": {v[a], v[b]} for i, (a, b) in enumerate(pairs)}
+    sample = docs.limit(20).collect()
+    for row in sample:
+        toks = set(py_tokens(row["text"]))
+        for qid, qterms in queries.items():
+            if qterms <= toks:
+                assert (row["doc_id"], qid) in got
+            else:
+                assert (row["doc_id"], qid) not in got
+    docs.unpersist()

@@ -57,9 +57,9 @@ def test_random_maintenance_reconciles_to_rebuild(spark, tmp_path, seed):
     next_batch = 0
     next_new = 0
 
-    for step in range(5):
+    for step in range(6):
         op = rng.choice(["append", "stream_upsert", "batch_upsert",
-                         "delete", "optimize"])
+                         "delete", "optimize", "merge"])
         alive = sorted(model)
         if op == "append":
             new_ids = []
@@ -93,6 +93,22 @@ def test_random_maintenance_reconciles_to_rebuild(spark, tmp_path, seed):
             for i in ids:
                 del model[i]
             b.delete_docs([(c, int(t)) for c, t in ids])
+        elif op == "merge":
+            # segment merge: a disjoint mini-index folds into the live
+            # one (merge_index requires disjoint doc sets)
+            from antidb_spark.operators.merge import merge_index
+
+            new_ids = []
+            for _ in range(rng.randint(1, 2)):
+                nid = (f"conv_mg_{next_new:04d}", 0)
+                next_new += 1
+                model[nid] = _fresh_text(rng)
+                new_ids.append(nid)
+            src = IndexBuilder(
+                spark, str(tmp_path / f"mm_src_{step}")
+            )
+            src.build(_df(spark, model, new_ids), n_partitions=2)
+            merge_index(spark, b, src, n_partitions=4)
         else:
             b.optimize(n_partitions=4)
 
@@ -116,6 +132,17 @@ def test_random_maintenance_reconciles_to_rebuild(spark, tmp_path, seed):
         assert dict(zip(g["conv_id"], g["n_hits"])) == want_groups, (
             seed, step, op,
         )
+        # federated consumer sees the same alive membership (it decodes
+        # postings through its own path — the chokepoint check that
+        # caught the round-4 query_grouped tombstone leak must cover
+        # every scoring consumer)
+        from antidb_spark.operators.federate import federated_topk
+
+        fed = federated_topk(spark, [b], "the", k=1_000_000).toPandas()
+        fed_ids = set(
+            map(tuple, fed[["conv_id", "turn_idx"]].values.tolist())
+        )
+        assert fed_ids == want_ids, (seed, step, op)
 
     # final reconcile: optimize purges everything; every query path now
     # VALUE-identical to a fresh build over the model corpus
