@@ -1941,16 +1941,202 @@ ORDER BY lang
 """
 
 
+# ---------------------------------------------------------------------------
+# Sketches (operators/sketches.py): bounded-state aggregates for the scales
+# where exact global state stops being an option. Registers / counters /
+# bit positions are all md5-derived integers, so the DuckDB oracles
+# re-derive them bit-for-bit; the HLL estimate is a dyadic-rational sum
+# that doubles represent exactly in any order (module docstring).
+# ---------------------------------------------------------------------------
+
+
+def _sk_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _docs(spark, sf_dir).select(F.explode(tokens("text")).alias("term"))
+
+
+def _q_hll_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """256 HyperLogLog registers of the corpus token stream (vocabulary
+    cardinality sketch): (bucket, rho)."""
+    from antidb_spark.operators.sketches import hll_registers
+
+    return hll_registers(_sk_tokens(spark, sf_dir))
+
+
+def _q_hll_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raw-HLL vocabulary estimate next to the exact distinct count:
+    (n_registers, est_distinct, exact_distinct, rel_err)."""
+    from antidb_spark.operators.sketches import hll_estimate
+
+    return hll_estimate(_sk_tokens(spark, sf_dir))
+
+
+def _sk_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 10 highest-total-tf terms (ties → term asc): the deterministic
+    probe set for the CMS / Bloom entries."""
+    return (
+        _sk_tokens(spark, sf_dir)
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("exact_tf"))
+        .orderBy(F.desc("exact_tf"), "term")
+        .limit(10)
+    )
+
+
+def _q_cms_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min point estimates for the top-10 terms beside the exact
+    counts: (term, est, exact_tf); est ≥ exact_tf always (CMS one-sided
+    error is part of the checked contract)."""
+    from antidb_spark.operators.sketches import cms_estimate, cms_sketch
+
+    toks = _sk_tokens(spark, sf_dir)
+    probes = _sk_top_terms(spark, sf_dir)
+    est = cms_estimate(cms_sketch(toks), probes.select("term"))
+    return est.join(F.broadcast(probes), "term").select(
+        "term", "est", "exact_tf"
+    )
+
+
+def _q_bloom_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom membership verdicts for 10 present + 5 absent probes:
+    (term, bloom_hit, present); present probes are NEVER missed."""
+    from antidb_spark.operators.sketches import bloom_bits, bloom_check
+
+    toks = _sk_tokens(spark, sf_dir)
+    bits = bloom_bits(toks)
+    probes = _sk_top_terms(spark, sf_dir).select("term").union(
+        spark.createDataFrame(
+            [(f"xqzzyv{i}",) for i in range(5)], ["term"]
+        )
+    )
+    vocab = toks.distinct().withColumn("_in", F.lit(True))
+    return (
+        bloom_check(bits, probes)
+        .join(vocab, "term", "left")
+        .select(
+            "term",
+            "bloom_hit",
+            F.coalesce(F.col("_in"), F.lit(False)).alias("present"),
+        )
+    )
+
+
+def _sk_oracles() -> dict[str, str]:
+    """DuckDB twins for the sketch entries, composed from the SAME
+    constants/fragments the Spark side uses (sketches.sql_h48 etc.)."""
+    from antidb_spark.operators.sketches import (
+        BLOOM_BITS,
+        BLOOM_K,
+        CMS_DEPTH,
+        CMS_WIDTH,
+        HLL_ALPHA,
+        HLL_M,
+        HLL_P,
+        sql_h48,
+        sql_hll_rho,
+    )
+
+    h = sql_h48("term", "hll1")
+    regs = (
+        f"regs AS (SELECT ({h}) % {HLL_M} AS bucket, "
+        f"max({sql_hll_rho(f'({h}) >> {HLL_P}')}) AS rho "
+        "FROM tok GROUP BY 1)"
+    )
+    # alpha * m^2 as the exact shortest-round-trip decimal of the Python
+    # double, so DuckDB parses the identical IEEE value the Spark literal
+    # carries
+    a_m2 = repr(HLL_ALPHA * HLL_M * HLL_M)
+    est = (
+        f"{a_m2} / ({HLL_M}::DOUBLE - n_registers + s_present)"
+    )
+    cms_grid = (
+        f"grid AS (SELECT i.i AS row, "
+        f"('0x' || substr(md5('cms' || i.i || ':' || t.term), 1, 12))::BIGINT"
+        f" % {CMS_WIDTH} AS cell, count(*)::BIGINT AS cnt "
+        f"FROM tok t, unnest(generate_series(0, {CMS_DEPTH - 1})) AS i(i) "
+        "GROUP BY 1, 2)"
+    )
+    cms_cells = (
+        f"cells AS (SELECT p.term, i.i AS row, "
+        f"('0x' || substr(md5('cms' || i.i || ':' || p.term), 1, 12))::BIGINT"
+        f" % {CMS_WIDTH} AS cell "
+        f"FROM probes p, unnest(generate_series(0, {CMS_DEPTH - 1})) AS i(i))"
+    )
+    top_terms = (
+        "cnt AS (SELECT term, count(*)::BIGINT AS exact_tf "
+        "FROM tok GROUP BY term), "
+        "probes AS (SELECT term, exact_tf FROM cnt "
+        "ORDER BY exact_tf DESC, term LIMIT 10)"
+    )
+    bloom_hashes = ", ".join(
+        f"('0x' || substr(md5('blm' || {i} || ':' || term), 1, 12))::BIGINT"
+        f" % {BLOOM_BITS}"
+        for i in range(BLOOM_K)
+    )
+    return {
+        "hll_vocab": f"WITH {TOK_CTE}, {regs} SELECT bucket, rho FROM regs",
+        "hll_card": f"""
+WITH {TOK_CTE}, {regs},
+agg AS (SELECT count(*)::BIGINT AS n_registers,
+               sum(1.0::DOUBLE / ((1::BIGINT << rho)::DOUBLE)) AS s_present
+        FROM regs),
+ex AS (SELECT count(DISTINCT term)::BIGINT AS exact_distinct FROM tok)
+SELECT n_registers,
+       round({est}, 4) AS est_distinct,
+       exact_distinct,
+       round(({est} - exact_distinct) / exact_distinct, 4) AS rel_err
+FROM agg, ex
+""",
+        "cms_counts": f"""
+WITH {TOK_CTE}, {top_terms}, {cms_grid}, {cms_cells}
+SELECT c.term,
+       min(coalesce(g.cnt, 0))::BIGINT AS est,
+       any_value(p.exact_tf) AS exact_tf
+FROM cells c
+LEFT JOIN grid g ON g.row = c.row AND g.cell = c.cell
+JOIN probes p ON p.term = c.term
+GROUP BY c.term
+""",
+        "bloom_check": f"""
+WITH {TOK_CTE}, {top_terms},
+allp AS (SELECT term FROM probes
+         UNION ALL
+         SELECT 'xqzzyv' || i::VARCHAR FROM unnest(generate_series(0, 4)) AS s(i)),
+bits AS (SELECT DISTINCT b.bit
+         FROM (SELECT DISTINCT term FROM tok) v,
+              unnest([{bloom_hashes}]) AS b(bit)),
+pc AS (SELECT p.term, b.bit
+       FROM allp p, unnest([{bloom_hashes}]) AS b(bit)),
+verdict AS (SELECT pc.term,
+                   (min(CASE WHEN bits.bit IS NULL THEN 0 ELSE 1 END) = 1)
+                     AS bloom_hit
+            FROM pc LEFT JOIN bits ON bits.bit = pc.bit
+            GROUP BY pc.term)
+SELECT v.term, v.bloom_hit,
+       (t.term IS NOT NULL) AS present
+FROM verdict v
+LEFT JOIN (SELECT DISTINCT term FROM tok) t ON t.term = v.term
+""",
+    }
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """ATTESTATION ROTATION NOTE: the driver records correctness rows
     for only the FIRST 50 dict entries, so entry order rotates each
-    round, least-recently-driver-attested first. Round-5 order: the 30
-    entries with no driver row in any round (repetition … time_travel),
-    then the 13 last attested in round 3 (minhash_dups … frame_sample),
-    then 7 entries whose code paths changed this round, then the rest of
-    the round-4-attested block. Round 6 should move the tail block
+    round, least-recently-driver-attested first. Round-5 order: the 4
+    sketch entries new this round, then the 30 entries with no driver
+    row in any round (repetition … time_travel), then the 13 last
+    attested in round 3 (minhash_dups … frame_sample), then entries
+    whose code paths changed this round, then the rest of the
+    round-4-attested block (the 4 that fell past the 50-row window —
+    keyed_eq_persisted, keyed_rng_persisted, eq_lookup, rng_lookup —
+    are all round-4-green). Round 6 should move the tail block
     (term_counts … ngram_jaccard) to the front."""
     return {
+        # --- new this round — never attested
+        "hll_vocab": _q_hll_vocab,
+        "hll_card": _q_hll_card,
+        "cms_counts": _q_cms_counts,
+        "bloom_check": _q_bloom_check,
         # --- never driver-attested (rounds 1-4) — must be in the window
         "repetition": _q_repetition,
         "pii_redact": _q_pii_redact,
@@ -3349,6 +3535,7 @@ def _values(rows) -> str:
 
 def oracle_sql() -> dict[str, str]:
     out = {
+        **_sk_oracles(),
         "term_counts": (
             f"WITH {TOK_CTE} SELECT term, count(*)::BIGINT AS n FROM tok "
             "GROUP BY term"

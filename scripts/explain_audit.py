@@ -553,6 +553,40 @@ def main() -> None:
         plan_of(percolate(docs, perc_queries)),
     ))
 
+    from antidb_spark.functions.analyze import tokens
+    from antidb_spark.operators.sketches import (
+        bloom_bits,
+        bloom_check,
+        cms_estimate,
+        cms_sketch,
+        hll_registers,
+    )
+
+    sk_toks = docs.select(F.explode(tokens("text")).alias("term"))
+    sections.append((
+        "HLL registers (bounded-state distinct sketch)",
+        "ONE exchange: the bucket groupBy with map-side partial_max — "
+        "every partition reduces to ≤256 rows before the shuffle, so "
+        "shuffle volume and result size are O(256) at any input size; "
+        "no Python anywhere.",
+        plan_of(hll_registers(sk_toks)),
+    ))
+    sections.append((
+        "Count-Min grid (bounded-state frequency sketch)",
+        "ONE exchange: the (row, cell) groupBy with map-side "
+        "partial_sum — the grid is 4×1024 cells, so the shuffle writes "
+        "≤4096 rows per partition regardless of corpus size.",
+        plan_of(cms_sketch(sk_toks)),
+    ))
+    sk_probes = spark.createDataFrame([("spark",), ("join",)], ["term"])
+    sections.append((
+        "sketch probes (CMS point estimate + Bloom membership)",
+        "Probe sides BROADCAST into the fixed-size sketch relations; "
+        "no sort-merge join can appear at any probe-set size.",
+        plan_of(cms_estimate(cms_sketch(sk_toks), sk_probes))
+        + plan_of(bloom_check(bloom_bits(sk_toks), sk_probes)),
+    ))
+
     out = os.path.join(os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))), "PLANS.md")
     with open(out, "w") as f:
@@ -723,6 +757,27 @@ def main() -> None:
                        and len(prod_adc_plan) < 8000
                        and len(prod_asn_plan) < 8000
                        and "ArrowEvalPython" in prod_enc_plan))
+        hll_plan = by_title["HLL registers (bounded-state distinct sketch)"]
+        checks.append(("hll: one map-combinable exchange (partial_max), "
+                       "no Python",
+                       hll_plan.count("+- Exchange") +
+                       hll_plan.count(":- Exchange") == 1
+                       and "partial_max" in hll_plan
+                       and "Python" not in hll_plan))
+        cmsg_plan = by_title["Count-Min grid (bounded-state frequency "
+                             "sketch)"]
+        checks.append(("cms grid: one map-combinable exchange "
+                       "(partial_sum), no Python",
+                       cmsg_plan.count("+- Exchange") +
+                       cmsg_plan.count(":- Exchange") == 1
+                       and "partial_sum" in cmsg_plan
+                       and "Python" not in cmsg_plan))
+        skp_plan = by_title["sketch probes (CMS point estimate + Bloom "
+                            "membership)"]
+        checks.append(("sketch probes: broadcast joins only, no "
+                       "sort-merge join",
+                       "BroadcastExchange" in skp_plan
+                       and "SortMergeJoin" not in skp_plan))
         f.write("## Property checks\n\n")
         for name, ok in checks:
             f.write(f"- {'PASS' if ok else 'FAIL'}: {name}\n")
