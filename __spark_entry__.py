@@ -2020,6 +2020,30 @@ def _q_bloom_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token budgets per doc under the analyzer AND a BPE-ish
+    pretokenizer: (doc_id, n_ws_tokens, n_bpe_tokens, chars_per_bpe)."""
+    from antidb_spark.operators.textstats import token_count_stats
+
+    return token_count_stats(_docs(spark, sf_dir))
+
+
+def _token_stats_oracle() -> str:
+    from antidb_spark.operators.textstats import BPE_SPLIT_RE
+
+    pat = BPE_SPLIT_RE.replace("'", "''")
+    return f"""
+SELECT doc_id,
+  len(list_filter({sql_tokens("text")}, t -> t <> ''))::BIGINT
+    AS n_ws_tokens,
+  len(regexp_extract_all(text, '{pat}'))::BIGINT AS n_bpe_tokens,
+  round(CASE WHEN len(regexp_extract_all(text, '{pat}')) > 0
+        THEN length(text)::DOUBLE / len(regexp_extract_all(text, '{pat}'))
+        ELSE 0.0 END, 6) AS chars_per_bpe
+FROM documents
+"""
+
+
 def _sk_oracles() -> dict[str, str]:
     """DuckDB twins for the sketch entries, composed from the SAME
     constants/fragments the Spark side uses (sketches.sql_h48 etc.)."""
@@ -2122,18 +2146,19 @@ LEFT JOIN (SELECT DISTINCT term FROM tok) t ON t.term = v.term
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """ATTESTATION ROTATION NOTE: the driver records correctness rows
     for only the FIRST 50 dict entries, so entry order rotates each
-    round, least-recently-driver-attested first. Round-5 order: the 4
-    sketch entries new this round, then the 30 entries with no driver
+    round, least-recently-driver-attested first. Round-5 order: the 5
+    entries new this round (sketches + token_stats), then the 30 entries with no driver
     row in any round (repetition … time_travel), then the 13 last
     attested in round 3 (minhash_dups … frame_sample), then entries
     whose code paths changed this round, then the rest of the
-    round-4-attested block (the 4 that fell past the 50-row window —
-    keyed_eq_persisted, keyed_rng_persisted, eq_lookup, rng_lookup —
-    are all round-4-green). Round 6 should move the tail block
+    round-4-attested block (the 5 that fell past the 50-row window —
+    upsert_topk, keyed_eq_persisted, keyed_rng_persisted, eq_lookup,
+    rng_lookup — are all round-4-green). Round 6 should move the tail block
     (term_counts … ngram_jaccard) to the front."""
     return {
         # --- new this round — never attested
         "hll_vocab": _q_hll_vocab,
+        "token_stats": _q_token_stats,
         "hll_card": _q_hll_card,
         "cms_counts": _q_cms_counts,
         "bloom_check": _q_bloom_check,
@@ -3536,6 +3561,7 @@ def _values(rows) -> str:
 def oracle_sql() -> dict[str, str]:
     out = {
         **_sk_oracles(),
+        "token_stats": _token_stats_oracle(),
         "term_counts": (
             f"WITH {TOK_CTE} SELECT term, count(*)::BIGINT AS n FROM tok "
             "GROUP BY term"

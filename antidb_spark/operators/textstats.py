@@ -398,3 +398,40 @@ def clone_candidates(
         .filter(F.col("shared_fps") >= min_shared)
         .select("id_a", "id_b", "shared_fps")
     )
+
+
+# --- token counting: whitespace + BPE-ish pretokenizer ------------------
+
+# GPT-2-style pretokenizer, restricted to constructs Java regex (Spark)
+# and RE2 (DuckDB) interpret identically: contractions first, then
+# optionally-space-prefixed letter / digit / punctuation runs, then
+# whitespace runs. No lookarounds (RE2 has none) and ASCII classes only
+# (so \p{L} table-version skew between the engines can't move a count).
+BPE_SPLIT_RE = r"'(?:s|t|re|ve|m|ll|d)| ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9\s]+|\s+"
+
+
+def token_count_stats(
+    corpus: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-doc token counts under both tokenizer families a training
+    pipeline budgets with: the engine's analyzer (whitespace-ish, the
+    same ``tokens()`` every index build uses) and a BPE-ish pretokenizer
+    (the unit LLM token budgets are denominated in). Output
+    (doc_id, n_ws_tokens, n_bpe_tokens, chars_per_bpe) — pure codegen'd
+    string expressions, zero exchanges, so the plan is a scan→project
+    at any corpus size. chars_per_bpe ≈ 4-5 on English text is the
+    sanity band; floats rounded 6dp at the boundary (oracle parity)."""
+    n_ws = F.size(tokens(text_col))
+    n_bpe = F.size(
+        F.regexp_extract_all(F.col(text_col), F.lit(BPE_SPLIT_RE), 0)
+    )
+    n_chars = F.length(F.col(text_col))
+    return corpus.select(
+        F.col(id_col),
+        n_ws.cast("long").alias("n_ws_tokens"),
+        n_bpe.cast("long").alias("n_bpe_tokens"),
+        F.round(
+            F.when(n_bpe > 0, n_chars / n_bpe.cast("double")).otherwise(0.0),
+            6,
+        ).alias("chars_per_bpe"),
+    )
