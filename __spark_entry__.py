@@ -2044,6 +2044,72 @@ FROM documents
 """
 
 
+def _q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Each click joined to the user's latest view at-or-before it
+    (as-of join): (user_id, click_id, view_id, gap_us). Spark side is
+    the union-tag + last-ignore-nulls window composition (ONE shuffle);
+    the oracle is DuckDB's NATIVE ASOF LEFT JOIN — semantically
+    independent formulations."""
+    from antidb_spark.operators.temporal import asof_join
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    clicks = ev.filter(F.col("event_type") == "click")
+    views = ev.filter(F.col("event_type") == "view")
+    return asof_join(clicks, views, key="user_id").select(
+        "user_id",
+        F.col("left_id").alias("click_id"),
+        F.col("right_id").alias("view_id"),
+        "gap_us",
+    )
+
+
+ASOF_ORACLE = """
+WITH c AS (SELECT user_id, event_id, ts FROM events
+           WHERE event_type = 'click'),
+v AS (SELECT user_id, ts, max(event_id) AS event_id FROM events
+      WHERE event_type = 'view' GROUP BY user_id, ts)
+SELECT c.user_id,
+       c.event_id AS click_id,
+       v.event_id AS view_id,
+       epoch_us(c.ts) - epoch_us(v.ts) AS gap_us
+FROM c ASOF LEFT JOIN v
+  ON c.user_id = v.user_id AND c.ts >= v.ts
+"""
+
+
+def _q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Errors within ±10 minutes of a purchase by the same user (banded
+    range join): (user_id, purchase_id, error_id, delta_us). Spark side
+    is the bucketized equi-join (shuffle 3×|left| + |right|, never a
+    cartesian); the oracle is DuckDB's native range-predicate join."""
+    from antidb_spark.operators.temporal import banded_range_join
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    purchases = ev.filter(F.col("event_type") == "purchase")
+    errors = ev.filter(F.col("event_type") == "error")
+    return banded_range_join(
+        purchases, errors, key="user_id", band_seconds=600
+    ).select(
+        "user_id",
+        F.col("left_id").alias("purchase_id"),
+        F.col("right_id").alias("error_id"),
+        "delta_us",
+    )
+
+
+RANGE_ORACLE = """
+SELECT p.user_id,
+       p.event_id AS purchase_id,
+       x.event_id AS error_id,
+       epoch_us(x.ts) - epoch_us(p.ts) AS delta_us
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+JOIN (SELECT * FROM events WHERE event_type = 'error') x
+  ON p.user_id = x.user_id
+ AND x.ts BETWEEN p.ts - INTERVAL 600 SECOND
+              AND p.ts + INTERVAL 600 SECOND
+"""
+
+
 def _sk_oracles() -> dict[str, str]:
     """DuckDB twins for the sketch entries, composed from the SAME
     constants/fragments the Spark side uses (sketches.sql_h48 etc.)."""
@@ -2146,19 +2212,23 @@ LEFT JOIN (SELECT DISTINCT term FROM tok) t ON t.term = v.term
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """ATTESTATION ROTATION NOTE: the driver records correctness rows
     for only the FIRST 50 dict entries, so entry order rotates each
-    round, least-recently-driver-attested first. Round-5 order: the 5
-    entries new this round (sketches + token_stats), then the 30 entries with no driver
+    round, least-recently-driver-attested first. Round-5 order: the 7
+    entries new this round (sketches, token_stats, asof/range joins),
+    then the 30 entries with no driver
     row in any round (repetition … time_travel), then the 13 last
     attested in round 3 (minhash_dups … frame_sample), then entries
     whose code paths changed this round, then the rest of the
-    round-4-attested block (the 5 that fell past the 50-row window —
-    upsert_topk, keyed_eq_persisted, keyed_rng_persisted, eq_lookup,
-    rng_lookup — are all round-4-green). Round 6 should move the tail block
+    round-4-attested block (the 7 that fell past the 50-row window —
+    fuzzy_topk, upsert_eq, upsert_topk, keyed_eq_persisted,
+    keyed_rng_persisted, eq_lookup, rng_lookup — are all
+    round-4-green). Round 6 should move the tail block
     (term_counts … ngram_jaccard) to the front."""
     return {
         # --- new this round — never attested
         "hll_vocab": _q_hll_vocab,
         "token_stats": _q_token_stats,
+        "asof_join": _q_asof_join,
+        "range_join": _q_range_join,
         "hll_card": _q_hll_card,
         "cms_counts": _q_cms_counts,
         "bloom_check": _q_bloom_check,
@@ -3562,6 +3632,8 @@ def oracle_sql() -> dict[str, str]:
     out = {
         **_sk_oracles(),
         "token_stats": _token_stats_oracle(),
+        "asof_join": ASOF_ORACLE,
+        "range_join": RANGE_ORACLE,
         "term_counts": (
             f"WITH {TOK_CTE} SELECT term, count(*)::BIGINT AS n FROM tok "
             "GROUP BY term"

@@ -587,6 +587,31 @@ def main() -> None:
         + plan_of(bloom_check(bloom_bits(sk_toks), sk_probes)),
     ))
 
+    from antidb_spark.operators.temporal import asof_join, banded_range_join
+
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    clicks = events.filter(F.col("event_type") == "click")
+    views = events.filter(F.col("event_type") == "view")
+    sections.append((
+        "as-of join (latest right ≤ left per key)",
+        "Union-tag + last-ignore-nulls window: ONE hash exchange on the "
+        "key (the same a groupBy would pay), O(1) window state per row, "
+        "NO join operator — a range join would explode, a per-key loop "
+        "wouldn't distribute.",
+        plan_of(asof_join(clicks, views, key="user_id")),
+    ))
+    purchases = events.filter(F.col("event_type") == "purchase")
+    errors = events.filter(F.col("event_type") == "error")
+    sections.append((
+        "banded range join (|Δts| ≤ band per key)",
+        "Bucketized equi-join: left fans out ×3 on the band-width time "
+        "bucket, join key is (key, bucket), exact band filter "
+        "post-join. Shuffle volume 3×|left| + |right| — never the "
+        "O(n·m) a naive range predicate degenerates to.",
+        plan_of(banded_range_join(purchases, errors, key="user_id",
+                                  band_seconds=600)),
+    ))
+
     out = os.path.join(os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))), "PLANS.md")
     with open(out, "w") as f:
@@ -778,6 +803,17 @@ def main() -> None:
                        "sort-merge join",
                        "BroadcastExchange" in skp_plan
                        and "SortMergeJoin" not in skp_plan))
+        asof_plan = by_title["as-of join (latest right ≤ left per key)"]
+        checks.append(("asof: one key exchange, window composition, "
+                       "no join operator",
+                       asof_plan.count("hashpartitioning(user_id") == 1
+                       and "Join" not in asof_plan
+                       and "Window" in asof_plan))
+        rng_plan = by_title["banded range join (|Δts| ≤ band per key)"]
+        checks.append(("range join: equi-join on (key, bucket), no "
+                       "cartesian / broadcast-nested-loop",
+                       "CartesianProduct" not in rng_plan
+                       and "BroadcastNestedLoopJoin" not in rng_plan))
         f.write("## Property checks\n\n")
         for name, ok in checks:
             f.write(f"- {'PASS' if ok else 'FAIL'}: {name}\n")
