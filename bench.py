@@ -376,6 +376,24 @@ def run_suite(spark, docs, transcripts, n_turns):
             F.array_join(F.slice(tokens("text"), 4, 10), " ").alias("bench_text"),
         )
         timed("decontam", lambda: decontaminate(docs, bench_set).count())
+    if phase_on("sketches"):
+        # HLL registers + CMS grid over the full corpus token stream —
+        # the bounded-state aggregates (≤256 / ≤4096 result rows at any
+        # corpus size); one timed pass covers both
+        from antidb_spark.operators.sketches import cms_sketch, hll_registers
+
+        sk_toks = docs.select(F.explode(tokens("text")).alias("term"))
+        timed("sketches",
+              lambda: (hll_registers(sk_toks).count()
+                       + cms_sketch(sk_toks).count()))
+    if phase_on("asof"):
+        from antidb_spark.operators.temporal import asof_join
+
+        ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+        clicks = ev.filter(F.col("event_type") == "click")
+        views = ev.filter(F.col("event_type") == "view")
+        timed("asof",
+              lambda: asof_join(clicks, views, key="user_id").count())
 
     # --- clustering / compressed-vector ANN -------------------------------
     if any(phase_on(p) for p in ("kmeans", "pq_build", "pq_warm")):
