@@ -176,8 +176,8 @@ def cms_estimate(
     salt: str = "cms", depth: int = CMS_DEPTH,
 ) -> DataFrame:
     """(term, est): point-frequency upper bounds — min over the d cells a
-    probe hashes to. The probe side carries |probes|·d (row, cell) pairs
-    and BROADCASTS into the 4096-row sketch; missing cells read as 0.
+    probe hashes to. The ≤4096-row sketch BROADCASTS into the probe
+    side's |probes|·d (row, cell) pairs; missing cells read as 0.
     CMS never underestimates, so est ≥ true count is a checkable
     invariant (pinned in tests and in the driver entry, which emits the
     exact count beside the estimate)."""
@@ -193,7 +193,9 @@ def cms_estimate(
             ])
         ).alias("p"),
     ).select(col, F.col("p.row").alias("row"), F.col("p.cell").alias("cell"))
-    joined = F.broadcast(cells).join(sketch, ["row", "cell"], "left")
+    # the d×w sketch is the broadcast side (a LEFT outer join can only
+    # build/broadcast its right side); it is ≤4096 rows by construction
+    joined = cells.join(F.broadcast(sketch), ["row", "cell"], "left")
     return (
         joined.groupBy(col)
         .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0).cast("long"))).alias("est"))
@@ -226,16 +228,19 @@ def bloom_check(
     salt: str = "blm", k: int = BLOOM_K,
 ) -> DataFrame:
     """(term, bloom_hit): membership verdicts — hit iff ALL k probe bits
-    are set. Probe side explodes to |probes|·k rows and broadcasts into
-    the bits relation; no false negatives is the pinned invariant."""
+    are set. Probe side explodes to |probes|·k rows; the ≤BLOOM_BITS-row
+    bits relation broadcasts in; no false negatives is the pinned
+    invariant."""
     cells = probes.select(
         F.col(col),
         F.posexplode(F.array(*_bloom_positions(col, salt, k))).alias(
             "i", "bit"
         ),
     )
-    joined = F.broadcast(cells).join(
-        bits.withColumn("_set", F.lit(1)), ["bit"], "left"
+    # bits (≤BLOOM_BITS rows) is the broadcast side — a LEFT outer join
+    # can only build/broadcast its right side
+    joined = cells.join(
+        F.broadcast(bits.withColumn("_set", F.lit(1))), ["bit"], "left"
     )
     return joined.groupBy(col).agg(
         (F.min(F.coalesce(F.col("_set"), F.lit(0))) == 1).alias("bloom_hit")
