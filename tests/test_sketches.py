@@ -134,3 +134,24 @@ def test_bloom_bits_match_duckdb(spark, words):
     }
     got = {r["bit"] for r in bloom_bits(words).collect()}
     assert got == oracle
+
+
+def test_hll_registers_merge_associatively(spark, words):
+    """The docstring's scale claim: registers over shards, merged by
+    elementwise max, equal the whole-corpus registers — i.e. the sketch
+    is a proper commutative monoid and partial aggregation is lossless."""
+    from pyspark.sql import functions as F
+
+    whole = {r["bucket"]: r["rho"] for r in hll_registers(words).collect()}
+    shard_a = words.filter(F.crc32(F.col("term")) % 2 == 0)
+    shard_b = words.filter(F.crc32(F.col("term")) % 2 == 1)
+    merged = {
+        r["bucket"]: r["rho"]
+        for r in (
+            hll_registers(shard_a)
+            .unionByName(hll_registers(shard_b))
+            .groupBy("bucket")
+            .agg(F.max("rho").alias("rho"))
+        ).collect()
+    }
+    assert merged == whole
