@@ -407,7 +407,14 @@ def clone_candidates(
 # optionally-space-prefixed letter / digit / punctuation runs, then
 # whitespace runs. No lookarounds (RE2 has none) and ASCII classes only
 # (so \p{L} table-version skew between the engines can't move a count).
-BPE_SPLIT_RE = r"'(?:s|t|re|ve|m|ll|d)| ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9\s]+|\s+"
+# \s is spelled as an explicit class: Java's \s includes \x0B
+# (vertical tab), RE2's does not — the explicit class removes the one
+# dialect divergence this pattern could hit.
+_WS = r"[ \t\n\r\f\x0B]"
+BPE_SPLIT_RE = (
+    r"'(?:s|t|re|ve|m|ll|d)| ?[a-zA-Z]+| ?[0-9]+"
+    r"| ?[^a-zA-Z0-9 \t\n\r\f\x0B]+" + f"|{_WS}+"
+)
 
 
 def token_count_stats(

@@ -15,6 +15,7 @@ TRICKY = [
     (5, "tabs\tand\nnewlines\r\nmixed   runs"),
     (6, "ünïcödé stays punct-class: 日本語"),
     (7, "a1b2c3 123abc !!!???"),
+    (8, "vertical\x0btab and form\x0cfeed"),
 ]
 
 
