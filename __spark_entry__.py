@@ -1591,6 +1591,35 @@ def _q_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hopping-window rollup (60-min windows every 15 min): exact
+    4-window fan-out per event via codegen sequence/explode, then one
+    map-side-combinable groupBy — the batch form of Structured
+    Streaming's window(ts, '60 minutes', '15 minutes')."""
+    from antidb_spark.operators.events import sliding_counts
+
+    return sliding_counts(
+        spark.read.parquet(f"{sf_dir}/events.parquet"),
+        width_minutes=60, slide_minutes=15,
+    )
+
+
+CHUNK_TOKS, CHUNK_OVERLAP = 32, 8
+
+
+def _q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAG-style per-document chunking: 32-token windows with 8-token
+    overlap, zero shuffle (pure codegen fan-out ≤ ceil(n/24)/doc);
+    chunks never straddle documents (the retrieval shape, vs
+    pack_sequences' cross-doc training-example packing)."""
+    from antidb_spark.operators.datasets import chunk_docs
+
+    return chunk_docs(
+        spark.read.parquet(f"{sf_dir}/documents.parquet"),
+        chunk_tokens=CHUNK_TOKS, overlap=CHUNK_OVERLAP,
+    )
+
+
 def _q_grouped_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Conversation-level rollup ranking: rank GROUPS (here: documents
     by ``source``; for transcripts the group is conv_id) by their best
@@ -2225,6 +2254,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     (term_counts … ngram_jaccard) to the front."""
     return {
         # --- new this round — never attested
+        "doc_chunks": _q_doc_chunks,
+        "sliding_counts": _q_sliding_counts,
         "hll_vocab": _q_hll_vocab,
         "token_stats": _q_token_stats,
         "asof_join": _q_asof_join,
@@ -2519,6 +2550,45 @@ SELECT user_id, session_idx, count(*)::BIGINT AS n_events,
 FROM sess
 GROUP BY user_id, session_idx
 """
+
+_SLIDING_ORACLE = """
+WITH e AS (SELECT epoch_us(ts)::BIGINT AS us, event_type,
+                  CAST(round(value * 100) AS BIGINT) AS cents
+           FROM events),
+x AS (SELECT us - (us % 900000000) - i * 900000000 AS win_start_us,
+             event_type, cents
+      FROM e, unnest(generate_series(0, 3)) AS g(i))
+SELECT win_start_us, event_type,
+       count(*)::BIGINT AS n_events, sum(cents)::BIGINT AS sum_cents
+FROM x
+GROUP BY win_start_us, event_type
+"""
+
+
+def _doc_chunks_oracle(chunk: int, overlap: int) -> str:
+    """chunk_docs oracle: the same analyzer token array, the same
+    clamped int window math (DuckDB ``//`` is floor division — the
+    greatest(0, ·) clamp removes the one negative-operand case where
+    floor and Spark's trunc ``DIV`` disagree), list_slice re-joined
+    with single spaces."""
+    stride = chunk - overlap
+    return f"""
+WITH t AS (SELECT doc_id,
+        list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                    x -> x <> '') AS toks
+      FROM documents),
+s AS (SELECT doc_id, toks, len(toks)::BIGINT AS n
+      FROM t WHERE len(toks) > 0)
+SELECT doc_id, i::BIGINT AS chunk_idx, (i * {stride})::BIGINT AS start_tok,
+       least({chunk}, n - i * {stride})::BIGINT AS n_toks,
+       array_to_string(
+         list_slice(toks, i * {stride} + 1,
+                    i * {stride} + least({chunk}, n - i * {stride})),
+         ' ') AS chunk_text
+FROM s, unnest(generate_series(
+        0, greatest(0, (n - {chunk} + {stride - 1}) // {stride}))) AS g(i)
+"""
+
 
 _TUMBLING_ORACLE = """
 WITH e AS (SELECT epoch_us(ts)::BIGINT AS us, event_type,
@@ -3840,6 +3910,8 @@ FROM documents
     out["hybrid_topk"] = _hybrid_oracle(FLAGSHIP_QUERY, 10)
     out["sessionize"] = _SESSIONIZE_ORACLE
     out["tumbling_counts"] = _TUMBLING_ORACLE
+    out["sliding_counts"] = _SLIDING_ORACLE
+    out["doc_chunks"] = _doc_chunks_oracle(CHUNK_TOKS, CHUNK_OVERLAP)
     out["simhash_dups"] = _simhash_dups_oracle(3)
     out["minhash_dups"] = _minhash_dups_oracle(0.7)
     out["clone_candidates"] = _clone_candidates_oracle(2)

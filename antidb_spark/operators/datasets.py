@@ -438,3 +438,82 @@ def shuffle_order(
         n_partitions=n_partitions,
     )
     return ords.select(F.col(id_col), F.col("doc_ord").alias("shuffle_pos"))
+
+
+def chunk_docs(
+    corpus: DataFrame,
+    chunk_tokens: int,
+    overlap: int = 0,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """RAG-style per-document chunking: cut each document's token
+    stream into ``chunk_tokens``-token windows advancing by
+    ``chunk_tokens - overlap`` (so consecutive chunks share ``overlap``
+    tokens — the retrieval-context contract). One output row per
+    chunk:
+
+      (id, chunk_idx, start_tok, n_toks, chunk_text)
+
+    where ``chunk_text`` re-joins the analyzer tokens with single
+    spaces (the canonical form both engines reproduce; byte offsets
+    into the raw text are not token-addressable after the analyzer
+    split). The final chunk is the only one allowed to be shorter than
+    ``chunk_tokens``; it always reaches the document's last token, and
+    a document of ``<= chunk_tokens`` tokens yields exactly one chunk.
+    Empty documents (0 tokens) are dropped, like ``pack_sequences``.
+
+    Unlike :func:`pack_sequences` (cross-document concat-and-chunk for
+    training examples), chunks never straddle documents — this is the
+    indexing/retrieval shape, not the packing shape.
+
+    Scale shape: ZERO shuffle — a pure codegen scan→project whose
+    fan-out per doc is ceil(n_toks/stride); tokenization, the
+    ``sequence``/``explode`` chunk enumeration, and the ``slice`` +
+    ``array_join`` rematerialization all run JVM-side. Int64 window
+    math end-to-end (``DIV``), clamped so pathological overlap ratios
+    can never produce a descending ``sequence``."""
+    from antidb_spark.functions.analyze import tokens
+
+    chunk = int(chunk_tokens)
+    ov = int(overlap)
+    if chunk <= 0:
+        raise ValueError(f"chunk_tokens must be positive, got {chunk_tokens}")
+    if not 0 <= ov < chunk:
+        raise ValueError(
+            f"overlap must satisfy 0 <= overlap < chunk_tokens, got {overlap}"
+        )
+    stride = chunk - ov
+    toked = corpus.select(
+        F.col(id_col), tokens(text_col).alias("_toks")
+    ).select(
+        id_col, "_toks", F.size("_toks").cast("long").alias("_n")
+    ).filter(F.col("_n") > 0)
+    # last chunk index: 0 when the doc fits in one chunk, else
+    # ceil((n - chunk)/stride); greatest(0, ·) guards the n < chunk
+    # branch where the DIV operand goes negative (floor/trunc disagree
+    # on negatives across engines — clamping removes the case).
+    last_idx = F.greatest(
+        F.lit(0).cast("long"),
+        F.expr(f"(_n - {chunk} + {stride - 1}) DIV {stride}"),
+    )
+    start = F.col("chunk_idx") * stride
+    clen = F.least(F.lit(chunk).cast("long"), F.col("_n") - start)
+    return (
+        toked.select(
+            id_col, "_toks", "_n",
+            F.explode(F.sequence(F.lit(0).cast("long"), last_idx))
+            .alias("chunk_idx"),
+        )
+        .select(
+            F.col(id_col),
+            F.col("chunk_idx"),
+            start.alias("start_tok"),
+            clen.alias("n_toks"),
+            F.array_join(
+                F.slice(F.col("_toks"), (start + 1).cast("int"),
+                        clen.cast("int")),
+                " ",
+            ).alias("chunk_text"),
+        )
+    )

@@ -112,3 +112,64 @@ def tumbling_counts(
             F.sum("_cents").alias("sum_cents"),
         )
     )
+
+
+def sliding_counts(
+    events: DataFrame,
+    width_minutes: int = 60,
+    slide_minutes: int = 15,
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    value_col: str = "value",
+) -> DataFrame:
+    """Hopping (sliding) window rollup: (win_start_us, event_type,
+    n_events, sum_cents) per ``width_minutes`` window advancing every
+    ``slide_minutes`` (``width`` must be a multiple of ``slide``;
+    ``slide == width`` degrades to :func:`tumbling_counts`). The batch
+    form of Structured Streaming's ``window(ts, width, slide)``.
+
+    Scale shape: each event fans out to EXACTLY ``width/slide`` window
+    rows via a codegen ``sequence``/``explode`` (an event at ``us``
+    belongs to every aligned start in ``(us - width, us]`` — all
+    ``width/slide`` of them, so no post-filter), then ONE map-side-
+    combinable groupBy. Output row count is bounded by windows ×
+    types (time-range/slide), never by |events|; the shuffle carries
+    the pre-aggregated partials, not the fan-out.
+
+    Exactness: epoch-microsecond integer window math and integer-cents
+    sums, same as :func:`tumbling_counts` — DuckDB reproduces every
+    value bit-for-bit."""
+    width_us = int(width_minutes) * 60_000_000
+    slide_us = int(slide_minutes) * 60_000_000
+    if slide_us <= 0 or width_us % slide_us:
+        raise ValueError(
+            f"width_minutes ({width_minutes}) must be a positive "
+            f"multiple of slide_minutes ({slide_minutes})"
+        )
+    nwin = width_us // slide_us
+    us = _epoch_us(ts_col)
+    aligned = us - (us % F.lit(slide_us))
+    cents = F.round(F.col(value_col) * 100, 0).cast("long")
+    return (
+        events.select(
+            aligned.alias("_aligned"),
+            F.col(type_col).alias("event_type"),
+            cents.alias("_cents"),
+        )
+        .select(
+            "_aligned", "event_type", "_cents",
+            F.explode(F.sequence(F.lit(0), F.lit(nwin - 1))).alias("_i"),
+        )
+        .select(
+            (
+                F.col("_aligned") - F.col("_i").cast("long") * slide_us
+            ).alias("win_start_us"),
+            "event_type",
+            "_cents",
+        )
+        .groupBy("win_start_us", "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("_cents").alias("sum_cents"),
+        )
+    )

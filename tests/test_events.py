@@ -110,3 +110,63 @@ def test_tumbling_counts_exact_cents(spark):
         [w1, "a", 1, 100],
         [w1, "b", 1, 1001],
     ]
+
+
+def test_sliding_counts_fanout_and_alignment(spark):
+    """Hand-built stream, width 60 / slide 15: every event lands in
+    EXACTLY width/slide = 4 windows, window starts are slide-aligned,
+    and the newest window containing an event starts at its own
+    aligned slot (us - us % slide)."""
+    from antidb_spark.operators.events import sliding_counts
+
+    rows = [(0, T0 + dt.timedelta(minutes=20), 1, "a", 1.0)]
+    got = (
+        sliding_counts(_ev(spark, rows), width_minutes=60, slide_minutes=15)
+        .orderBy("win_start_us")
+        .toPandas()
+    )
+    t0us = int(T0.timestamp()) * 1_000_000
+    slide = 15 * 60_000_000
+    # event at +20 min → aligned slot +15 min; windows start at
+    # -30, -15, 0, +15 minutes (all contain +20 within their 60 min)
+    assert got["win_start_us"].tolist() == [
+        t0us - 2 * slide, t0us - slide, t0us, t0us + slide
+    ]
+    assert got["n_events"].tolist() == [1, 1, 1, 1]
+    assert got["sum_cents"].tolist() == [100] * 4
+
+
+def test_sliding_counts_degrades_to_tumbling(spark, sf_dir):
+    """slide == width is a tumbling window: bit-identical rollup."""
+    from antidb_spark.operators.events import sliding_counts
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    slid = (
+        sliding_counts(ev, width_minutes=60, slide_minutes=60)
+        .orderBy("win_start_us", "event_type")
+        .toPandas()
+    )
+    tumb = (
+        tumbling_counts(ev, width_minutes=60)
+        .orderBy("win_start_us", "event_type")
+        .toPandas()
+    )
+    pd.testing.assert_frame_equal(slid, tumb)
+
+
+def test_sliding_counts_conservation_and_validation(spark, sf_dir):
+    """Σ n_events over all windows == |events| · width/slide (every
+    event in exactly that many windows); non-divisible slide rejected."""
+    import pytest
+
+    from antidb_spark.operators.events import sliding_counts
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    agg = sliding_counts(ev, 60, 15).agg(
+        F.sum("n_events").alias("s")
+    ).collect()[0]
+    assert agg["s"] == ev.count() * 4
+    with pytest.raises(ValueError, match="multiple"):
+        sliding_counts(ev, 60, 25)
+    with pytest.raises(ValueError, match="multiple"):
+        sliding_counts(ev, 60, 0)

@@ -606,3 +606,100 @@ def test_temperature_mix_validates(spark):
     out = temperature_mix(dfn, "lang")
     assert out.count() == 0
     assert "bucket" in out.columns
+
+
+# --- chunk_docs (RAG-style per-doc overlap chunking) ---------------------
+
+
+def _py_chunks(doc_id, text, chunk, overlap):
+    toks = py_tokens(text)
+    n = len(toks)
+    if n == 0:
+        return []
+    stride = chunk - overlap
+    out, i = [], 0
+    while True:
+        start = i * stride
+        clen = min(chunk, n - start)
+        out.append((doc_id, i, start, clen, " ".join(toks[start:start + clen])))
+        if start + clen >= n:
+            break
+        i += 1
+    return out
+
+
+def test_chunk_docs_matches_bruteforce(spark, docs_df):
+    from antidb_spark.operators.datasets import chunk_docs
+
+    got = [
+        tuple(r)
+        for r in chunk_docs(docs_df, chunk_tokens=4, overlap=1)
+        .orderBy("doc_id", "chunk_idx")
+        .collect()
+    ]
+    want = [c for d, t in DOCS for c in _py_chunks(d, t, 4, 1)]
+    assert got == want
+    # empty doc 4 dropped, sub-chunk doc 3 yields one short chunk
+    assert not any(r[0] == 4 for r in got)
+    assert [r for r in got if r[0] == 3] == [(3, 0, 0, 1, "short")]
+
+
+def test_chunk_docs_overlap_and_coverage_invariants(spark, sf_dir):
+    """Every doc's chunks: starts advance by stride, consecutive chunks
+    share exactly `overlap` tokens, the last chunk ends at the doc's
+    last token, and only the last chunk may be short."""
+    from antidb_spark.functions.analyze import tokens
+    from antidb_spark.operators.datasets import chunk_docs
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    chunk, ov = 32, 8
+    rows = (
+        chunk_docs(docs, chunk, ov)
+        .groupBy("doc_id")
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct("chunk_idx", "start_tok", "n_toks"))
+            ).alias("cs")
+        )
+        .join(
+            docs.select("doc_id", F.size(tokens("text")).alias("n")), "doc_id"
+        )
+        .collect()
+    )
+    assert rows
+    stride = chunk - ov
+    for r in rows:
+        cs, n = r["cs"], r["n"]
+        for j, c in enumerate(cs):
+            assert c["chunk_idx"] == j
+            assert c["start_tok"] == j * stride
+            if j < len(cs) - 1:
+                assert c["n_toks"] == chunk
+        last = cs[-1]
+        assert last["start_tok"] + last["n_toks"] == n
+
+
+def test_chunk_docs_no_overlap_partitions_tokens(spark, docs_df):
+    """overlap=0: chunks tile the token stream exactly (Σ n_toks == n)."""
+    from antidb_spark.functions.analyze import tokens
+    from antidb_spark.operators.datasets import chunk_docs
+
+    got = (
+        chunk_docs(docs_df, chunk_tokens=3, overlap=0)
+        .groupBy("doc_id").agg(F.sum("n_toks").alias("s"))
+        .join(docs_df.select("doc_id", F.size(tokens("text")).alias("n")),
+              "doc_id")
+        .collect()
+    )
+    assert got and all(r["s"] == r["n"] for r in got)
+
+
+def test_chunk_docs_validation(spark, docs_df):
+    from antidb_spark.operators.datasets import chunk_docs
+
+    with pytest.raises(ValueError, match="positive"):
+        chunk_docs(docs_df, 0)
+    with pytest.raises(ValueError, match="overlap"):
+        chunk_docs(docs_df, 4, 4)
+    with pytest.raises(ValueError, match="overlap"):
+        chunk_docs(docs_df, 4, -1)
