@@ -1620,6 +1620,18 @@ def _q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+TERMVEC_PROBES = (3, 41, 77)
+
+
+def _q_term_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document term vectors (the ES _termvectors API shape): tf,
+    dl, and corpus df for every term of 3 probe docs, served from the
+    committed DOC-keyed termvecs layer — manifest-pruned to the probe
+    ordinals' files, never a term-keyed index scan."""
+    b = _entry_index(spark, sf_dir)
+    return b.term_vectors([(i,) for i in TERMVEC_PROBES])
+
+
 def _q_grouped_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Conversation-level rollup ranking: rank GROUPS (here: documents
     by ``source``; for transcripts the group is conv_id) by their best
@@ -2256,6 +2268,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- new this round — never attested
         "doc_chunks": _q_doc_chunks,
         "sliding_counts": _q_sliding_counts,
+        "term_vectors": _q_term_vectors,
         "hll_vocab": _q_hll_vocab,
         "token_stats": _q_token_stats,
         "asof_join": _q_asof_join,
@@ -2587,6 +2600,25 @@ SELECT doc_id, i::BIGINT AS chunk_idx, (i * {stride})::BIGINT AS start_tok,
          ' ') AS chunk_text
 FROM s, unnest(generate_series(
         0, greatest(0, (n - {chunk} + {stride - 1}) // {stride}))) AS g(i)
+"""
+
+
+def _term_vectors_oracle(probes: tuple[int, ...]) -> str:
+    """term_vectors oracle: per-(probe doc, term) tf + doc length +
+    corpus-wide df, all re-derived from the raw documents (the engine
+    serves the same values from its committed doc-keyed termvecs layer
+    + terms dictionary)."""
+    vals = ", ".join(f"({i})" for i in probes)
+    return f"""
+WITH {TOK_CTE}, {POST_CTE}, {DL_CTE},
+dfv AS (SELECT term, count(*)::BIGINT AS df
+        FROM (SELECT DISTINCT term, doc_id FROM tok) GROUP BY term),
+probes(doc_id) AS (VALUES {vals})
+SELECT post.doc_id, post.term, post.tf, dl.dl, dfv.df
+FROM post
+JOIN probes USING (doc_id)
+JOIN dl USING (doc_id)
+JOIN dfv USING (term)
 """
 
 
@@ -3912,6 +3944,7 @@ FROM documents
     out["tumbling_counts"] = _TUMBLING_ORACLE
     out["sliding_counts"] = _SLIDING_ORACLE
     out["doc_chunks"] = _doc_chunks_oracle(CHUNK_TOKS, CHUNK_OVERLAP)
+    out["term_vectors"] = _term_vectors_oracle(TERMVEC_PROBES)
     out["simhash_dups"] = _simhash_dups_oracle(3)
     out["minhash_dups"] = _minhash_dups_oracle(0.7)
     out["clone_candidates"] = _clone_candidates_oracle(2)

@@ -645,7 +645,7 @@ class IndexBuilder:
     #: every table an index may commit, in rollback order
     INDEX_TABLES = ("docmap", "postings", "terms", "terms_rev",
                     "terms_del", "stats", "blocks", "pos_blocks",
-                    "docmeta", "tombstones")
+                    "docmeta", "tombstones", "termvecs")
 
     #: delete batches up to this many distinct first-id values resolve
     #: ordinals via a manifest-PRUNED docmap read (values-list prune is
@@ -900,7 +900,7 @@ class IndexBuilder:
         meta_src = self.catalog.read("docmeta") if keep_meta else None
 
         for tbl in ("postings", "docmap", "stats", "terms", "terms_rev",
-                    "terms_del", "blocks", "tombstones"):
+                    "terms_del", "blocks", "tombstones", "termvecs"):
             self.catalog.drop(tbl)
         self.ckpt.reset()
         man = self.catalog.write(merged, "postings")
@@ -2684,6 +2684,121 @@ class IndexBuilder:
         self.ckpt.mark_done("terms_rev", snapshot=man["snapshot_id"],
                             seconds=0.0)
         return man
+
+    def build_term_vectors(self) -> dict:
+        """Commit ``termvecs`` — the DOC-keyed (doc_ord, term, tf)
+        layer serving per-document term vectors (the Lucene/ES stored
+        term-vectors analog). The inverted blocks are term-keyed, so
+        answering "which terms does THIS doc contain" from them is an
+        O(index) scan per request; this optional layer re-keys the
+        committed postings by doc ordinal (range-sorted, doc_ord
+        manifest stats) so a bounded doc batch reads only the
+        manifest-pruned files holding those ordinals — the docmeta
+        read shape. Built from the committed blocks (ordinal-keyed,
+        multi-run): one O(index) decode + one doc_ord range exchange,
+        the pos_blocks cost class, never a corpus re-tokenize.
+
+        Visibility contract: superseded upsert generations and deleted
+        docs are excluded at QUERY time via the shared tombstone
+        anti-join (so deletes never stale this layer), while appends /
+        upserts / merges move the blocks snapshot and trigger the same
+        src-snapshot auto-resync as ``terms_rev``."""
+        src = self.catalog.manifest("blocks")["snapshot_id"]
+        tv = (
+            self._decoded_postings(self.catalog.read("blocks"))
+            .select("doc_ord", "term", "tf")
+            .repartitionByRange(F.col("doc_ord"))
+            .sortWithinPartitions("doc_ord", "term")
+        )
+        man = self.catalog.replace(
+            tv, "termvecs", stats_cols=["doc_ord"],
+            row_group_bytes=LEAF_ROW_GROUP_BYTES,
+            props={"src_snapshot": src},
+        )
+        self.ckpt.mark_done("termvecs", snapshot=man["snapshot_id"],
+                            seconds=0.0)
+        return man
+
+    def _ensure_termvecs(self) -> None:
+        """Build/refresh ``termvecs`` when missing or stale vs the
+        committed blocks snapshot (postings drift after appends/
+        upserts/merges; deletes don't move it — they apply at read)."""
+        cur = self.catalog.manifest("blocks")["snapshot_id"]
+        if not self.catalog.exists("termvecs") or (
+            self.catalog.manifest("termvecs")
+            .get("props", {})
+            .get("src_snapshot") != cur
+        ):
+            self.build_term_vectors()
+
+    def term_vectors(self, docs) -> DataFrame:
+        """Per-document term vectors for a bounded id batch: one row
+        per (doc, term) carrying tf, the doc length dl, and the corpus
+        df (AS-BUILT statistics — the same stale-until-purge contract
+        as scoring). ``docs``: a DataFrame with ``id_cols`` or an
+        iterable of id tuples, like :meth:`delete_docs`; unknown ids
+        yield no rows. The request batch is collected driver-side to
+        drive file pruning, so it is bounded by the caller (the
+        interactive per-doc inspection shape, ≤ thousands of ids —
+        corpus-scale re-keying is :meth:`build_term_vectors` itself).
+
+        Plan: pruned docmap resolve (ids → ordinals) → tombstone
+        anti-join → manifest-pruned ``termvecs`` read of ONLY those
+        ordinals' files → broadcast joins against the k-doc relation
+        and the terms dictionary. No corpus-sized scan anywhere."""
+        if not isinstance(docs, DataFrame):
+            rows = [
+                tuple(r) if isinstance(r, (tuple, list)) else (r,)
+                for r in docs
+            ]
+            if not rows:
+                return self.spark.createDataFrame(
+                    [], self._termvec_schema()
+                )
+            dm_schema = self.catalog.read("docmap").schema
+            docs = self.spark.createDataFrame(
+                rows, T.StructType([dm_schema[c] for c in self.id_cols])
+            )
+        ids = docs.select(*self.id_cols).distinct()
+        c0 = self.id_cols[0]
+        dm = None
+        if c0 in self.catalog.manifest("docmap")["stats_cols"]:
+            probe = ids.select(c0).distinct().limit(
+                self.DELETE_PRUNE_MAX_IDS + 1
+            ).collect()
+            if len(probe) <= self.DELETE_PRUNE_MAX_IDS:
+                vals = sorted({r[0] for r in probe if r[0] is not None})
+                if vals:
+                    dm = self.catalog.read_pruned("docmap", c0, values=vals)
+        if dm is None:
+            dm = self.catalog.read("docmap")
+        ords = self._drop_tombstones(
+            dm.join(ids, list(self.id_cols), "left_semi")
+        )
+        # bounded request batch (see docstring) → ordinal values list
+        # drives the termvecs file prune
+        ord_vals = sorted(r["doc_ord"] for r in ords.collect())
+        if not ord_vals:
+            return self.spark.createDataFrame([], self._termvec_schema())
+        self._ensure_termvecs()
+        tv = self.catalog.read_pruned("termvecs", "doc_ord",
+                                      values=ord_vals)
+        tv = tv.filter(F.col("doc_ord").isin(ord_vals))
+        hits = tv.join(F.broadcast(ords), "doc_ord")
+        out = self.catalog.read("terms").join(F.broadcast(hits), "term")
+        return out.select(*self.id_cols, "term", "tf", "dl", "df")
+
+    def _termvec_schema(self) -> T.StructType:
+        dm = self.catalog.read("docmap").schema
+        return T.StructType(
+            [dm[c] for c in self.id_cols]
+            + [
+                T.StructField("term", T.StringType(), False),
+                T.StructField("tf", T.LongType(), False),
+                T.StructField("dl", T.LongType(), False),
+                T.StructField("df", T.LongType(), False),
+            ]
+        )
 
     def _ensure_terms_rev(self) -> None:
         """Build/refresh ``terms_rev`` when missing or stale vs the
