@@ -2772,8 +2772,11 @@ class IndexBuilder:
                     dm = self.catalog.read_pruned("docmap", c0, values=vals)
         if dm is None:
             dm = self.catalog.read("docmap")
+        # the probe relation is a bounded request batch — broadcast it
+        # into the docmap semi-join (a sort-merge join would shuffle the
+        # pruned docmap for a handful of ids)
         ords = self._drop_tombstones(
-            dm.join(ids, list(self.id_cols), "left_semi")
+            dm.join(F.broadcast(ids), list(self.id_cols), "left_semi")
         )
         # bounded request batch (see docstring) → ordinal values list
         # drives the termvecs file prune

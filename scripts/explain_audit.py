@@ -165,6 +165,20 @@ def main() -> None:
             plan_of(term_positions(b, "the kemuba0 data", k=5)),
         ))
 
+        probe_ids = [
+            (r["conv_id"], int(r["turn_idx"]))
+            for r in t.select("conv_id", "turn_idx").limit(2).collect()
+        ]
+        sections.append((
+            "term vectors (doc-keyed termvecs layer probe)",
+            "The termvecs scan must be the PRUNED committed layer "
+            "(doc_ord-range-sorted files; a 2-doc probe touches a file "
+            "subset, never a term-keyed index scan), the k-doc ordinal "
+            "relation and per-term hit set ride BroadcastExchanges into "
+            "the joins, and no sort-merge join appears anywhere.",
+            plan_of(b.term_vectors(probe_ids)),
+        ))
+
         from antidb_spark.operators.keyed import KeyedIndexStore
 
         st = KeyedIndexStore(spark, os.path.join(root, "keyed"))
@@ -409,6 +423,16 @@ def main() -> None:
         "event_type, value only).",
         plan_of(tumbling_counts(ev)),
     ))
+    from antidb_spark.operators.events import sliding_counts
+
+    sections.append((
+        "sliding rollup (hopping windows, events)",
+        "Scan → codegen sequence/explode fan-out (exactly width/slide "
+        "rows per event, no post-filter) → ONE map-side-combinable "
+        "hash aggregate; the shuffle carries pre-aggregated partials, "
+        "not the fan-out. Narrow ReadSchema.",
+        plan_of(sliding_counts(ev, 60, 15)),
+    ))
 
     from antidb_spark.functions.analyze import tokens
     from antidb_spark.operators.dedup import decontaminate
@@ -587,6 +611,16 @@ def main() -> None:
         + plan_of(bloom_check(bloom_bits(sk_toks), sk_probes)),
     ))
 
+    from antidb_spark.operators.datasets import chunk_docs
+
+    sections.append((
+        "doc chunking (RAG-style overlap windows)",
+        "ZERO exchanges: tokenize → sequence/explode chunk enumeration "
+        "→ slice/array_join rematerialization is one codegen "
+        "scan→project; the scan reads only (doc_id, text); no Python.",
+        plan_of(chunk_docs(docs, chunk_tokens=32, overlap=8)),
+    ))
+
     from antidb_spark.operators.temporal import asof_join, banded_range_join
 
     events = spark.read.parquet(f"{sf_dir}/events.parquet")
@@ -710,6 +744,25 @@ def main() -> None:
                        tum_plan.count("+- Exchange") +
                        tum_plan.count(":- Exchange") == 1
                        and "partial_sum" in tum_plan))
+        sld_plan = by_title["sliding rollup (hopping windows, events)"]
+        checks.append(("sliding: one map-combinable aggregate, explode "
+                       "fan-out stays pre-shuffle",
+                       sld_plan.count("+- Exchange") +
+                       sld_plan.count(":- Exchange") == 1
+                       and "partial_sum" in sld_plan
+                       and "Generate" in sld_plan))
+        chk_plan = by_title["doc chunking (RAG-style overlap windows)"]
+        checks.append(("chunking: zero exchanges, no Python, narrow scan",
+                       "Exchange" not in chk_plan
+                       and "Python" not in chk_plan
+                       and "struct<doc_id:bigint,text:string>" in chk_plan))
+        tv_plan = by_title["term vectors (doc-keyed termvecs layer probe)"]
+        checks.append(("term vectors: broadcast joins only (no "
+                       "sort-merge), doc_ord pushdown on the termvecs "
+                       "scan",
+                       "BroadcastExchange" in tv_plan
+                       and "SortMergeJoin" not in tv_plan
+                       and "In(doc_ord" in tv_plan))
         rep_plan = by_title["repetition stats (Gopher rules)"]
         checks.append(("repetition: no Python eval in plan",
                        "Python" not in rep_plan
