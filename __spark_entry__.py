@@ -2253,8 +2253,9 @@ LEFT JOIN (SELECT DISTINCT term FROM tok) t ON t.term = v.term
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """ATTESTATION ROTATION NOTE: the driver records correctness rows
     for only the FIRST 50 dict entries, so entry order rotates each
-    round, least-recently-driver-attested first. Round-5 order: the 7
-    entries new this round (sketches, token_stats, asof/range joins),
+    round, least-recently-driver-attested first. Round-5 order: the 10
+    entries new this round (doc_chunks, sliding_counts, term_vectors,
+    sketches, token_stats, asof/range joins),
     then the 30 entries with no driver
     row in any round (repetition … time_travel), then the 13 last
     attested in round 3 (minhash_dups … frame_sample), then entries
