@@ -1604,6 +1604,72 @@ def _q_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_STREAM_SESS: dict[str, DataFrame] = {}
+_STREAM_FLUSH_USER = 999_999_999
+
+
+def _q_stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming operator (applyInPandasWithState):
+    gap-sessionize the events table fed through a bounded file-source
+    stream in THREE out-of-order micro-batches — per-user state buffers
+    watermark-unfinalized events, folds the finalized prefix each
+    batch, and closes sessions by event or by event-time timeout. The
+    oracle is the SAME SQL as the batch sessionize entry: the streaming
+    fold must reproduce the batch windows row for row."""
+    got = _STREAM_SESS.get(sf_dir)
+    if got is None:
+        import atexit
+        import shutil
+        import tempfile
+
+        import pandas as pd
+
+        from antidb_spark.streaming.sessions import run_sessionize_stream
+
+        root = tempfile.mkdtemp(prefix="antidb_stream_sess_")
+        atexit.register(shutil.rmtree, root, ignore_errors=True)
+        src = os.path.join(root, "src")
+        os.makedirs(src)
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+            "event_id", "ts", "user_id"
+        )
+        # three id-sliced files → micro-batches that interleave the
+        # whole time range (the disorder-buffer path, not just in-order
+        # ingestion); the far-future flusher advances the watermark
+        # past every real session's timeout
+        for i in range(3):
+            ev.filter(F.col("event_id") % 3 == i).coalesce(1) \
+                .write.parquet(os.path.join(src, f"part{i}"))
+        max_ts = ev.agg(F.max("ts")).collect()[0][0]
+        spark.createDataFrame(
+            pd.DataFrame({
+                "event_id": [10**12],
+                "ts": [max_ts + pd.Timedelta(days=8000)],
+                "user_id": [_STREAM_FLUSH_USER],
+            }),
+            "event_id long, ts timestamp, user_id long",
+        ).coalesce(1).write.parquet(os.path.join(src, "zflush"))
+        import glob
+        import shutil as sh
+
+        n = 0
+        for p in sorted(glob.glob(f"{src}/part*/part-*.parquet")) + sorted(
+            glob.glob(f"{src}/zflush/part-*.parquet")
+        ):
+            sh.move(p, os.path.join(src, f"{n:03d}.parquet"))
+            n += 1
+        for d in glob.glob(f"{src}/part*") + [f"{src}/zflush"]:
+            sh.rmtree(d, ignore_errors=True)
+        got = run_sessionize_stream(
+            spark, src, os.path.join(root, "ckpt"),
+            table_name=f"stream_sessions_{abs(hash(sf_dir)) % 10**8}",
+            gap_minutes=30, watermark_delay="3650 days",
+            max_files_per_trigger=1,
+        ).filter(F.col("user_id") != _STREAM_FLUSH_USER)
+        _STREAM_SESS[sf_dir] = got
+    return got
+
+
 CHUNK_TOKS, CHUNK_OVERLAP = 32, 8
 
 
@@ -2253,9 +2319,9 @@ LEFT JOIN (SELECT DISTINCT term FROM tok) t ON t.term = v.term
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """ATTESTATION ROTATION NOTE: the driver records correctness rows
     for only the FIRST 50 dict entries, so entry order rotates each
-    round, least-recently-driver-attested first. Round-5 order: the 10
+    round, least-recently-driver-attested first. Round-5 order: the 11
     entries new this round (doc_chunks, sliding_counts, term_vectors,
-    sketches, token_stats, asof/range joins),
+    stream_sessions, sketches, token_stats, asof/range joins),
     then the 30 entries with no driver
     row in any round (repetition … time_travel), then the 13 last
     attested in round 3 (minhash_dups … frame_sample), then entries
@@ -2270,6 +2336,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_chunks": _q_doc_chunks,
         "sliding_counts": _q_sliding_counts,
         "term_vectors": _q_term_vectors,
+        "stream_sessions": _q_stream_sessions,
         "hll_vocab": _q_hll_vocab,
         "token_stats": _q_token_stats,
         "asof_join": _q_asof_join,
@@ -3942,6 +4009,9 @@ FROM documents
     out["grouped_topk"] = _grouped_oracle(FLAGSHIP_QUERY, "source", 10)
     out["hybrid_topk"] = _hybrid_oracle(FLAGSHIP_QUERY, 10)
     out["sessionize"] = _SESSIONIZE_ORACLE
+    # the streaming fold must reproduce the batch windows row for row —
+    # same oracle (flusher row excluded on the Spark side)
+    out["stream_sessions"] = _SESSIONIZE_ORACLE
     out["tumbling_counts"] = _TUMBLING_ORACLE
     out["sliding_counts"] = _SLIDING_ORACLE
     out["doc_chunks"] = _doc_chunks_oracle(CHUNK_TOKS, CHUNK_OVERLAP)
