@@ -1764,6 +1764,20 @@ def _q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _q_ann_persisted(spark, sf_dir, "ivf")
 
 
+def _q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN quality evaluation (the retrieval-pipeline metric): recall@10
+    of the persisted multiprobe-LSH probe against the exact cosine
+    top-10 — |approx ∩ exact| / k over the two k-row result relations.
+    Composes two already-oracled queries; the DuckDB oracle recomputes
+    BOTH sides and the intersection in one statement."""
+    a = _q_ann_lsh_topk(spark, sf_dir).select("vec_id")
+    e = _q_ann_cosine_topk(spark, sf_dir).select("vec_id")
+    n = a.join(e, "vec_id").count()  # k-row ∩ k-row — bounded
+    return spark.createDataFrame(
+        [(10, n, n / 10.0)], "k long, n_hits long, recall double"
+    )
+
+
 PQ_M, PQ_K, PQ_ITERS = 8, 16, 2
 PQ_SHORTLIST = 50
 _PQ_IDX: dict[str, object] = {}
@@ -2319,9 +2333,10 @@ LEFT JOIN (SELECT DISTINCT term FROM tok) t ON t.term = v.term
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """ATTESTATION ROTATION NOTE: the driver records correctness rows
     for only the FIRST 50 dict entries, so entry order rotates each
-    round, least-recently-driver-attested first. Round-5 order: the 11
+    round, least-recently-driver-attested first. Round-5 order: the 12
     entries new this round (doc_chunks, sliding_counts, term_vectors,
-    stream_sessions, sketches, token_stats, asof/range joins),
+    stream_sessions, ann_recall, sketches, token_stats, asof/range
+    joins),
     then the 30 entries with no driver
     row in any round (repetition … time_travel), then the 13 last
     attested in round 3 (minhash_dups … frame_sample), then entries
@@ -2337,6 +2352,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sliding_counts": _q_sliding_counts,
         "term_vectors": _q_term_vectors,
         "stream_sessions": _q_stream_sessions,
+        "ann_recall": _q_ann_recall,
         "hll_vocab": _q_hll_vocab,
         "token_stats": _q_token_stats,
         "asof_join": _q_asof_join,
@@ -4021,6 +4037,16 @@ FROM documents
     out["clone_candidates"] = _clone_candidates_oracle(2)
     out["embedding_dups"] = _embedding_dups_oracle(0.95)
     out["ann_lsh_topk"] = _ann_lsh_oracle(10)
+    # recall@10 of the LSH probe vs exact cosine: both sides recomputed
+    # (nested-WITH CTEs), intersection / k; n/k division identical IEEE
+    # in both engines
+    out["ann_recall"] = f"""
+WITH a AS ({_ann_lsh_oracle(10)}),
+     e AS ({out["ann_cosine_topk"]})
+SELECT 10::BIGINT AS k, count(*)::BIGINT AS n_hits,
+       count(*) / 10.0 AS recall
+FROM a JOIN e USING (vec_id)
+"""
     out["ann_ivf_topk"] = _ann_ivf_oracle(10)
     out["repetition"] = _REPETITION_ORACLE
     out["pii_redact"] = _pii_redact_oracle()

@@ -49,6 +49,50 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 
+def fold_core(
+    n_closed: int,
+    first: int,
+    last: int,
+    n: int,
+    buf: list,
+    wm_us: int,
+    gap_us: int,
+) -> tuple:
+    """Pure session fold (the per-key state transition, extracted for
+    JVM-free property testing): fold every buffered ``(us, id)`` with
+    ``us < wm_us`` into the ordered session chain, close sessions whose
+    gap is exceeded, close the trailing open session once the watermark
+    is STRICTLY past ``last + gap`` (at equality an exact-gap event
+    could still arrive and merge — the batch operator's strict->
+    contract; a non-empty buffer can't block this: buffered events are
+    >= watermark > last + gap here, so none can merge backwards).
+
+    Returns ``(closed, n_closed, first, last, n, buf)`` where ``closed``
+    is a list of (session_idx, n_events, first_us, last_us) rows and
+    ``buf`` the remaining (still watermark-unfinalized) events.
+    ``first == -1`` marks "no open session"."""
+    buf = sorted(buf)
+    closed: list = []
+    k = 0
+    while k < len(buf) and buf[k][0] < wm_us:
+        us = buf[k][0]
+        if first == -1:
+            first, last, n = us, us, 1
+        elif us - last > gap_us:
+            n_closed += 1
+            closed.append((n_closed, n, first, last))
+            first, last, n = us, us, 1
+        else:
+            last, n = max(last, us), n + 1
+        k += 1
+    buf = buf[k:]
+    if first != -1 and wm_us - last > gap_us:
+        n_closed += 1
+        closed.append((n_closed, n, first, last))
+        first, last, n = -1, -1, 0
+    return closed, n_closed, first, last, n, buf
+
+
 def sessionize_stream(
     stream: DataFrame,
     gap_minutes: int = 30,
@@ -121,36 +165,16 @@ def sessionize_stream(
                     (int(v) for v in batch["_id"].astype("int64")),
                 )
             )
-            buf.sort()
         # Finality rule: future arrivals carry event time >= watermark,
         # so a buffered event with us < watermark can never be preceded
-        # by a new arrival — fold exactly that prefix into the ordered
-        # session chain. Before the first watermark (ms == 0) nothing
-        # is final and everything buffers.
+        # by a new arrival — fold_core folds exactly that prefix into
+        # the ordered session chain. Before the first watermark
+        # (ms == 0) nothing is final and everything buffers.
         wm_us = state.getCurrentWatermarkMs() * 1_000
-        out = []
-        k = 0
-        while k < len(buf) and buf[k][0] < wm_us:
-            us = buf[k][0]
-            if first == -1:
-                first, last, n = us, us, 1
-            elif us - last > gap_us:
-                n_closed += 1
-                out.append(_row(user, n_closed, n, first, last))
-                first, last, n = us, us, 1
-            else:
-                last, n = max(last, us), n + 1
-            k += 1
-        buf = buf[k:]
-        # close the trailing open session once the watermark is STRICTLY
-        # past last + gap (at equality an exact-gap event could still
-        # arrive and merge — the batch operator's strict-> contract)
-        # (a non-empty buffer can't block this: buffered events are
-        # >= watermark > last + gap here, so none can merge backwards)
-        if first != -1 and wm_us - last > gap_us:
-            n_closed += 1
-            out.append(_row(user, n_closed, n, first, last))
-            first, last, n = -1, -1, 0
+        closed, n_closed, first, last, n, buf = fold_core(
+            n_closed, first, last, n, buf, wm_us, gap_us
+        )
+        out = [_row(user, idx, cn, cf, cl) for idx, cn, cf, cl in closed]
         pending = ([last] if first != -1 else []) + [u for u, _ in buf]
         state.update((
             n_closed, first, last, n,

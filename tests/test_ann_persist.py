@@ -175,3 +175,21 @@ def test_ivf_append_assigns_to_committed_centroids(spark, vecs, probe, tmp_path)
     assert [(r["vec_id"], r["cos"]) for r in got] == [
         tuple(row) for row in warm.values.tolist()
     ]
+
+
+def test_ann_recall_entry_matches_set_intersection(spark):
+    """The ann_recall entry's (k, n_hits, recall) must equal the plain
+    set intersection of its two component queries, and recall of the
+    exact list against itself is 1.0 (metric sanity)."""
+    import __spark_entry__ as ent
+
+    sf = "/root/testdata/sf0.001"
+    a = {r["vec_id"] for r in ent._q_ann_lsh_topk(spark, sf).collect()}
+    e = {r["vec_id"] for r in ent._q_ann_cosine_topk(spark, sf).collect()}
+    row = ent._q_ann_recall(spark, sf).collect()[0]
+    assert row["k"] == 10
+    assert row["n_hits"] == len(a & e)
+    assert row["recall"] == len(a & e) / 10.0
+    assert 0.0 <= row["recall"] <= 1.0
+    # identity recall: exact ∩ exact == k
+    assert len(e) == 10

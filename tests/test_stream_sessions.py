@@ -163,3 +163,93 @@ def test_sessions_parity_with_batch(spark, tmp_path, sf_dir):
         got.reset_index(drop=True), want.reset_index(drop=True),
         check_dtype=False,
     )
+
+
+# --- pure-fold property test (no JVM) ------------------------------------
+
+
+def _batch_sessions_reference(events, gap_us):
+    """The batch operator's semantics in plain python: globally sorted
+    (us, id), strict-gap split, 1-based idx."""
+    out, first, last, n, idx = [], None, None, 0, 0
+    for us, _ in sorted(events):
+        if first is None:
+            first, last, n = us, us, 1
+        elif us - last > gap_us:
+            idx += 1
+            out.append((idx, n, first, last))
+            first, last, n = us, us, 1
+        else:
+            last, n = max(last, us), n + 1
+    if first is not None:
+        idx += 1
+        out.append((idx, n, first, last))
+    return out
+
+
+def test_fold_core_property_matches_batch_reference():
+    """For ANY arrival order and watermark schedule consistent with the
+    watermark contract (arrivals carry ts >= current watermark,
+    watermark non-decreasing), the concatenated fold_core emissions
+    equal the batch reference. Hypothesis drives event times, batch
+    splits, and advance/hold watermark choices."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from antidb_spark.streaming.sessions import fold_core
+
+    gap_us = 100
+
+    @settings(max_examples=300, deadline=None)
+    @given(
+        times=st.lists(
+            st.integers(min_value=0, max_value=2_000), min_size=0,
+            max_size=40,
+        ),
+        splits=st.data(),
+    )
+    def run(times, splits):
+        events = [(us, i) for i, us in enumerate(times)]
+        # arrival schedule: repeatedly deliver a random subset of the
+        # not-yet-delivered events whose ts >= current watermark; the
+        # watermark may advance up to min(undelivered ts) before each
+        # batch (the contract: nothing late ever arrives)
+        undelivered = sorted(events)
+        wm, state = 0, (0, -1, -1, 0, [])
+        emitted = []
+        while undelivered:
+            advance = splits.draw(st.booleans())
+            if advance:
+                wm = max(wm, undelivered[0][0] + splits.draw(
+                    st.integers(min_value=0, max_value=1)
+                ))
+            deliverable = [e for e in undelivered if e[0] >= wm]
+            if not deliverable:
+                # everything below watermark already delivered — the
+                # remaining events would be late; deliver them anyway?
+                # no: the contract says they can't exist. Flush instead.
+                break
+            take = splits.draw(
+                st.integers(min_value=1, max_value=len(deliverable))
+            )
+            batch = splits.draw(st.permutations(deliverable))[:take]
+            for e in batch:
+                undelivered.remove(e)
+            n_closed, first, last, n, buf = state
+            closed, n_closed, first, last, n, buf = fold_core(
+                n_closed, first, last, n, buf + batch, wm, gap_us
+            )
+            emitted.extend(closed)
+            state = (n_closed, first, last, n, buf)
+        delivered = [e for e in events if e not in undelivered]
+        # final flush: watermark passes everything
+        n_closed, first, last, n, buf = state
+        closed, *_rest = fold_core(
+            n_closed, first, last, n, buf,
+            max([u for u, _ in delivered], default=0) + gap_us + 1,
+            gap_us,
+        )
+        emitted.extend(closed)
+        assert emitted == _batch_sessions_reference(delivered, gap_us)
+
+    run()
